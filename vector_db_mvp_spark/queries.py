@@ -1,0 +1,109 @@
+"""Query inventory: every operator from SURVEY.md §2 (plus north-star
+LLM-data-pipeline operators) as (Spark plan, DuckDB oracle SQL) pairs.
+
+This module is the single source of truth consumed by ``__spark_entry__.py``.
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame; each
+oracle is ANSI SQL DuckDB runs over the same parquet views. Columns are
+aliased identically on both sides (the driver hash-compares after sorting
+columns by name).
+
+Determinism contract for floating-point queries: scores are computed in
+DOUBLE with the same formula/accumulation order on both sides and rounded to
+6 decimals; ordering ties broken by id. (Reference top-k tie order is Python
+sort stability — insertion order — which a distributed engine cannot honor;
+SURVEY.md §7 "What's hard".)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.topk import topk_cosine
+from .sources.testdata import load_table
+
+# --------------------------------------------------------------------------
+# Vector search (reference T1/T3, search_service.py §2.11)
+# --------------------------------------------------------------------------
+
+# DuckDB fragment computing cosine(a, b) exactly like functions/vector.py:
+# double math, sequential fold, zero-norm -> 0.0.
+_DUCK_COS = """
+CASE
+  WHEN sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), x -> x * x))) = 0
+    OR sqrt(list_sum(list_transform(CAST({b} AS DOUBLE[]), x -> x * x))) = 0
+  THEN 0.0
+  ELSE list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),
+                               p -> p[1] * p[2]))
+       / (sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), x -> x * x)))
+          * sqrt(list_sum(list_transform(CAST({b} AS DOUBLE[]), x -> x * x))))
+END
+"""
+
+
+def _with_query_vector(spark: SparkSession, sf_dir: str, query_vec_id: int = 0) -> DataFrame:
+    """Fact table cross-joined with the (1-row, broadcast) query vector —
+    the Spark shape of 'score every row against the query'."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("_qv"))
+    )
+    return emb.crossJoin(F.broadcast(q))
+
+
+def q_topk_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: exact brute-force top-10 cosine, query = embedding of vec_id 0."""
+    joined = _with_query_vector(spark, sf_dir)
+    return topk_cosine(joined, F.col("_qv"), 10, score_decimals=6).select(
+        "vec_id", "label", "score"
+    )
+
+
+def _sql_topk_cosine(k: int, where: str = "TRUE", query_vec_id: int = 0) -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
+    return f"""
+WITH q AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, e.label, round({cos}, 6) AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.embedding IS NOT NULL AND {where}
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+def q_topk_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 + P1: metadata equality filter (label = 3) before scoring — the
+    reference's cheap-filter-first (search_service.py:99-103); Catalyst pushes
+    the predicate to the parquet scan."""
+    joined = _with_query_vector(spark, sf_dir).filter(F.col("label") == 3)
+    return topk_cosine(joined, F.col("_qv"), 10, score_decimals=6).select(
+        "vec_id", "label", "score"
+    )
+
+
+def q_topk_cosine_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 with k=100 (k grid from BASELINE.md bench spec)."""
+    joined = _with_query_vector(spark, sf_dir)
+    return topk_cosine(joined, F.col("_qv"), 100, score_decimals=6).select(
+        "vec_id", "label", "score"
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "topk_cosine_brute": q_topk_cosine_brute,
+    "topk_cosine_filtered": q_topk_cosine_filtered,
+    "topk_cosine_k100": q_topk_cosine_k100,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "topk_cosine_brute": _sql_topk_cosine(10),
+    "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
+    "topk_cosine_k100": _sql_topk_cosine(100),
+}

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB deployment shape:
+
+- AQE on (runtime coalescing, skew-join splitting) so static
+  ``spark.sql.shuffle.partitions`` only needs to be an upper bound.
+- Arrow enabled for the few Pandas-UDF operators (LSH hashing, multimodal
+  decode) so Python exchange is columnar-batched, never per-row.
+- Broadcast threshold left at default 10 MB — our dimension tables
+  (libraries/documents/region/nation/...) are far below it, so star joins
+  compile to BroadcastHashJoin with zero shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "vector_db_mvp_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract); on a real
+    cluster the master URL comes from the environment instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        # At 100 TB this is set to ~2-3x total executor cores; AQE coalesces
+        # down at runtime, so an upper bound is cheap. Locally match cores.
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
