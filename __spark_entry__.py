@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vector_db_mvp_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from vector_db_mvp_spark.workload import ORACLE_SQL, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

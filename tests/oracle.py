@@ -31,13 +31,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "\x00<NULL>"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+        return str(round(v, 9))
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
-    return v
+    return str(v)
 
 
 def rows_match(spark_df, con, sql: str) -> tuple[bool, str]:

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from vector_db_mvp_spark.queries import ORACLE_SQL, QUERIES
+from vector_db_mvp_spark.workload import ORACLE_SQL, QUERIES
 
 from .oracle import assert_oracle_match
 

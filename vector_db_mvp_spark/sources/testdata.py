@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..schemas import TESTDATA_TABLES
 
@@ -20,8 +22,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Schema comes from the parquet footer (the files
-    are driver-written with fixed schemas; see FIXTURES.md §2)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    are driver-written with fixed schemas; see FIXTURES.md §2).
+
+    The ``events`` fixture stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects; we read nanos as long (legacy conf) and
+    convert to a microsecond TimestampType column. Truncation ns→µs is safe:
+    every query over events aggregates at second-or-coarser granularity.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:

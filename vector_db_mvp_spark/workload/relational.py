@@ -1,0 +1,489 @@
+"""Relational workload — the generic operator surface (SURVEY.md §2 rows
+flagged [north-star]: theta predicates P7, joins J3, aggregations A5, sorts
+T6, set ops U3, window functions §2.8) exercised over the TPC-H-ish fixture
+star, each with a DuckDB oracle.
+
+Scale notes baked into every plan:
+- Dimension tables (region/nation/customer/supplier/part) are broadcast —
+  the lineitem/orders fact tables never shuffle for these star joins.
+- Aggregates are expressed declaratively → Catalyst plans partial (map-side)
+  aggregation before the exchange; at 100 TB the shuffle carries one row per
+  (partition × group), not per input row.
+- Money sums use DECIMAL(18,2) accumulation cast back to double: exact,
+  order-independent, and therefore bitwise-reproducible across engines and
+  across partitionings (a float sum would be nondeterministic at 1000
+  partitions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+
+def _dsum(c: Column) -> Column:
+    """Exact decimal sum of a 2-decimal monetary column, as double."""
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+def _revenue(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """price * (1 - discount) with exact decimal arithmetic."""
+    return F.col(price).cast("decimal(18,2)") * (
+        (F.lit(1.0) - F.col(disc)).cast("decimal(5,2)")
+    )
+
+
+# SQL twin of _revenue for the oracle.
+_SQL_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))"
+
+
+# --------------------------------------------------------------------------
+# A: aggregations
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over the fact table.
+    Physical: parquet scan w/ pushed shipdate filter -> partial hash agg ->
+    single exchange of ~8 groups -> final agg. The canonical 100 TB-safe agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct aggregate — suppliers and parts per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: ROLLUP grouping sets over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+        # Rollup NULL markers -> sentinel so hash comparators never see NULL keys.
+        .select(
+            F.coalesce("l_returnflag", F.lit("<ALL>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<ALL>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag,
+       COALESCE(l_linestatus, '<ALL>') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J: joins
+# --------------------------------------------------------------------------
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way star join + agg + top-k.
+    customer is broadcast; orders⋈lineitem is the only shuffle; top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through region->nation->customer->orders->
+    lineitem with all dimensions broadcast; one fact shuffle for the agg."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_REGION_NATION_REVENUE = f"""
+SELECT n_name, CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: anti join — customers with no pending ('P') order (cascade-check
+    shape; the status filter keeps the result non-empty at every SF)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+def q_parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: semi join — parts that appear in at least one lineitem."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+SQL_PARTS_WITH_LINEITEMS = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# P: theta predicates / projections (P7)
+# --------------------------------------------------------------------------
+
+def q_theta_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: BETWEEN / LIKE / IN / comparison predicates, all pushed to scan."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(10, 20)
+            & F.col("p_name").like("%widget%")
+            & F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#13", "Brand#25")
+            & (F.col("p_retailprice") > 905.0)
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+SQL_THETA_PART_FILTER = """
+SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part
+WHERE p_size BETWEEN 10 AND 20
+  AND p_name LIKE '%widget%'
+  AND p_brand IN ('Brand#1','Brand#5','Brand#13','Brand#25')
+  AND p_retailprice > 905.0
+ORDER BY p_partkey
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: point lookup by key — partition/row-group pruning on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey = 42
+"""
+
+
+# --------------------------------------------------------------------------
+# W: window functions (§2.8 north-star)
+# --------------------------------------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number over (custkey, totalprice desc). The
+    per-group analog of the reference's global top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+ORDER BY o_custkey, rank
+"""
+
+
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: running total + lag delta per customer in order-date
+    order. Decimal accumulation keeps the running sum exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(frame)
+            .cast("double")
+            .alias("running_spend"),
+            # -1.0 sentinel for the frame-start NULL (prices are positive);
+            # keeps NULL out of hash comparators.
+            F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(-1.0)).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+SQL_CUSTOMER_RUNNING_SPEND = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                -1.0) AS prev_price
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# U: set operations (U3)
+# --------------------------------------------------------------------------
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: INTERSECT / EXCEPT — high-balance customers vs BUILDING segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = rich.intersect(building).withColumn("set_kind", F.lit("both"))
+    rich_only = rich.exceptAll(building).withColumn("set_kind", F.lit("rich_only"))
+    return both.unionByName(rich_only).orderBy("set_kind", "c_custkey")
+
+
+SQL_SET_OPS_CUSTOMERS = """
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT c_custkey, 'both' AS set_kind FROM (SELECT * FROM rich INTERSECT SELECT * FROM building)
+UNION ALL
+SELECT c_custkey, 'rich_only' AS set_kind FROM (SELECT * FROM rich EXCEPT ALL SELECT * FROM building)
+ORDER BY set_kind, c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# E: event-time analytics over the events table (§2.9 batch shape)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type — the batch twin of
+    the Structured Streaming windowed agg (streaming variant in
+    streaming/session_stream.py uses the same expressions + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection (30-min inactivity): lag + cumulative
+    flag sum — the batch expression of session windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM seq
+), numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flags
+)
+SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "distinct_agg": q_distinct_agg,
+    "rollup_counts": q_rollup_counts,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_nation_revenue": q_region_nation_revenue,
+    "customers_without_orders": q_customers_without_orders,
+    "parts_with_lineitems": q_parts_with_lineitems,
+    "theta_part_filter": q_theta_part_filter,
+    "point_lookup": q_point_lookup,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customer_running_spend": q_customer_running_spend,
+    "set_ops_customers": q_set_ops_customers,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "distinct_agg": SQL_DISTINCT_AGG,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "region_nation_revenue": SQL_REGION_NATION_REVENUE,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "parts_with_lineitems": SQL_PARTS_WITH_LINEITEMS,
+    "theta_part_filter": SQL_THETA_PART_FILTER,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "customer_running_spend": SQL_CUSTOMER_RUNNING_SPEND,
+    "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "user_sessions": SQL_USER_SESSIONS,
+}

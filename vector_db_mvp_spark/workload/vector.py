@@ -1,11 +1,5 @@
-"""Query inventory: every operator from SURVEY.md §2 (plus north-star
-LLM-data-pipeline operators) as (Spark plan, DuckDB oracle SQL) pairs.
-
-This module is the single source of truth consumed by ``__spark_entry__.py``.
-Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame; each
-oracle is ANSI SQL DuckDB runs over the same parquet views. Columns are
-aliased identically on both sides (the driver hash-compares after sorting
-columns by name).
+"""Vector-search workload: reference T1/T3 semantics (search_service.py §2.11)
+as (Spark plan, DuckDB oracle SQL) pairs.
 
 Determinism contract for floating-point queries: scores are computed in
 DOUBLE with the same formula/accumulation order on both sides and rounded to
@@ -21,8 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.topk import topk_cosine
-from .sources.testdata import load_table
+from ..operators.topk import topk_cosine
+from ..sources.testdata import load_table
 
 # --------------------------------------------------------------------------
 # Vector search (reference T1/T3, search_service.py §2.11)
