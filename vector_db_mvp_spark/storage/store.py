@@ -1,0 +1,319 @@
+"""Parquet-backed entity store: the Spark analog of the reference's
+in-memory repositories (``app/repositories/memory/*``), with the same write
+semantics (SURVEY.md §2.1 S5-S8):
+
+- every write bumps the owning library's ``version`` (library_repo.py:74,
+  document_repo.py:38,61,85, chunk_repo.py:43,60,96) and refreshes
+  ``updated_at`` timestamps up the parent chain;
+- deletes cascade parent -> children (library drops docs+chunks,
+  document drops chunks);
+- partial updates whitelist fields exactly like the reference
+  (document: title/category — document_repo.py:78-82; chunk:
+  text/embedding/meta_type — chunk_repo.py:90-93; library:
+  name/description/tags — library_repo.py:56-75);
+- update of chunk text without a supplied embedding re-embeds via the
+  provider and silently skips on provider failure
+  (chunk_service.py:23-48, swallow at :43-45).
+
+Concurrency/consistency: the reference holds RW locks and deep-copies on
+read; Spark DataFrames are immutable snapshots, so readers are isolated for
+free. Writes are read-modify-write of a whole table version directory with an
+atomic pointer flip (``_CURRENT`` file) — single-writer discipline, exactly
+the writer-preference serialization the reference's global write lock gives.
+At deployment scale this class is a thin facade over Delta Lake MERGE/DELETE
+(schema enforcement, optimistic concurrency, table versions); the API is
+deliberately MERGE-shaped so the swap is mechanical. Chunks are written
+partitioned by ``library_id`` — per-library search prunes to one partition
+directory, which is what keeps point queries cheap when the chunks table is
+100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..embedding.provider import EmbeddingProvider, HashEmbeddingProvider
+from ..schemas import CHUNK_SCHEMA, DOCUMENT_SCHEMA, LIBRARY_SCHEMA
+
+_TABLES = {
+    "libraries": LIBRARY_SCHEMA,
+    "documents": DOCUMENT_SCHEMA,
+    "chunks": CHUNK_SCHEMA,
+}
+
+
+class NotFoundError(KeyError):
+    """Entity lookup miss (the reference's 404 path)."""
+
+
+def _now() -> _dt.datetime:
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+
+class EntityStore:
+    """Library -> Document -> Chunk star over versioned parquet directories."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        embedding_provider: EmbeddingProvider | None = None,
+        default_dim: int = 384,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.provider = embedding_provider or HashEmbeddingProvider()
+        self.default_dim = default_dim
+        os.makedirs(root, exist_ok=True)
+        for t, schema in _TABLES.items():
+            if not os.path.exists(self._pointer(t)):
+                self._write(t, spark.createDataFrame([], schema))
+
+    # ---- versioned table IO (atomic pointer flip) -----------------------
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}._CURRENT")
+
+    def _read_pointer(self, table: str) -> str:
+        with open(self._pointer(table)) as f:
+            return f.read().strip()
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.schema(_TABLES[table]).parquet(self._read_pointer(table))
+
+    def _write(self, table: str, df: DataFrame) -> None:
+        new_dir = os.path.join(self.root, f"{table}.v{uuid.uuid4().hex[:12]}")
+        writer = df.repartition(1).write.mode("overwrite")
+        if table == "chunks":
+            # Partition the fact table by library -> per-library scans prune
+            # to one directory (the 100 TB layout; locally dirs are tiny).
+            writer = df.repartition("library_id").write.mode("overwrite").partitionBy(
+                "library_id"
+            )
+        writer.parquet(new_dir)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_dir)
+        os.replace(tmp, self._pointer(table))  # atomic snapshot flip
+        # Old version dirs are kept so in-flight snapshot reads stay valid
+        # (Delta semantics: files live until VACUUM); reclaim via vacuum().
+
+    def vacuum(self) -> None:
+        """Drop all non-current table version directories."""
+        current = {self._read_pointer(t) for t in _TABLES}
+        for entry in os.listdir(self.root):
+            path = os.path.join(self.root, entry)
+            if os.path.isdir(path) and ".v" in entry and path not in current:
+                shutil.rmtree(path, ignore_errors=True)
+
+    # ---- helpers --------------------------------------------------------
+
+    def _bump_library(self, libs: DataFrame, library_id: str, ts) -> DataFrame:
+        """version += 1, updated_at = ts for one library (library_repo.py:74)."""
+        hit = F.col("library_id") == library_id
+        return libs.withColumn(
+            "version", F.when(hit, F.col("version") + 1).otherwise(F.col("version"))
+        ).withColumn(
+            "updated_at", F.when(hit, F.lit(ts)).otherwise(F.col("updated_at"))
+        )
+
+    def _require(self, table: str, **keys) -> None:
+        df = self.read(table)
+        for k, v in keys.items():
+            df = df.filter(F.col(k) == v)
+        if not df.take(1):
+            raise NotFoundError(f"{table}: {keys} not found")
+
+    # ---- libraries (S1/S2/S5/S6/S7) -------------------------------------
+
+    def create_library(self, name: str, description: str | None = None, tags: str | None = None) -> str:
+        lib_id = str(uuid.uuid4())
+        ts = _now()
+        row = [(lib_id, name, description, tags, ts, ts, 0)]
+        new = self.spark.createDataFrame(row, LIBRARY_SCHEMA)
+        self._write("libraries", self.read("libraries").unionByName(new))
+        return lib_id
+
+    def get_library(self, library_id: str):
+        rows = self.read("libraries").filter(F.col("library_id") == library_id).collect()
+        if not rows:
+            raise NotFoundError(f"library {library_id}")
+        return rows[0]
+
+    def list_libraries(self) -> DataFrame:
+        return self.read("libraries")
+
+    def library_version(self, library_id: str) -> int:
+        return int(self.get_library(library_id)["version"])
+
+    def update_library(
+        self, library_id: str, *, name=None, description=None, tags=None
+    ) -> None:
+        """Whitelist partial update (library_repo.py:56-75) + version bump."""
+        self._require("libraries", library_id=library_id)
+        ts = _now()
+        libs = self.read("libraries")
+        hit = F.col("library_id") == library_id
+        for col, val in (("name", name), ("description", description), ("tags", tags)):
+            if val is not None:
+                libs = libs.withColumn(col, F.when(hit, F.lit(val)).otherwise(F.col(col)))
+        self._write("libraries", self._bump_library(libs, library_id, ts))
+
+    def delete_library(self, library_id: str) -> None:
+        """Cascade: drop the library, its documents and chunks
+        (library_repo.py:77-83)."""
+        self._require("libraries", library_id=library_id)
+        self._write(
+            "libraries", self.read("libraries").filter(F.col("library_id") != library_id)
+        )
+        self._write(
+            "documents", self.read("documents").filter(F.col("library_id") != library_id)
+        )
+        self._write(
+            "chunks", self.read("chunks").filter(F.col("library_id") != library_id)
+        )
+
+    # ---- documents ------------------------------------------------------
+
+    def add_document(self, library_id: str, title: str, category: str | None = None) -> str:
+        self._require("libraries", library_id=library_id)
+        doc_id = str(uuid.uuid4())
+        ts = _now()
+        new = self.spark.createDataFrame(
+            [(doc_id, library_id, title, category, ts, ts)], DOCUMENT_SCHEMA
+        )
+        self._write("documents", self.read("documents").unionByName(new))
+        self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
+        return doc_id
+
+    def get_document(self, library_id: str, doc_id: str):
+        rows = (
+            self.read("documents")
+            .filter((F.col("library_id") == library_id) & (F.col("doc_id") == doc_id))
+            .collect()
+        )
+        if not rows:
+            raise NotFoundError(f"document {doc_id}")
+        return rows[0]
+
+    def list_documents(self, library_id: str) -> DataFrame:
+        return self.read("documents").filter(F.col("library_id") == library_id)
+
+    def update_document(self, library_id: str, doc_id: str, *, title=None, category=None) -> None:
+        """Whitelist: title/category only (document_repo.py:78-82)."""
+        self._require("documents", library_id=library_id, doc_id=doc_id)
+        ts = _now()
+        docs = self.read("documents")
+        hit = (F.col("library_id") == library_id) & (F.col("doc_id") == doc_id)
+        for col, val in (("title", title), ("category", category)):
+            if val is not None:
+                docs = docs.withColumn(col, F.when(hit, F.lit(val)).otherwise(F.col(col)))
+        docs = docs.withColumn("updated_at", F.when(hit, F.lit(ts)).otherwise(F.col("updated_at")))
+        self._write("documents", docs)
+        self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
+
+    def delete_document(self, library_id: str, doc_id: str) -> None:
+        """Cascade: drops the document's chunks (document_repo.py:51-63)."""
+        self._require("documents", library_id=library_id, doc_id=doc_id)
+        ts = _now()
+        self._write(
+            "documents", self.read("documents").filter(F.col("doc_id") != doc_id)
+        )
+        self._write("chunks", self.read("chunks").filter(F.col("doc_id") != doc_id))
+        self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
+
+    # ---- chunks ---------------------------------------------------------
+
+    def add_chunk(
+        self,
+        library_id: str,
+        doc_id: str,
+        text: str,
+        embedding: list[float] | None = None,
+        meta_type: str | None = None,
+        *,
+        embed_if_missing: bool = False,
+        dim: int | None = None,
+    ) -> str:
+        self._require("documents", library_id=library_id, doc_id=doc_id)
+        if embedding is None and embed_if_missing:
+            try:
+                embedding = self.provider.embed_text(text, dim or self.default_dim)
+            except Exception:
+                embedding = None  # same swallow as chunk_service.py:43-45
+        chunk_id = str(uuid.uuid4())
+        ts = _now()
+        emb = [float(x) for x in embedding] if embedding is not None else None
+        new = self.spark.createDataFrame(
+            [(chunk_id, doc_id, library_id, text, emb, meta_type, ts, ts)], CHUNK_SCHEMA
+        )
+        self._write("chunks", self.read("chunks").unionByName(new))
+        self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
+        return chunk_id
+
+    def list_chunks(self, library_id: str, doc_id: str) -> DataFrame:
+        return self.read("chunks").filter(
+            (F.col("library_id") == library_id) & (F.col("doc_id") == doc_id)
+        )
+
+    def get_chunk(self, library_id: str, chunk_id: str):
+        rows = (
+            self.read("chunks")
+            .filter((F.col("library_id") == library_id) & (F.col("chunk_id") == chunk_id))
+            .collect()
+        )
+        if not rows:
+            raise NotFoundError(f"chunk {chunk_id}")
+        return rows[0]
+
+    def update_chunk(
+        self,
+        library_id: str,
+        chunk_id: str,
+        *,
+        text: str | None = None,
+        embedding: list[float] | None = None,
+        meta_type: str | None = None,
+        reembed_if_needed: bool = True,
+        dim: int | None = None,
+    ) -> None:
+        """Whitelist: text/embedding/meta_type (chunk_repo.py:90-93). If text
+        changes and no embedding is supplied, re-embed via the provider;
+        provider failure keeps the old embedding (chunk_service.py:23-48)."""
+        old = self.get_chunk(library_id, chunk_id)
+        if text is not None and embedding is None and reembed_if_needed and text != old["text"]:
+            try:
+                embedding = self.provider.embed_text(text, dim or self.default_dim)
+            except Exception:
+                embedding = None
+        ts = _now()
+        chunks = self.read("chunks")
+        hit = (F.col("library_id") == library_id) & (F.col("chunk_id") == chunk_id)
+        if text is not None:
+            chunks = chunks.withColumn("text", F.when(hit, F.lit(text)).otherwise(F.col("text")))
+        if embedding is not None:
+            emb_lit = F.array(*[F.lit(float(x)) for x in embedding]).cast("array<float>")
+            chunks = chunks.withColumn(
+                "embedding", F.when(hit, emb_lit).otherwise(F.col("embedding"))
+            )
+        if meta_type is not None:
+            chunks = chunks.withColumn(
+                "meta_type", F.when(hit, F.lit(meta_type)).otherwise(F.col("meta_type"))
+            )
+        chunks = chunks.withColumn(
+            "updated_at", F.when(hit, F.lit(ts)).otherwise(F.col("updated_at"))
+        )
+        self._write("chunks", chunks)
+        self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
+
+    def delete_chunk(self, library_id: str, chunk_id: str) -> None:
+        self._require("chunks", library_id=library_id, chunk_id=chunk_id)
+        ts = _now()
+        self._write("chunks", self.read("chunks").filter(F.col("chunk_id") != chunk_id))
+        self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))

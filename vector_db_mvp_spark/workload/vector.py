@@ -15,6 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lsh import generate_planes, sql_bucket_code
+from ..operators.lsh import lsh_topk
 from ..operators.topk import topk_cosine
 from ..sources.testdata import load_table
 
@@ -87,6 +89,44 @@ def q_topk_cosine_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH approximate top-k (reference T3/J2/F4/F5, lsh.py:19-95)
+# --------------------------------------------------------------------------
+
+# Oracle config: T=4 tables × P=8 planes over the 64-dim fixture — prunes
+# ~97% of rows while keeping candidates non-empty at every SF (measured:
+# 13/8/52 candidates at sf0.001/0.01/0.1). Full reference defaults (T=8,
+# P=12, seed=42) are exercised in tests/test_lsh.py and bench.py.
+_LSH_DIM = 64
+_LSH_T, _LSH_P = 4, 8
+_PLANES = generate_planes(_LSH_DIM, _LSH_T, _LSH_P, seed=42)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: LSH bucket-prune (union of per-table candidate sets) then exact
+    cosine re-rank, top-10. Uses the oracle-exact native hashing path."""
+    joined = _with_query_vector(spark, sf_dir)
+    return lsh_topk(
+        joined, F.col("_qv"), 10, _PLANES,
+        score_decimals=6, native=True,
+    ).select("vec_id", "label", "score")
+
+
+def _sql_lsh_topk(k: int, query_vec_id: int = 0) -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
+    row_codes = [sql_bucket_code("e.embedding", t) for t in _PLANES]
+    q_codes = [sql_bucket_code("q._qv", t) for t in _PLANES]
+    match = " OR ".join(f"({rc}) = ({qc})" for rc, qc in zip(row_codes, q_codes))
+    return f"""
+WITH q AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, e.label, round({cos}, 6) AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.embedding IS NOT NULL AND ({match})
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -94,10 +134,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
+    "lsh_topk": q_lsh_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "topk_cosine_brute": _sql_topk_cosine(10),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
+    "lsh_topk": _sql_lsh_topk(10),
 }
