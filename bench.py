@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is timed as a full action (plan -> execute -> collect). A tiny
+warm-up query first absorbs one-time JVM/codegen/parquet-footer costs so the
+numbers measure the plans, not the cold start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_db_mvp_spark.session import get_spark  # noqa: E402
+from vector_db_mvp_spark.sources.testdata import load_table  # noqa: E402
+from vector_db_mvp_spark.workload import QUERIES  # noqa: E402
+
+# Headline set: the reference's core capability (vector top-k brute + LSH,
+# k grid per BASELINE.md) plus the heaviest relational/analytic plans.
+HEADLINE = [
+    "topk_cosine_brute",
+    "topk_cosine_filtered",
+    "topk_cosine_k100",
+    "lsh_topk",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_nation_revenue",
+    "top_orders_per_customer",
+    "events_hourly",
+    "user_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/codegen/reader spin-up
+    load_table(spark, sf_dir, "nation").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: v for k, v in timings.items()},
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
