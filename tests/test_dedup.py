@@ -1,0 +1,72 @@
+"""Behavioral tests for dedup operators beyond the oracle gate: salt
+independence of minhash, LSH-vs-exact recall for embedding near-dup, and
+planted-duplicate detection in the fixture corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vector_db_mvp_spark.functions.lsh import generate_planes
+from vector_db_mvp_spark.functions.text import minhash_signature, shingles, tokens
+from vector_db_mvp_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from vector_db_mvp_spark.sources.testdata import load_table
+
+
+def test_minhash_salts_are_independent(spark, sf_dir):
+    """Regression for the binary-lambda salt bug: the k signature entries
+    must not be all identical (distinct salted hash families)."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    sig = docs.select(
+        minhash_signature(shingles(tokens(F.col("text")), 5), 8).alias("sig")
+    )
+    rows = sig.collect()
+    distinct_counts = [len(set(r["sig"])) for r in rows]
+    assert all(c > 1 for c in distinct_counts), distinct_counts
+
+
+def test_jaccard_finds_planted_neardups(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, tau=0.6
+    ).collect()
+    assert len(pairs) >= 10  # fixture plants ~25 near-dup pairs
+    assert all(p["jaccard"] >= 0.6 for p in pairs)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHash-LSH candidates, verified with true Jaccard, must recover
+    (almost) all truly-similar pairs: banded 16/4 has >99% recall at
+    jaccard >= 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(docs, n=5, tau=0.8).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(docs, n=5, num_hashes=16, bands=4, tau=0.8).collect()
+    }
+    assert approx <= exact  # verify step guarantees no false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, (recall, exact - approx)
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, tau=0.3).collect()
+    }
+    planes = generate_planes(64, 8, 4, seed=42)
+    approx = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in embedding_neardup_pairs_lsh(emb, planes, tau=0.3).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-9

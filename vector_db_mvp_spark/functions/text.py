@@ -1,0 +1,164 @@
+"""Text-analysis primitives for the LLM-data-pipeline operators (north-star
+surface: dedup, language-ID, quality scoring, token counting, fingerprinting)
+— every function has a DuckDB SQL twin generated next to it so dedup/text
+queries are oracle-checkable bit-for-bit.
+
+Portability contract (Spark expression == DuckDB SQL):
+- tokens: lower -> trim -> split on /\\s+/ (both engines drop no interior
+  tokens; empty text -> ['']).
+- h64: first 15 hex chars of md5 -> BIGINT (60 bits, positive). Identical in
+  both engines (verified: 'hello' -> 419982666956583591).
+- shingles: positional n-grams joined by ' '; < n tokens -> empty list.
+- minhash: min over shingles of h64(i || ':' || shingle) for salt i in
+  0..k-1 — salted-md5 hash family instead of (a*x+b) mod p, because 64-bit
+  modular arithmetic overflows differently across engines while md5 is
+  defined identically everywhere.
+- simhash: 32-bit; bit i = sign of sum over tokens of ±1 on h64(token) bit i.
+
+All pure Catalyst expressions — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokens / shingles
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+SQL_TOKENS = "regexp_split_to_array(trim(lower({text})), '\\s+')"
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """Positional word n-grams: [' '.join(t[i:i+n]) for i in 0..len-n]."""
+    m = F.size(toks) - (n - 1)
+    return F.when(m >= 1, F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def sql_shingles(toks_expr: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, len({toks_expr}) - {n - 1}), "
+        f"i -> array_to_string({toks_expr}[i:i+{n - 1}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable 60-bit hash
+# ---------------------------------------------------------------------------
+
+
+def h64(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_h64(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature (salted-md5 family)
+# ---------------------------------------------------------------------------
+
+
+def _salted_hash(i: int):
+    # NOTE: must be a unary lambda built via factory — ``lambda s, i=i``
+    # makes PySpark treat it as a binary (element, index) lambda and bind
+    # ``i`` to the array-index Column, silently corrupting the salt.
+    def fn(s: Column) -> Column:
+        return h64(F.concat(F.lit(f"{i}:"), s))
+
+    return fn
+
+
+def minhash_signature(shingle_col: Column, k: int) -> Column:
+    """array<long> of k minhashes; empty shingle set -> array of NULLs
+    (docs without shingles are excluded by callers)."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, _salted_hash(i))) for i in range(k)
+    ])
+
+
+def sql_minhash_signature(shingles_expr: str, k: int) -> str:
+    parts = []
+    for i in range(k):
+        salted = "'" + str(i) + ":' || s"
+        parts.append(f"list_min(list_transform({shingles_expr}, s -> {sql_h64(salted)}))")
+    return "[" + ", ".join(parts) + "]"
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _bit_vote(i: int):
+    # factory, not a default-arg lambda (see _salted_hash note)
+    def fn(acc: Column, h: Column) -> Column:
+        return acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    return fn
+
+
+def simhash(toks: Column) -> Column:
+    """32-bit simhash over token hashes: bit i set iff
+    sum_tokens(bit_i(h64(tok)) ? +1 : -1) >= 0. O(tokens * 32) native ops."""
+    hashes = F.transform(toks, lambda t: h64(t))
+    code = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(i))
+        code = code + F.when(vote >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+def sql_simhash(toks_expr: str) -> str:
+    hashes = f"list_transform({toks_expr}, t -> {sql_h64('t')})"
+    bits = []
+    for i in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN {vote} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+# ---------------------------------------------------------------------------
+# quality / language heuristics
+# ---------------------------------------------------------------------------
+
+# Tiny marker-word sets per language; prediction = argmax hit-count with
+# fixed priority tie-break (en > de > es > fr > zh). Real pipelines swap in
+# fastText — the operator shape (score columns + argmax) is the deliverable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "que", "y", "una"),
+    "fr": ("le", "les", "et", "une", "est"),
+    "zh": ("的", "了", "是", "在", "我"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Non-distinct count of tokens in the marker set."""
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def sql_marker_hits(toks_expr: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({toks_expr}, t -> t IN ({lst})))"

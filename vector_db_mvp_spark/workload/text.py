@@ -1,0 +1,260 @@
+"""Dedup + text-analysis workload over the ``documents`` fixture table, with
+exact DuckDB oracles generated from the same primitives
+(functions/text.py SQL twins)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.lsh import generate_planes
+from ..functions.text import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    STOPWORDS,
+    SQL_TOKENS,
+    sql_h64,
+    sql_marker_hits,
+    sql_minhash_signature,
+    sql_shingles,
+    sql_simhash,
+)
+from ..operators.dedup import (
+    SQL_NORM_TEXT,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.textops import fingerprints, language_id, token_stats
+from ..sources.testdata import load_table
+
+_TOKS = SQL_TOKENS.format(text="text")
+_NORM = SQL_NORM_TEXT.format(c="text")
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("fingerprint")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM}) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, tau=0.4
+    ).orderBy("id1", "id2")
+
+
+def _sql_jaccard(n: int, tau: float) -> str:
+    sh = sql_shingles("t", n)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+post AS (SELECT DISTINCT doc_id, u.s AS s
+         FROM toks, UNNEST({sh}) AS u(s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM post GROUP BY 1),
+common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id1, id2,
+       round(common::DOUBLE / (s1.n_sh + s2.n_sh - common), 6) AS jaccard
+FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+WHERE round(common::DOUBLE / (s1.n_sh + s2.n_sh - common), 6) >= {tau}
+ORDER BY id1, id2
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, num_hashes=16, bands=4, tau=0.4
+    ).orderBy("id1", "id2")
+
+
+def _sql_minhash(n: int, num_hashes: int, bands: int, tau: float) -> str:
+    r = num_hashes // bands
+    sh = sql_shingles("t", n)
+    sig = sql_minhash_signature("sh", num_hashes)
+    band_structs = ", ".join(
+        "{'band': %d, 'bh': md5(%s)}"
+        % (b, " || ',' || ".join(f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r)))
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shs AS (SELECT doc_id, {sh} AS sh FROM toks),
+shs2 AS (SELECT * FROM shs WHERE len(sh) > 0),
+sigs AS (SELECT doc_id, {sig} AS sig FROM shs2),
+bandrows AS (SELECT doc_id, u.b.band AS band, u.b.bh AS bh
+             FROM sigs, UNNEST([{band_structs}]) AS u(b)),
+cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bandrows a JOIN bandrows b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+post AS (SELECT DISTINCT doc_id, u.s AS s FROM shs2, UNNEST(sh) AS u(s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM post GROUP BY 1),
+common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+           FROM cands c
+           JOIN post pa ON pa.doc_id = c.id1
+           JOIN post pb ON pb.doc_id = c.id2 AND pa.s = pb.s
+           GROUP BY 1, 2)
+SELECT id1, id2,
+       round(common::DOUBLE / (s1.n_sh + s2.n_sh - common), 6) AS jaccard
+FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+WHERE round(common::DOUBLE / (s1.n_sh + s2.n_sh - common), 6) >= {tau}
+ORDER BY id1, id2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+        "id1", "id2"
+    )
+
+
+def _sql_simhash_pairs(max_hamming: int) -> str:
+    # Oracle uses the brute-force pair scan; the Spark plan bands first. Equal
+    # results because byte-banding has full recall for hamming <= 3.
+    code = sql_simhash("t")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+codes AS (SELECT doc_id, {code} AS sh FROM toks)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+ORDER BY id1, id2
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), tau=0.4
+    ).orderBy("id1", "id2")
+
+
+_DUCK_COS_PAIR = """
+CASE
+  WHEN sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x))) = 0
+    OR sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))) = 0
+  THEN 0.0
+  ELSE list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+                               p -> p[1] * p[2]))
+       / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+          * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))
+END
+"""
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2, round({_DUCK_COS_PAIR}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+  AND round({_DUCK_COS_PAIR}, 6) >= 0.4
+ORDER BY id1, id2
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SQL_STOP = sql_marker_hits("t", STOPWORDS)
+
+SQL_TOKEN_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS t, length({_NORM}) AS n_chars_norm,
+         length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       n_chars_norm,
+       round((n_chars_norm - (len(t) - 1))::DOUBLE / len(t), 6) AS avg_token_len,
+       punct AS punct_count,
+       {_SQL_STOP} AS stopword_count,
+       round({_SQL_STOP}::DOUBLE / len(t), 6) AS stopword_ratio,
+       round(least(1.0, len(t) / 100.0) * 0.5
+             + round({_SQL_STOP}::DOUBLE / len(t), 6) * 2.0
+             + (1.0 - least(1.0, round(punct::DOUBLE / n_chars_norm, 6) * 10.0)) * 0.3,
+             6) AS quality_score
+FROM base ORDER BY doc_id
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sql_language_id() -> str:
+    hit_cols = ",\n       ".join(
+        f"{sql_marker_hits('t', LANG_MARKERS[lang])} AS hits_{lang}" for lang in LANG_PRIORITY
+    )
+    # same fold as the Spark side: reverse priority, >= replaces
+    pred = "CAST(NULL AS VARCHAR)"
+    best = "-1"
+    for lang in reversed(LANG_PRIORITY):
+        pred = f"(CASE WHEN hits_{lang} >= {best} THEN '{lang}' ELSE {pred} END)"
+        best = f"greatest(hits_{lang}, {best})"
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+hits AS (SELECT doc_id,
+       {hit_cols}
+FROM toks)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+       {pred} AS pred_lang
+FROM hits ORDER BY doc_id
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+SQL_FINGERPRINTS = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       md5({_NORM}) AS fingerprint,
+       list_min(list_transform(t, tok -> {sql_h64('tok')})) AS min_token_hash
+FROM toks ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "token_stats": q_token_stats,
+    "language_id": q_language_id,
+    "fingerprints": q_fingerprints,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _sql_jaccard(5, 0.4),
+    "dedup_minhash_lsh": _sql_minhash(5, 16, 4, 0.4),
+    "dedup_simhash": _sql_simhash_pairs(3),
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "token_stats": SQL_TOKEN_STATS,
+    "language_id": _sql_language_id(),
+    "fingerprints": SQL_FINGERPRINTS,
+}
