@@ -1,0 +1,71 @@
+"""Multimodal plumbing: binary schema, Arrow-batched decode/feature stubs,
+frame sampling — real Spark mechanics around stubbed codecs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vector_db_mvp_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    extract_features,
+    media_from_documents,
+    media_metadata,
+    sample_frames,
+)
+from vector_db_mvp_spark.operators.topk import topk_cosine
+from vector_db_mvp_spark.sources.testdata import load_table
+
+
+def _media(spark, sf_dir):
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+def test_media_schema_and_metadata(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = media_metadata(media).collect()
+    assert len(meta) == 500
+    assert all(r["n_bytes"] > 0 for r in meta)
+    assert all(r["kind"] in ("image", "audio", "video") for r in meta)
+    assert all(len(r["magic_hex"]) == 8 for r in meta)
+
+
+def test_decode_stub_deterministic_and_typed(spark, sf_dir):
+    media = _media(spark, sf_dir).limit(50)
+    d1 = {r["media_id"]: r.asDict() for r in decode_media(media).collect()}
+    d2 = {r["media_id"]: r.asDict() for r in decode_media(media).collect()}
+    assert d1 == d2  # deterministic stub
+    for r in d1.values():
+        if r["kind"] == "image":
+            assert r["width"] and r["height"] and r["n_frames"] == 1
+        elif r["kind"] == "audio":
+            assert r["sample_rate"] and r["duration_ms"]
+        else:
+            assert r["n_frames"] and r["n_frames"] >= 24
+
+
+def test_features_feed_vector_ops(spark, sf_dir):
+    media = _media(spark, sf_dir).limit(100)
+    feats = extract_features(media).filter(F.col("features").isNotNull())
+    rows = feats.collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # features plug into the standard vector operators
+    q = rows[0]["features"]
+    top = topk_cosine(feats, q, 3, id_col="media_id", embedding_col="features").collect()
+    assert top[0]["media_id"] == rows[0]["media_id"]
+    assert abs(top[0]["score"] - 1.0) < 1e-9
+
+
+def test_frame_sampling(spark, sf_dir):
+    media = _media(spark, sf_dir).limit(60)
+    decoded = decode_media(media)
+    frames = sample_frames(decoded, stride=24)
+    per_kind = {r["kind"]: r["n"] for r in frames.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    n_by_kind = {r["kind"]: r["n"] for r in decoded.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    # images/audio contribute exactly one frame row each; videos >= 1
+    assert per_kind["image"] == n_by_kind["image"]
+    assert per_kind["audio"] == n_by_kind["audio"]
+    assert per_kind["video"] >= n_by_kind["video"]
+    vid = frames.filter(F.col("kind") == "video").collect()
+    assert all(r["frame_index"] % 24 == 0 for r in vid)

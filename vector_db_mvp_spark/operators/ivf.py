@@ -1,0 +1,86 @@
+"""IVF (inverted-file) approximate nearest neighbor — the MLlib batch-indexing
+scale path (BASELINE.json "Approach: MLlib for batch indexing").
+
+Build (offline, once per corpus version):
+  KMeans (MLlib, seeded) over unit-normalized vectors -> C centroids;
+  every row assigned to its nearest centroid -> the corpus is *partitioned by
+  cluster id* on disk, so a query touches only nprobe/C of the data.
+
+Query:
+  rank centroids by cosine to the query (C is tiny — driver-side),
+  scan only the nprobe best clusters (partition pruning on cluster_id),
+  exact cosine re-rank, TakeOrderedAndProject top-k.
+
+At 100 TB: C ~ sqrt(N) clusters, corpus written
+``partitionBy("cluster_id")`` -> each query reads nprobe parquet directories;
+the centroid table is a broadcast dimension. Recall tested against brute
+force in tests/test_ivf.py; nprobe = C degrades gracefully to exact search.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from .topk import topk_cosine
+
+
+def build_ivf_index(
+    df: DataFrame,
+    num_clusters: int,
+    *,
+    embedding_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit seeded KMeans, assign rows to clusters.
+
+    Returns (df + cluster_id column, centroid list). Uses unit-normalized
+    vectors so Euclidean KMeans approximates spherical clustering (Euclidean
+    on the unit sphere is monotone in cosine)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions.vector import unit_normalize
+
+    feat = df.filter(F.col(embedding_col).isNotNull()).withColumn(
+        "_unit", unit_normalize(F.col(embedding_col))
+    ).withColumn("_features", array_to_vector(F.col("_unit").cast("array<double>")))
+    km = KMeans(k=num_clusters, seed=seed, maxIter=max_iter, featuresCol="_features")
+    model = km.fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "cluster_id")
+        .drop("_features", "_unit")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vector: Sequence[float],
+    k: int,
+    *,
+    nprobe: int = 4,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe centroids nearest to the query (cosine, computed
+    driver-side over the tiny centroid set), then exact top-k inside them."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    scores = []
+    for cid, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        cn = np.linalg.norm(cv)
+        s = 0.0 if qn == 0.0 or cn == 0.0 else float(q @ cv / (qn * cn))
+        scores.append((s, cid))
+    probe = [cid for _, cid in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    pruned = assigned.filter(F.col("cluster_id").isin(probe))
+    return topk_cosine(pruned, list(map(float, q)), k, embedding_col=embedding_col, id_col=id_col)

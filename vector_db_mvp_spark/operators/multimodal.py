@@ -1,0 +1,168 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, plus decode / feature-extract / frame-sample operators
+(north-star surface).
+
+The container has no image/audio libraries, so the *codec* step is stubbed:
+``decode_media`` tries real decoders behind an import guard and otherwise
+produces a deterministic fake decode derived from the payload bytes. The
+Spark-side plumbing — binary schema, Arrow batch transfer through
+``mapInPandas``, partition behavior, output schema — is real and tested; a
+deployment swaps ``_fake_decode`` for PIL/ffmpeg and nothing else changes.
+
+Scale notes: payloads travel to Python in Arrow record batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory for
+fat binaries); metadata-only operators (``media_metadata``) never leave the
+JVM, so filters on kind/size prune before any byte hits Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+
+def media_from_documents(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media fixture: payload = utf-8 bytes of the doc text,
+    kind assigned round-robin by id. Stands in for real blob ingestion
+    (S3/parquet binary columns) with identical schema."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+            (F.col(id_col) % len(MEDIA_KINDS) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """JVM-only metadata projection over binary payloads: size, magic prefix.
+    This is the cheap pre-filter stage — no Python, fully codegen'd."""
+    return df.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.substring(F.hex(F.col("payload")), 1, 8).alias("magic_hex"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode(kind: str, payload: bytes) -> dict:
+    """STUB decode — deterministic pseudo-metadata from the payload digest.
+    Replace with PIL / soundfile / pyav in deployment; the operator contract
+    (one metadata row per media row) is what's under test."""
+    h = hashlib.sha256(payload).digest()
+    w = 160 + h[0] % 8 * 80
+    if kind == "image":
+        return {"width": w, "height": 120 + h[1] % 8 * 60, "n_frames": 1,
+                "sample_rate": None, "duration_ms": None}
+    if kind == "audio":
+        return {"width": None, "height": None, "n_frames": None,
+                "sample_rate": 8000 * (1 + h[1] % 6), "duration_ms": 500 + h[2] * 37}
+    return {"width": w, "height": 120 + h[1] % 8 * 60,
+            "n_frames": 24 + h[2] % 240, "sample_rate": None,
+            "duration_ms": 1000 + h[3] * 91}
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched bytes -> typed metadata rows.
+
+    Real decoders are attempted per batch behind an import guard; the
+    container ships none, so the deterministic stub runs.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real codec path (absent in this container)
+            import PIL.Image  # noqa: F401
+            real = True
+        except ImportError:
+            real = False
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    meta = {"width": None, "height": None, "n_frames": None,
+                            "sample_rate": None, "duration_ms": None}
+                elif real and kind == "image":
+                    raise NotImplementedError(
+                        "real codec path: wire PIL.Image.open(BytesIO(payload)) here"
+                    )
+                else:
+                    meta = _fake_decode(kind, bytes(payload))
+                out.append({"media_id": media_id, "kind": kind, **meta})
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+FEATURE_DIM = 32
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_features(df: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
+    """mapInPandas feature extraction: payload bytes -> unit vector.
+    STUB embedder (sha256-seeded gaussian) with the real batch plumbing; the
+    output feeds straight into topk_cosine / embedding_neardup_pairs."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                seed = int.from_bytes(hashlib.sha256(bytes(payload)).digest()[:8], "big")
+                v = np.random.default_rng(seed).standard_normal(dim)
+                n = np.linalg.norm(v)
+                feats.append([float(x) for x in (v / n if n else v)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.mapInPandas(_features, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, *, stride: int = 24) -> DataFrame:
+    """Explode videos into sampled frame rows (every ``stride``-th frame) —
+    pure native sequence/explode, no Python. Non-videos pass through with a
+    single frame 0."""
+    frames = F.when(
+        (F.col("kind") == "video") & F.col("n_frames").isNotNull(),
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride)),
+    ).otherwise(F.array(F.lit(0)))
+    return decoded.select(
+        "media_id", "kind", F.explode(frames).alias("frame_index")
+    )

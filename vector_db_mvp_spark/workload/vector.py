@@ -127,6 +127,58 @@ LIMIT {k}
 
 
 # --------------------------------------------------------------------------
+# Batched ANN (the 100 TB query shape: many queries, one pass)
+# --------------------------------------------------------------------------
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query exact top-5 for a batch of 5 query vectors in ONE plan:
+    broadcast the query set, score fact rows once, window row_number per
+    query. The batched twin of T1 — at scale this replaces N separate jobs."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+        )
+    )
+    from ..functions.vector import cosine_similarity
+
+    scored = (
+        emb.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(queries_df))
+        .withColumn(
+            "score", F.round(cosine_similarity(F.col("embedding"), F.col("_qv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_ann_batch_topk() -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS _qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY round({cos}, 6) DESC, e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.embedding IS NOT NULL
+)
+SELECT query_id, vec_id, score, rank FROM scored WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -135,9 +187,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
     "lsh_topk": q_lsh_topk,
+    "ann_batch_topk": q_ann_batch_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "ann_batch_topk": _sql_ann_batch_topk(),
     "topk_cosine_brute": _sql_topk_cosine(10),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
