@@ -1,0 +1,155 @@
+"""Structured Streaming analogs (SURVEY.md §2.9): windowed watermarked aggs
+equal their batch twin; stateful per-user counts; command-stream session with
+LWW drop semantics and error containment."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from vector_db_mvp_spark.sources.testdata import load_table
+from vector_db_mvp_spark.storage.store import EntityStore
+from vector_db_mvp_spark.streaming.session_stream import (
+    SessionStreamProcessor,
+    start_session_stream,
+)
+from vector_db_mvp_spark.streaming.windows import (
+    user_running_counts,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    """Copy the events fixture into a stream-source dir (micro-batch file
+    source needs a directory it can list)."""
+    out = str(tmp_path / "events_in")
+    df = load_table(spark, sf_dir, "events")
+    df.coalesce(1).write.parquet(out)
+    return out, df
+
+
+def test_windowed_counts_match_batch(spark, events_stream_dir, tmp_path):
+    src, batch_df = events_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, window_duration="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_stateful_user_counts(spark, events_stream_dir, tmp_path):
+    src, batch_df = events_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        user_running_counts(stream)
+        .writeStream.format("memory")
+        .queryName("user_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_u"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM user_counts GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch_df.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def _write_command(dirpath: str, i: int, **cmd) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, f"cmd_{i:04d}.json")
+    with open(path, "w") as f:
+        f.write(json.dumps(cmd))
+    # FileStreamSource orders pending files by mtime; files written in the
+    # same instant tie and get arbitrary order. Commands "arrive over time"
+    # in any real deployment, so model that with strictly increasing mtimes.
+    t = 1_700_000_000 + i
+    os.utime(path, (t, t))
+
+
+def test_session_stream_lifecycle(spark, tmp_path):
+    """One command per micro-batch (maxFilesPerTrigger=1) -> every action
+    applies in order: library -> document -> chunks -> query -> results."""
+    cmd_dir = str(tmp_path / "cmds")
+    out_dir = str(tmp_path / "out")
+    store = EntityStore(spark, str(tmp_path / "store"), default_dim=4)
+    proc = SessionStreamProcessor(spark, store, out_dir)
+    _write_command(cmd_dir, 0, session_id="s1", seq=0, action="add_library",
+                   payload=json.dumps({"name": "stream-lib"}))
+    _write_command(cmd_dir, 1, session_id="s1", seq=1, action="add_document",
+                   payload=json.dumps({"title": "doc"}))
+    _write_command(cmd_dir, 2, session_id="s1", seq=2, action="add_chunk",
+                   payload=json.dumps({"text": "alpha", "embedding": [1.0, 0.0, 0.0, 0.0]}))
+    _write_command(cmd_dir, 3, session_id="s1", seq=3, action="add_chunk",
+                   payload=json.dumps({"text": "beta", "embedding": [0.0, 1.0, 0.0, 0.0]}))
+    _write_command(cmd_dir, 4, session_id="s1", seq=4, action="start_query",
+                   payload=json.dumps({"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 1}))
+    q = start_session_stream(
+        spark, cmd_dir, proc, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+    tl = {(r["seq"]): (r["action"], r["status"]) for r in proc.timeline().collect()}
+    assert tl[0] == ("add_library", "ok")
+    assert tl[4] == ("start_query", "ok")
+    assert store.read("chunks").count() == 2
+    hits = proc.results().collect()
+    assert len(hits) == 1 and hits[0]["text"] == "alpha"
+
+
+def test_session_stream_lww_and_error_containment(spark, tmp_path):
+    """All commands in ONE batch -> only the newest per session executes
+    (ST3 lossy queue); a failing action logs an error and the stream keeps
+    going (ST5)."""
+    cmd_dir = str(tmp_path / "cmds2")
+    out_dir = str(tmp_path / "out2")
+    store = EntityStore(spark, str(tmp_path / "store2"), default_dim=4)
+    proc = SessionStreamProcessor(spark, store, out_dir)
+    # same session, one batch: seq 0 (would create library) dropped, seq 1 runs
+    _write_command(cmd_dir, 0, session_id="s2", seq=0, action="add_library",
+                   payload=json.dumps({"name": "will-be-dropped"}))
+    _write_command(cmd_dir, 1, session_id="s2", seq=1, action="add_document",
+                   payload=json.dumps({"title": "orphan"}))
+    q = start_session_stream(spark, cmd_dir, proc, available_now=True)
+    q.awaitTermination(120)
+    tl = {r["seq"]: (r["status"], r["detail"]) for r in proc.timeline().collect()}
+    assert tl[0][0] == "dropped"  # LWW overwrote the pending action
+    assert tl[1][0] == "error"    # no library in state -> contained failure
+    assert "KeyError" in tl[1][1]
+    assert store.list_libraries().count() == 0  # nothing applied

@@ -1,0 +1,77 @@
+"""Event-time streaming analytics (SURVEY.md §2.9 ST7 [north-star]): the
+Structured Streaming twin of the batch ``events_hourly`` query, with
+watermarked late-data handling the reference has no concept of.
+
+At scale this runs against Kafka/file streams; tests drive it with a file
+source + ``availableNow`` trigger so the exact same plan is exercised
+batch-equivalently."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type with a watermark.
+
+    The same aggregation expressions as the batch twin
+    (workload/relational.py q_events_hourly); ``withWatermark`` bounds state:
+    windows older than max(event time) - watermark are finalized and evicted
+    — the knob that keeps state finite on an unbounded 100 TB/day stream.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_running_counts(events: DataFrame, *, ts_col: str = "ts", watermark: str = "30 minutes") -> DataFrame:
+    """Stateful per-user event counting via applyInPandasWithState (ST2: the
+    explicit-state analog of the reference's InteractiveState counters)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType(), False)])
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
