@@ -1,0 +1,85 @@
+"""ChunkIndexStore: version-keyed staleness (rebuild only when the library
+version advances), parity of the cached dot-product path with the live
+engine, and LSH probes over precomputed codes."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_mvp_spark.engine import SearchEngine
+from vector_db_mvp_spark.storage.index_store import ChunkIndexStore
+from vector_db_mvp_spark.storage.store import EntityStore
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    store = EntityStore(spark, str(tmp_path / "store"), default_dim=4)
+    lib = store.create_library("lib")
+    doc = store.add_document(lib, "doc", category="guide")
+    store.add_chunk(lib, doc, "north", [1.0, 0.0, 0.0, 0.0], meta_type="heading")
+    store.add_chunk(lib, doc, "east", [0.0, 1.0, 0.0, 0.0], meta_type="paragraph")
+    store.add_chunk(lib, doc, "northeast", [3.0, 3.0, 0.0, 0.0], meta_type="paragraph")
+    store.add_chunk(lib, doc, "zero", [0.0, 0.0, 0.0, 0.0], meta_type="paragraph")
+    store.add_chunk(lib, doc, "no-embedding", None, meta_type="paragraph")
+    idx = ChunkIndexStore(store, str(tmp_path / "index"))
+    return store, lib, doc, idx
+
+
+def test_build_once_serve_many(setup):
+    store, lib, doc, idx = setup
+    for _ in range(3):
+        hits = idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+        assert [r["text"] for r in hits] == ["north", "northeast"]
+    assert idx.builds == 1  # staleness check, not rebuild-per-query
+
+
+def test_write_invalidates(setup):
+    store, lib, doc, idx = setup
+    idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=1)
+    assert idx.builds == 1
+    store.add_chunk(lib, doc, "north2", [0.9, 0.1, 0.0, 0.0], meta_type="heading")
+    hits = idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert idx.builds == 2  # version bump -> exactly one rebuild
+    assert {r["text"] for r in hits} == {"north", "north2"}
+    # unrelated metadata read does not rebuild
+    idx.search(lib, [0.0, 1.0, 0.0, 0.0], k=1)
+    assert idx.builds == 2
+
+
+def test_cached_parity_with_engine(setup):
+    """dot(unit_emb, unit_q) from the persisted index == live cosine path."""
+    store, lib, doc, idx = setup
+    eng = SearchEngine(store)
+    q = [0.5, 0.8, 0.0, 0.0]
+    live = eng.search(lib, query_embedding=q, k=4).hits.collect()
+    cached = idx.search(lib, q, k=4).collect()
+    assert [r["chunk_id"] for r in cached] == [r["chunk_id"] for r in live]
+    for c, l in zip(cached, live):
+        assert c["score"] == pytest.approx(l["score"], abs=1e-12)
+
+
+def test_cached_semantics_edges(setup):
+    store, lib, doc, idx = setup
+    # null-embedding chunks were never indexed
+    texts = {r["text"] for r in idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=100).collect()}
+    assert "no-embedding" not in texts and "zero" in texts
+    # k<=0 -> empty
+    assert idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=0).count() == 0
+    # filters prune before scoring
+    got = idx.search(lib, [1.0, 1.0, 0.0, 0.0], k=10, filters={"meta_type": "heading"})
+    assert [r["text"] for r in got.collect()] == ["north"]
+    # zero-vector query scores 0.0 everywhere (F1 convention)
+    assert all(
+        r["score"] == 0.0 for r in idx.search(lib, [0.0, 0.0, 0.0, 0.0], k=10).collect()
+    )
+
+
+def test_cached_lsh_probe(setup):
+    store, lib, doc, idx = setup
+    hits = idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=2, index="lsh").collect()
+    # LSH candidates re-ranked exactly: whatever survives pruning is ordered
+    # by true cosine; the top hit must be the exact-match vector if present
+    if hits:
+        assert hits[0]["text"] in ("north", "northeast")
+    with pytest.raises(ValueError, match="unknown index"):
+        idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=2, index="hnsw")

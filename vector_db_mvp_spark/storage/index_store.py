@@ -1,0 +1,180 @@
+"""Persisted chunk index with version-based staleness — the cache the
+reference declared but never implemented: ``Library.version`` exists "to
+support caching" (``app/models/library.py:12-15``) yet every query rebuilds
+its index from scratch (``app/services/search_service.py:121-125``).
+SURVEY.md §4 ("version-based staleness signal") / §7 step 6.
+
+Per library the index table holds one row per embedded chunk:
+``chunk_id, doc_id, meta_type, category, text, unit_embedding, lsh_codes``.
+The build does the two things the reference does at index-build time, once:
+
+- **normalize-once** (``app/indexing/brute_force.py:29-30``): store unit
+  vectors so query-time cosine is a plain dot product;
+- **bucket-once** (``app/indexing/lsh.py:39-41``): per-table sign-bit codes
+  via the Arrow-batched matmul path (one BLAS call per batch).
+
+``refresh()`` compares the stored ``built_version`` against the library's
+current ``version`` and is a no-op while they match; any write path bumps the
+version (store.py) and therefore invalidates. Snapshot isolation comes from
+the same atomic pointer flip the EntityStore uses.
+
+Scale notes: at 100 TB the index table is the serving layout — partitioned by
+``library_id`` like the fact table, rebuilt incrementally per library (only
+libraries whose version advanced), scanned with only the columns a query
+needs (unit vectors for brute, codes for LSH probes).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.lsh import bucket_codes_native, generate_planes
+from ..functions.vector import dot, unit_normalize
+from ..operators.lsh import with_bucket_codes
+from .store import EntityStore
+
+
+class ChunkIndexStore:
+    """Staleness-aware persisted index over an EntityStore's chunks."""
+
+    def __init__(
+        self,
+        store: EntityStore,
+        root: str,
+        *,
+        lsh_tables: int = 8,
+        lsh_planes: int = 12,
+        seed: int = 42,
+    ) -> None:
+        self.store = store
+        self.spark = store.spark
+        self.root = root
+        self.lsh_tables = lsh_tables
+        self.lsh_planes = lsh_planes
+        self.seed = seed
+        self.builds = 0  # observability: staleness tests count rebuilds
+        self._planes: dict[int, list] = {}  # dim -> planes
+        os.makedirs(root, exist_ok=True)
+
+    # ---- pointer files: "<dir>\t<built_version>" ------------------------
+
+    def _pointer(self, library_id: str) -> str:
+        return os.path.join(self.root, f"index-{library_id}._CURRENT")
+
+    def built_version(self, library_id: str) -> int | None:
+        try:
+            with open(self._pointer(library_id)) as f:
+                _, ver = f.read().strip().split("\t")
+            return int(ver)
+        except FileNotFoundError:
+            return None
+
+    def _current_dir(self, library_id: str) -> str:
+        with open(self._pointer(library_id)) as f:
+            return f.read().strip().split("\t")[0]
+
+    def planes_for(self, dim: int) -> list:
+        if dim not in self._planes:
+            self._planes[dim] = generate_planes(
+                dim, self.lsh_tables, self.lsh_planes, seed=self.seed
+            )
+        return self._planes[dim]
+
+    # ---- build ----------------------------------------------------------
+
+    def refresh(self, library_id: str) -> bool:
+        """Rebuild the library's index iff its version advanced. Returns
+        True when a rebuild happened."""
+        current = self.store.library_version(library_id)  # raises NotFound
+        if self.built_version(library_id) == current:
+            return False
+        chunks = self.store.read("chunks").filter(
+            (F.col("library_id") == library_id) & F.col("embedding").isNotNull()
+        )
+        docs = (
+            self.store.read("documents")
+            .filter(F.col("library_id") == library_id)
+            .select("doc_id", "category")
+        )
+        rows = chunks.join(F.broadcast(docs), "doc_id", "left").withColumn(
+            "unit_embedding", unit_normalize(F.col("embedding"))
+        )
+        first = rows.select("embedding").take(1)
+        if first:
+            dim = len(first[0]["embedding"])
+            rows = with_bucket_codes(
+                rows, self.planes_for(dim), embedding_col="unit_embedding"
+            )
+        else:
+            rows = rows.withColumn("lsh_codes", F.lit(None).cast("array<long>"))
+        out = rows.select(
+            "chunk_id", "doc_id", F.lit(library_id).alias("library_id"),
+            "text", "meta_type", "category", "unit_embedding", "lsh_codes",
+        )
+        new_dir = os.path.join(self.root, f"index-{library_id}.v{uuid.uuid4().hex[:12]}")
+        out.write.mode("overwrite").parquet(new_dir)
+        tmp = self._pointer(library_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{new_dir}\t{current}")
+        os.replace(tmp, self._pointer(library_id))
+        self.builds += 1
+        return True
+
+    def index_df(self, library_id: str) -> DataFrame:
+        """The fresh index frame (rebuilding first when stale)."""
+        self.refresh(library_id)
+        return self.spark.read.parquet(self._current_dir(library_id))
+
+    # ---- query paths over the precomputed columns -----------------------
+
+    def search(
+        self,
+        library_id: str,
+        query_embedding: Sequence[float],
+        k: int = 5,
+        *,
+        index: str = "brute",
+        filters: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Same result contract as SearchEngine.search's hits (§2.11), served
+        from the persisted index: cosine == dot(unit_emb, unit_q); LSH prunes
+        on precomputed codes before the same dot re-rank."""
+        from ..engine import SearchEngine  # circular-at-import-time only
+
+        idx = SearchEngine.apply_metadata_filters(self.index_df(library_id), filters)
+        if k <= 0:
+            return self._pack(idx.withColumn("score", F.lit(0.0)).limit(0))
+        qvec = [float(x) for x in query_embedding]
+        norm = sum(x * x for x in qvec) ** 0.5
+        unit_q = [x / norm for x in qvec] if norm != 0.0 else qvec
+        q = F.array(*[F.lit(x) for x in unit_q])
+        if index == "lsh":
+            first = idx.select("unit_embedding").take(1)
+            if first:
+                qc = bucket_codes_native(q, self.planes_for(len(unit_q)))
+                idx = idx.filter(
+                    F.exists(
+                        F.zip_with(F.col("lsh_codes"), qc, lambda c, x: c == x),
+                        lambda b: b,
+                    )
+                )
+        elif index != "brute":
+            raise ValueError(f"unknown index: {index}")
+        scored = idx.withColumn("score", dot(F.col("unit_embedding"), q))
+        return self._pack(scored.orderBy(F.desc("score"), F.asc("chunk_id")).limit(k))
+
+    @staticmethod
+    def _pack(hits: DataFrame) -> DataFrame:
+        return hits.select(
+            "chunk_id",
+            F.col("doc_id").alias("document_id"),
+            "library_id",
+            "text",
+            "meta_type",
+            "score",
+        )

@@ -450,6 +450,36 @@ FROM numbered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_metadata_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 distinct-sample catalog (interactive_workflow.py:290-304): per
+    container, up to 20 distinct metadata values as filter suggestions. The
+    reference keeps first-seen order; a distributed engine needs a
+    deterministic order, so the sample is the first 20 in sorted order.
+    At scale: collect_set is bounded by the 20-value cap per group, so state
+    per group stays O(20) regardless of group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("lang")), 1, 20), ","
+            ).alias("lang_values"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_METADATA_CATALOG = """
+SELECT source,
+       array_to_string(list_sort(list(DISTINCT lang))[1:20], ',') AS lang_values,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -469,6 +499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_customers": q_set_ops_customers,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "metadata_catalog": q_metadata_catalog,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -486,4 +517,5 @@ ORACLE_SQL: dict[str, str] = {
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
+    "metadata_catalog": SQL_METADATA_CATALOG,
 }
