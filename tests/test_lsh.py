@@ -47,6 +47,24 @@ def test_native_and_pandas_codes_agree(spark, emb):
     assert a == b
 
 
+def test_python_fold_matches_native_codes(spark, emb, query_vec):
+    """Driver-side sequential fold (bucket_codes_python) must be bitwise-
+    identical to the Catalyst expression — it's what literal query vectors
+    compile through (constant codes instead of a T*P*D expression tree)."""
+    from vector_db_mvp_spark.functions.lsh import (
+        bucket_codes_native,
+        bucket_codes_python,
+        spark_sql_array_lit,
+    )
+
+    planes = generate_planes(DIM, 8, 12, seed=42)
+    qv = [float(x) for x in query_vec]
+    native = spark.range(1).select(
+        bucket_codes_native(spark_sql_array_lit(qv), planes).alias("c")
+    ).head()["c"]
+    assert bucket_codes_python(qv, planes) == list(native)
+
+
 def test_lsh_subset_of_corpus_and_recall(spark, emb, query_vec):
     """Reference defaults (T=8, P=12): LSH hits must be true cosine scores and
     candidates a subset of the corpus; recall vs brute measured loosely (LSH

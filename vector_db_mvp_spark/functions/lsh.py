@@ -55,6 +55,56 @@ def generate_planes(
     return planes
 
 
+def spark_sql_array_lit(vec: list[float]) -> str:
+    """Spark SQL array<double> literal. ``repr`` round-trips doubles exactly
+    and the ``D`` suffix keeps Spark from parsing plain decimals as DECIMAL."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
+def spark_sql_plane_dot(vec_sql: str, plane: list[float]) -> str:
+    """Sequential-fold dot as a Spark SQL string — the same Catalyst
+    ``aggregate(zip_with(...))`` expression ``_plane_dot`` builds, but parsed
+    from ONE string. Building the tree via the Column API costs a py4j
+    round-trip per literal element (T*P*D of them — seconds of driver time
+    per query); one ``F.expr`` parse is ~1000x fewer round-trips."""
+    return (
+        f"aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), "
+        f"{spark_sql_array_lit(plane)}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def spark_sql_bucket_codes(vec_sql: str, planes: list[list[list[float]]]) -> str:
+    """Spark SQL string computing the full array<long> of per-table codes."""
+    tables = []
+    for table in planes:
+        bits = [
+            f"(CASE WHEN {spark_sql_plane_dot(vec_sql, plane)} >= 0.0D"
+            f" THEN {1 << i}L ELSE 0L END)"
+            for i, plane in enumerate(table)
+        ]
+        tables.append("(" + " + ".join(bits) + ")")
+    return "array(" + ", ".join(tables) + ")"
+
+
+def bucket_codes_python(vec: list[float], planes: list[list[list[float]]]) -> list[int]:
+    """Driver-side codes for one vector. The explicit sequential fold makes
+    it bitwise-identical to the Catalyst ``aggregate(zip_with(...))``
+    expression (same IEEE-double op order), so a literal query vector's codes
+    can be computed here and embedded as plain int literals — removing the
+    whole T*P*D plane-literal expression from the query side of the plan."""
+    out = []
+    for table in planes:
+        code = 0
+        for i, plane in enumerate(table):
+            acc = 0.0
+            for x, y in zip(vec, plane):
+                acc = acc + (float(x) * float(y))
+            if acc >= 0.0:
+                code += 1 << i
+        out.append(code)
+    return out
+
+
 def _plane_dot(v: Column, plane: list[float]) -> Column:
     """Sequential-fold dot of an embedding column with a literal plane."""
     lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -65,8 +115,21 @@ def _plane_dot(v: Column, plane: list[float]) -> Column:
     )
 
 
-def bucket_codes_native(v: Column, planes: list[list[list[float]]]) -> Column:
-    """array<long> of per-table bucket codes, as native expressions."""
+def bucket_codes_native(
+    v: Column | str | list[float], planes: list[list[list[float]]]
+) -> Column:
+    """array<long> of per-table bucket codes, as native expressions.
+
+    ``v`` may be a column NAME or a literal vector — both compile through a
+    single ``F.expr`` parse (fast plan construction). A ``Column`` input
+    falls back to element-wise tree building (py4j-heavy; avoid on hot
+    paths — it exists for composability with arbitrary expressions)."""
+    if isinstance(v, str):
+        return F.expr(spark_sql_bucket_codes(v, planes))
+    if isinstance(v, (list, tuple)):
+        # Constant vector -> constant codes; fold on the driver.
+        codes = bucket_codes_python([float(x) for x in v], planes)
+        return F.expr("array(" + ", ".join(f"{c}L" for c in codes) + ")")
     table_codes = []
     for table in planes:
         code = F.lit(0).cast("long")

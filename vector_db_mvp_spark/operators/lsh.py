@@ -27,7 +27,11 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.lsh import bucket_codes_native, bucket_codes_pandas
+from ..functions.lsh import (
+    bucket_codes_native,
+    bucket_codes_pandas,
+    spark_sql_array_lit,
+)
 from ..functions.vector import cosine_similarity
 from .topk import topk_cosine
 
@@ -46,7 +50,7 @@ def with_bucket_codes(
     sequential-fold Catalyst expression (oracle-exact); default uses the
     vectorized Arrow path (index-build throughput)."""
     codes = (
-        bucket_codes_native(F.col(embedding_col), planes)
+        bucket_codes_native(embedding_col, planes)  # one F.expr parse
         if native
         else bucket_codes_pandas(planes, embedding_col)
     )
@@ -81,18 +85,29 @@ def lsh_topk(
     score_decimals: int | None = None,
     native: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: bucket-prune then exact re-rank (lsh.py:73-95)."""
-    if isinstance(query_vector, Column):
+    """Approximate top-k: bucket-prune then exact re-rank (lsh.py:73-95).
+
+    ``query_vector`` may be a literal vector, a column NAME (str), or a
+    Column. Name/literal forms compile via single F.expr parses — the fast
+    plan-construction path; an arbitrary Column falls back to tree building.
+    """
+    if isinstance(query_vector, str):
+        q: Column | str = F.col(query_vector)
+        qv_for_codes: object = query_vector
+    elif isinstance(query_vector, Column):
         q = query_vector
+        qv_for_codes = query_vector
     else:
-        q = F.array(*[F.lit(float(x)) for x in query_vector])
+        vec = [float(x) for x in query_vector]
+        q = F.expr(spark_sql_array_lit(vec))
+        qv_for_codes = vec
     pruned = with_bucket_codes(
         df.filter(F.col(embedding_col).isNotNull()), planes,
         embedding_col=embedding_col, native=native,
     )
     # Query codes are always the native expression: it's one vector, and the
     # sequential fold keeps it bitwise-aligned with the oracle.
-    qc = bucket_codes_native(q, planes)
+    qc = bucket_codes_native(qv_for_codes, planes)
     cands = lsh_candidates(pruned, qc).drop("lsh_codes")
     return topk_cosine(
         cands, q, k,

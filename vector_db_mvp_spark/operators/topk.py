@@ -20,12 +20,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lsh import spark_sql_array_lit
 from ..functions.vector import cosine_similarity
 
 
 def topk_cosine(
     df: DataFrame,
-    query_vector: Sequence[float] | Column,
+    query_vector: Sequence[float] | Column | str,
     k: int,
     *,
     embedding_col: str = "embedding",
@@ -42,8 +43,11 @@ def topk_cosine(
     """
     if isinstance(query_vector, Column):
         q = query_vector
+    elif isinstance(query_vector, str):
+        q = F.col(query_vector)
     else:
-        q = F.array(*[F.lit(float(x)) for x in query_vector])
+        # One F.expr parse instead of D py4j round-trips of F.lit.
+        q = F.expr(spark_sql_array_lit([float(x) for x in query_vector]))
     scored = (
         df.filter(F.col(embedding_col).isNotNull())
         .withColumn(score_col, cosine_similarity(F.col(embedding_col), q))

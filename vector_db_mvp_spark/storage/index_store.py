@@ -33,7 +33,11 @@ from typing import Any, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.lsh import bucket_codes_native, generate_planes
+from ..functions.lsh import (
+    bucket_codes_native,
+    generate_planes,
+    spark_sql_array_lit,
+)
 from ..functions.vector import dot, unit_normalize
 from ..operators.lsh import with_bucket_codes
 from .store import EntityStore
@@ -152,11 +156,11 @@ class ChunkIndexStore:
         qvec = [float(x) for x in query_embedding]
         norm = sum(x * x for x in qvec) ** 0.5
         unit_q = [x / norm for x in qvec] if norm != 0.0 else qvec
-        q = F.array(*[F.lit(x) for x in unit_q])
+        q = F.expr(spark_sql_array_lit(unit_q))
         if index == "lsh":
             first = idx.select("unit_embedding").take(1)
             if first:
-                qc = bucket_codes_native(q, self.planes_for(len(unit_q)))
+                qc = bucket_codes_native(unit_q, self.planes_for(len(unit_q)))
                 idx = idx.filter(
                     F.exists(
                         F.zip_with(F.col("lsh_codes"), qc, lambda c, x: c == x),

@@ -103,10 +103,13 @@ _PLANES = generate_planes(_LSH_DIM, _LSH_T, _LSH_P, seed=42)
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: LSH bucket-prune (union of per-table candidate sets) then exact
-    cosine re-rank, top-10. Uses the oracle-exact native hashing path."""
-    joined = _with_query_vector(spark, sf_dir)
+    cosine re-rank, top-10. Uses the oracle-exact native hashing path for
+    row codes; the query vector is resolved driver-side (a pushed-down point
+    lookup) so its codes constant-fold to int literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
     return lsh_topk(
-        joined, F.col("_qv"), 10, _PLANES,
+        emb, qv, 10, _PLANES,
         score_decimals=6, native=True,
     ).select("vec_id", "label", "score")
 
