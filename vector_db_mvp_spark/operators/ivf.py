@@ -70,6 +70,7 @@ def ivf_topk(
     nprobe: int = 4,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """Probe the nprobe centroids nearest to the query (cosine, computed
     driver-side over the tiny centroid set), then exact top-k inside them."""
@@ -83,4 +84,7 @@ def ivf_topk(
         scores.append((s, cid))
     probe = [cid for _, cid in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
     pruned = assigned.filter(F.col("cluster_id").isin(probe))
-    return topk_cosine(pruned, list(map(float, q)), k, embedding_col=embedding_col, id_col=id_col)
+    return topk_cosine(
+        pruned, list(map(float, q)), k,
+        embedding_col=embedding_col, id_col=id_col, score_decimals=score_decimals,
+    )

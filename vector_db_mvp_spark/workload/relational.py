@@ -450,6 +450,42 @@ FROM numbered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 [north-star] as-of join: each purchase event matched to the most
+    recent prior view by the same user (inclusive backward as-of). One
+    shuffle on user_id + in-partition sort — the minimal distributed plan
+    for a temporal join. Oracle: DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases, views, on="ts", by="user_id", right_cols=["event_id"], inner=True
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id_right").alias("view_id"),
+        F.col("ts_right").alias("view_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_right")).alias("gap_sec"),
+    ).orderBy("purchase_id")
+
+
+SQL_ASOF_PURCHASE_VIEW = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       v.event_id AS view_id, v.ts AS view_ts,
+       date_diff('second', v.ts, p.ts) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+"""
+
+
 def q_metadata_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 distinct-sample catalog (interactive_workflow.py:290-304): per
     container, up to 20 distinct metadata values as filter suggestions. The
@@ -500,6 +536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "metadata_catalog": q_metadata_catalog,
+    "asof_purchase_view": q_asof_purchase_view,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -518,4 +555,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
     "metadata_catalog": SQL_METADATA_CATALOG,
+    "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
 }

@@ -181,6 +181,23 @@ ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (MLlib KMeans partitioning) with FULL probe: scanning every
+    cluster makes the result exactly the brute-force top-k, so the same SQL
+    oracle applies — proving the IVF plumbing loses nothing. The approximate
+    path (nprobe < C, partition-pruned scan) is recall-tested in
+    tests/test_ivf.py; at scale it is the same plan over a
+    partitionBy(cluster_id) layout."""
+    from ..operators.ivf import build_ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    assigned, centroids = build_ivf_index(emb, 8, seed=42)
+    return ivf_topk(
+        assigned, centroids, qv, 10, nprobe=8, score_decimals=6
+    ).select("vec_id", "label", "score")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -191,6 +208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_k100": q_topk_cosine_k100,
     "lsh_topk": q_lsh_topk,
     "ann_batch_topk": q_ann_batch_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -199,4 +217,5 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
     "lsh_topk": _sql_lsh_topk(10),
+    "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
 }
