@@ -1,0 +1,87 @@
+"""Physical-plan regression tests — the scale contract, checked.
+
+Correctness tests prove WHAT each query returns; these prove HOW. Each
+assertion pins a plan property that keeps the query viable at 100 TB:
+filters reaching the parquet scan, top-k compiling to TakeOrderedAndProject
+(per-partition heap, not a global sort), dimension joins broadcasting (fact
+table never shuffles for them), and aggregates running partial-before-
+exchange. A regression here is a performance bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_mvp_spark.workload import QUERIES
+
+
+def plan_of(spark, name, sf_dir, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = plan_of(spark, name, sf_dir)
+        return cache[name]
+
+    return get
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    """Predicates must appear as PushedFilters on the parquet scan, not as
+    post-scan Filter-only nodes — at 100 TB this is row-group pruning."""
+    assert "LessThanOrEqual(l_shipdate" in plans("pricing_summary")
+    assert "EqualTo(o_orderkey,42)" in plans("point_lookup")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plans("top_revenue_orders")
+    assert "IsNotNull(embedding)" in plans("topk_cosine_brute")
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    """ORDER BY score DESC LIMIT k must compile to TakeOrderedAndProject
+    (O(N log k), no shuffle of N rows) — the reference full-sorts then
+    slices (brute_force.py:45-47); regressing to a global Sort would too."""
+    for q in ["topk_cosine_brute", "topk_cosine_k100", "lsh_topk", "top_revenue_orders"]:
+        assert "TakeOrderedAndProject" in plans(q), q
+
+
+def test_star_joins_broadcast(plans):
+    """Dimension joins broadcast: the fact side must never shuffle for them."""
+    assert "BroadcastHashJoin" in plans("top_revenue_orders")
+    assert "BroadcastHashJoin" in plans("region_nation_revenue")
+    # anti join against the filtered orders side also broadcasts locally
+    p = plans("customers_without_orders")
+    assert "Anti" in p and "SortMergeJoin" not in p
+
+
+def test_aggregate_is_partial_then_final(plans):
+    """Declarative aggs give map-side partial aggregation: >=2 HashAggregate
+    nodes (partial + final) around one exchange — the shuffle carries groups,
+    not rows."""
+    p = plans("pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_column_pruning(plans):
+    """The scan must read only referenced columns (ReadSchema pruned):
+    pricing_summary touches 6 of lineitem's 16 columns."""
+    p = plans("pricing_summary")
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "l_comment" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """Score/filter/agg expressions must run inside whole-stage codegen
+    spans (JVM, no Python in the loop). AQE hides codegen markers from the
+    formatted/simple modes, so ask the codegen explain directly."""
+    for q in ["pricing_summary", "topk_cosine_brute"]:
+        p = plan_of(spark, q, sf_dir, mode="codegen")
+        assert "WholeStageCodegen" in p, q
