@@ -25,6 +25,9 @@ def plan_of(spark, name, sf_dir, mode="formatted"):
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    # Other test modules may have .cache()d fixture tables; a cached relation
+    # plans as InMemoryTableScan and hides the parquet scan these tests probe.
+    spark.catalog.clearCache()
     cache: dict[str, str] = {}
 
     def get(name: str) -> str:

@@ -486,6 +486,44 @@ ORDER BY purchase_id
 """
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 [north-star] range join: events (any user) inside the 10-minute
+    window ending at each error event, counted per error. A pure inequality
+    join — naive Spark would nested-loop it; range_join_binned turns it into
+    a hash equi-join on 600 s time bins (each interval covers <= 2 bins) +
+    exact filter. Oracle: DuckDB's IEJoin on the same BETWEEN predicate."""
+    from ..operators.rangejoin import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    points = ev.select(F.col("ts").alias("pt_ts"), "value")
+    joined = range_join_binned(
+        points, errors, point_col="pt_ts", lo_col="lo", hi_col="hi",
+        bin_width_seconds=600,
+    )
+    return (
+        joined.groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_10m"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("error_id")
+    )
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT e.event_id AS error_id, COUNT(*) AS n_events_10m,
+       CAST(SUM(CAST(x.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN events x ON x.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+GROUP BY e.event_id ORDER BY error_id
+"""
+
+
 def q_metadata_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 distinct-sample catalog (interactive_workflow.py:290-304): per
     container, up to 20 distinct metadata values as filter suggestions. The
@@ -537,6 +575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "metadata_catalog": q_metadata_catalog,
     "asof_purchase_view": q_asof_purchase_view,
+    "range_join_events": q_range_join_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -556,4 +595,5 @@ ORACLE_SQL: dict[str, str] = {
     "user_sessions": SQL_USER_SESSIONS,
     "metadata_catalog": SQL_METADATA_CATALOG,
     "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+    "range_join_events": SQL_RANGE_JOIN_EVENTS,
 }
