@@ -29,12 +29,17 @@ HEADLINE = [
     "topk_cosine_filtered",
     "topk_cosine_k100",
     "lsh_topk",
+    "ann_batch_topk",
     "pricing_summary",
     "top_revenue_orders",
     "region_nation_revenue",
     "top_orders_per_customer",
     "events_hourly",
     "user_sessions",
+    "asof_purchase_view",
+    "range_join_events",
+    "dedup_minhash_lsh",
+    "token_stats",
 ]
 
 

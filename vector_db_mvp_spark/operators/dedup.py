@@ -34,13 +34,25 @@ from ..functions.text import (
     h64,
     minhash_signature,
     shingles,
-    simhash,
+    simhash_from_hashes,
+    token_hashes,
     tokens,
 )
 from ..functions.vector import cosine_similarity
 
 NORM_TEXT = lambda c: F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")  # noqa: E731
 SQL_NORM_TEXT = "regexp_replace(trim(lower({c})), '\\s+', ' ', 'g')"
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on the id before CPU-heavy text work.
+
+    A small parquet file arrives as ONE input split, so without this every
+    shingling/hashing expression runs on a single core while the rest idle
+    (measured: 8 s single-task shingling at sf0.1 on local[32]). The shuffle
+    moves only (id, text) — cheap — and the same move is what a 1000-executor
+    cluster needs anyway to spread row-group-skewed inputs."""
+    return df.repartition(F.col(id_col))
 
 
 def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -56,10 +68,19 @@ def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _shingled(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _sh: array<string>) — tokens materialized in their OWN projection
+    first: inlined into shingles(), the tokenizing regex re-runs inside the
+    per-shingle slice lambda (measured 6x slower at sf0.1)."""
+    return df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).select("_id", shingles(F.col("_t"), n).alias("_sh"))
+
+
 def _distinct_shingles(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted-index postings."""
     return (
-        df.select(F.col(id_col).alias("_id"), shingles(tokens(F.col(text_col)), n).alias("_sh"))
+        _shingled(df, n, text_col, id_col)
         .select("_id", F.explode("_sh").alias("s"))
         .distinct()
     )
@@ -82,7 +103,7 @@ def ngram_jaccard_pairs(
     FULL set sizes even when pruning candidates, so pruning only affects
     recall of candidate generation, never the reported score.
     """
-    post = _distinct_shingles(df, n, text_col, id_col).cache()
+    post = _distinct_shingles(_spread(df, id_col), n, text_col, id_col).cache()
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_post = post
     if max_doc_freq is not None:
@@ -130,11 +151,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(tokens(F.col(text_col)), n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sig = toks.select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("sig"))
+    # cache: the shingle set feeds BOTH the signature/banding path and the
+    # exact-Jaccard verify path — without it shingling runs twice.
+    # Filter AFTER the cache boundary: pushed down, the size(_sh) predicate
+    # re-inlines the whole shingle expression below the exchange and runs it
+    # on the single pre-shuffle input task (measured 8.8 s vs 3 s at sf0.1).
+    toks = _shingled(_spread(df, id_col), n, text_col, id_col).cache()
+    toks = toks.filter(F.size("_sh") > 0)
+    # cache: sig feeds both sides of the band self-join through an explode —
+    # uncached, the 16 minhash transforms recompute per side and per band.
+    sig = toks.select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("sig")).cache()
     band_rows = sig.select(
         "_id",
         F.explode(
@@ -194,7 +220,15 @@ def simhash_pairs(
     shares at least one unchanged byte, so the band join has full recall for
     the default threshold (requires max_hamming < 4)."""
     assert max_hamming < 4, "byte-banding recall guarantee needs hamming < bands"
-    sh = df.select(F.col(id_col).alias("_id"), simhash(tokens(F.col(text_col))).alias("sh"))
+    # Two projections (hash once, then 32 bit-votes) + cache: sh feeds both
+    # sides of the band self-join through an explode — inlined/uncached the
+    # md5 hashing reruns up to 8x (2 sides x 4 bands).
+    sh = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), token_hashes(tokens(F.col(text_col))).alias("_h"))
+        .select("_id", simhash_from_hashes(F.col("_h")).alias("sh"))
+        .cache()
+    )
     band_rows = sh.select(
         "_id", "sh",
         F.explode(
@@ -237,11 +271,27 @@ def embedding_neardup_pairs(
 
     This is the O(N²) oracle-parity variant — correct at any N but quadratic;
     the scale path is ``embedding_neardup_pairs_lsh`` which buckets first."""
-    rows = df.filter(F.col(embedding_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e")
+    from ..functions.vector import dot, l2_norm
+
+    # Norms are precomputed once per row and cached: inlined, every one of
+    # the N^2/2 pairs would recompute both norms (3x the flops), and the
+    # nested-loop join would stream a single input partition on one core.
+    # The formula stays dot/(n1*n2) with the zero-norm guard — bitwise the
+    # oracle's _DUCK_COS, just with the norm subexpressions hoisted.
+    rows = (
+        df.filter(F.col(embedding_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(embedding_col).alias("_e"),
+            l2_norm(F.col(embedding_col)).alias("_n"),
+        )
+        .repartition(F.col("_id"))
+        .cache()
     )
     a, b = rows.alias("a"), rows.alias("b")
-    cos = cosine_similarity(F.col("a._e"), F.col("b._e"))
+    cos = F.when(
+        (F.col("a._n") == 0.0) | (F.col("b._n") == 0.0), F.lit(0.0)
+    ).otherwise(dot(F.col("a._e"), F.col("b._e")) / (F.col("a._n") * F.col("b._n")))
     if score_decimals is not None:
         cos = F.round(cos, score_decimals)
     return (
