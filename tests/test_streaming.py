@@ -92,6 +92,57 @@ def test_stateful_user_counts(spark, events_stream_dir, tmp_path):
     assert got == want
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST7 hard evidence: with append output + watermark, a row arriving
+    after its window's watermark has passed is DROPPED; the finalized window
+    keeps its on-time count."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_in")
+    os.makedirs(src)
+    schema = "ts timestamp, event_type string, value double, user_id long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: two on-time rows in hour-0 + a row far ahead that advances the
+    # watermark (max event time 03:00 - 10min watermark >> hour-0 end)
+    write_batch("b1", [
+        (t0, "click", 1.0, 1),
+        (t0 + dt.timedelta(minutes=5), "click", 1.0, 1),
+        (t0 + dt.timedelta(hours=3), "click", 1.0, 1),
+    ])
+    out = str(tmp_path / "late_out")
+
+    def run_stream():
+        q = (
+            windowed_event_counts(
+                spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+                window_duration="1 hour", watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    # second run over the same checkpoint: a LATE hour-0 row arrives after
+    # the watermark already passed hour-0's end
+    write_batch("b2", [(t0 + dt.timedelta(minutes=30), "click", 99.0, 1)])
+    run_stream()
+    rows = {
+        r["window_start"]: r["n_events"] for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 window finalized with the 2 on-time rows; the late row (count
+    # would be 3) was dropped by the watermark
+    assert rows.get(t0) == 2
+
+
 def _write_command(dirpath: str, i: int, **cmd) -> None:
     os.makedirs(dirpath, exist_ok=True)
     path = os.path.join(dirpath, f"cmd_{i:04d}.json")

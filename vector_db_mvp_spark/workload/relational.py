@@ -450,6 +450,42 @@ FROM numbered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass over the event
+    stream producing hour-level, day-level, and grand-total aggregates via
+    ROLLUP grouping sets — the continuous-aggregate shape time-series stores
+    precompute. Sentinel '<ALL>' for super-aggregate rows keeps the hash
+    comparator away from NULL group keys."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.rollup(day.alias("d"), hour.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("d").cast("string"), F.lit("<ALL>")).alias("day"),
+            F.coalesce(F.col("h").cast("string"), F.lit("<ALL>")).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day", "hour")
+    )
+
+
+SQL_EVENTS_ROLLUP_MULTIGRAIN = """
+SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR), '<ALL>') AS day,
+       COALESCE(CAST(date_trunc('hour', ts) AS VARCHAR), '<ALL>') AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+ORDER BY day, hour
+"""
+
+
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 [north-star] as-of join: each purchase event matched to the most
     recent prior view by the same user (inclusive backward as-of). One
@@ -576,6 +612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metadata_catalog": q_metadata_catalog,
     "asof_purchase_view": q_asof_purchase_view,
     "range_join_events": q_range_join_events,
+    "events_rollup_multigrain": q_events_rollup_multigrain,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -596,4 +633,5 @@ ORACLE_SQL: dict[str, str] = {
     "metadata_catalog": SQL_METADATA_CATALOG,
     "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
+    "events_rollup_multigrain": SQL_EVENTS_ROLLUP_MULTIGRAIN,
 }
