@@ -450,6 +450,91 @@ FROM numbered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_priority_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-ranged orders having >= 1 qualifying lineitem
+    (EXISTS -> left-semi join; the fact side never duplicates rows)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PRIORITY_COUNT_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    distribution of customers by order count (customers with zero orders
+    included via the outer join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (quantity < 0.5 * the
+    part's average) — decorrelated into a per-part aggregate + broadcast
+    join. The predicate is rewritten division-free
+    (2 * cnt * qty < sum_qty) so both engines compare exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("l_quantity").cast("decimal(18,2)") * 2 * F.col("cnt") < F.col("sq"))
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey, COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN per_part USING (l_partkey)
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sq
+"""
+
+
 def q_events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup: one pass over the event
     stream producing hour-level, day-level, and grand-total aggregates via
@@ -613,6 +698,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_view": q_asof_purchase_view,
     "range_join_events": q_range_join_events,
     "events_rollup_multigrain": q_events_rollup_multigrain,
+    "priority_count_exists": q_priority_count_exists,
+    "customer_order_distribution": q_customer_order_distribution,
+    "small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -634,4 +722,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "events_rollup_multigrain": SQL_EVENTS_ROLLUP_MULTIGRAIN,
+    "priority_count_exists": SQL_PRIORITY_COUNT_EXISTS,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
 }
