@@ -74,6 +74,52 @@ def test_cached_semantics_edges(setup):
     )
 
 
+def test_engine_serves_from_index(setup):
+    """SearchEngine(store, index_store=...) returns the same results as the
+    live path, builds the index once across queries, and rebuilds after a
+    write bumps the version."""
+    store, lib, doc, idx = setup
+    live = SearchEngine(store)
+    cached = SearchEngine(store, index_store=idx)
+    q = [0.5, 0.8, 0.0, 0.0]
+
+    a = live.search(lib, query_embedding=q, k=4)
+    b = cached.search(lib, query_embedding=q, k=4)
+    assert [r["chunk_id"] for r in b.hits.collect()] == [
+        r["chunk_id"] for r in a.hits.collect()
+    ]
+    assert (b.index_used, b.library_version) == (a.index_used, a.library_version)
+    cached.search(lib, query_embedding=q, k=2, filters={"meta_type": "heading"})
+    assert idx.builds == 1  # one build served every query
+
+    store.add_chunk(lib, doc, "west", [-1.0, 0.0, 0.0, 0.0], meta_type="heading")
+    res = cached.search(lib, query_embedding=[-1.0, 0.0, 0.0, 0.0], k=1)
+    assert idx.builds == 2
+    assert res.hits.collect()[0]["text"] == "west"
+    assert res.library_version == store.library_version(lib)
+
+
+def test_engine_indexed_lsh_and_param_mismatch(setup):
+    store, lib, doc, idx = setup
+    cached = SearchEngine(store, index_store=idx)
+    # matching (tables, planes) -> served from stored codes
+    res = cached.search(lib, query_embedding=[1.0, 0.0, 0.0, 0.0], k=2, index="lsh")
+    assert res.hits.count() >= 1  # fallback fills if buckets miss
+    builds_before = idx.builds
+    # non-matching LSH config must fall back to the live path, not use codes
+    res2 = cached.search(
+        lib, query_embedding=[1.0, 0.0, 0.0, 0.0], k=2, index="lsh",
+        lsh_tables=2, lsh_planes=4,
+    )
+    assert res2.hits.count() >= 1
+    assert idx.builds == builds_before  # live path didn't touch the index
+    # unknown index still errors through the indexed engine
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown index"):
+        cached.search(lib, query_embedding=[1.0, 0.0, 0.0, 0.0], k=2, index="hnsw")
+
+
 def test_cached_lsh_probe(setup):
     store, lib, doc, idx = setup
     hits = idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=2, index="lsh").collect()

@@ -62,8 +62,15 @@ class SearchResult:
 
 
 class SearchEngine:
-    def __init__(self, store: EntityStore) -> None:
+    def __init__(self, store: EntityStore, index_store=None) -> None:
+        """``index_store`` (a ChunkIndexStore) is the opt-in serving path:
+        queries read precomputed unit vectors / LSH codes from the
+        version-keyed index table (rebuilt only when the library version
+        advances) instead of normalizing and hashing per query — the
+        improvement the reference declared but never implemented
+        (library.py:12-15; rebuild-per-query search_service.py:121-125)."""
         self.store = store
+        self.index_store = index_store
         self._plane_cache: dict[tuple[str, int, int, int, int], list] = {}
 
     # S3: flatten one library into search rows (join docs for category).
@@ -115,12 +122,24 @@ class SearchEngine:
         if k <= 0:  # step 1 — no index_used key
             return SearchResult(self._pack(empty), index, version)
 
-        rows = self.apply_metadata_filters(self.collect_rows(library_id), filters)
+        # Serving path: precomputed index table when available. The cached
+        # LSH codes only apply at the index's own (tables, planes) config.
+        use_idx = self.index_store is not None and (
+            index == "brute"
+            or (
+                index == "lsh"
+                and (lsh_tables, lsh_planes)
+                == (self.index_store.lsh_tables, self.index_store.lsh_planes)
+            )
+        )
+        emb_col = "unit_embedding" if use_idx else "embedding"
+        base = self.index_store.index_df(library_id) if use_idx else self.collect_rows(library_id)
+        rows = self.apply_metadata_filters(base, filters)
 
-        first = rows.select("embedding").take(1)
+        first = rows.select(emb_col).take(1)
         if not first:  # step 4
             return SearchResult(self._pack(empty), index, version, index_used=index)
-        corpus_dim = len(first[0]["embedding"])
+        corpus_dim = len(first[0][emb_col])
 
         if query_embedding is not None:  # step 5
             qvec = [float(x) for x in query_embedding]
@@ -131,10 +150,15 @@ class SearchEngine:
         if len(qvec) != corpus_dim:  # P5 dimension guard (brute_force.py:36-37)
             raise ValueError(f"query dim {len(qvec)} != index dim {corpus_dim}")
 
-        if index == "brute":  # step 6
+        if index not in ("brute", "lsh"):  # dispatch-time error, AFTER the
+            raise ValueError(f"unknown index: {index}")  # empty-rows return
+
+        if use_idx:
+            hits, used = self._search_indexed(rows, qvec, k, index)
+        elif index == "brute":  # step 6
             hits = topk_cosine(rows, qvec, k, id_col="chunk_id")
             used = "brute"
-        elif index == "lsh":
+        else:
             planes = self._planes(library_id, version, corpus_dim, lsh_tables, lsh_planes)
             hits = lsh_topk(rows, qvec, k, planes, id_col="chunk_id")
             used = "lsh"
@@ -143,10 +167,39 @@ class SearchEngine:
                 if n <= FALLBACK_MAX_ROWS:  # search_service.py:127-131
                     hits = topk_cosine(rows, qvec, k, id_col="chunk_id")
                     used = "brute"
-        else:
-            raise ValueError(f"unknown index: {index}")
 
         return SearchResult(self._pack(hits), index, version, index_used=used)
+
+    def _search_indexed(self, rows: DataFrame, qvec: list[float], k: int, index: str):
+        """Top-k over the precomputed index: cosine == dot(unit_emb, unit_q);
+        LSH prunes on stored codes (query codes folded on the driver — same
+        buckets as hashing the raw vector since sign(dot) is norm-invariant).
+        Same fallback contract as the live path (search_service.py:127-131).
+        """
+        from .functions.lsh import bucket_codes_python, spark_sql_array_lit
+        from .functions.vector import dot
+
+        norm = sum(x * x for x in qvec) ** 0.5
+        unit_q = [x / norm for x in qvec] if norm != 0.0 else qvec
+        q = F.expr(spark_sql_array_lit(unit_q))
+
+        def topk(frame: DataFrame) -> DataFrame:
+            scored = frame.withColumn("score", dot(F.col("unit_embedding"), q))
+            return scored.orderBy(F.desc("score"), F.asc("chunk_id")).limit(k)
+
+        if index == "brute":
+            return topk(rows), "brute"
+        codes = bucket_codes_python(unit_q, self.index_store.planes_for(len(unit_q)))
+        qc = F.expr("array(" + ", ".join(f"{c}L" for c in codes) + ")")
+        pruned = rows.filter(
+            F.exists(F.zip_with(F.col("lsh_codes"), qc, lambda c, x: c == x), lambda b: b)
+        )
+        hits = topk(pruned)
+        if not hits.take(1):
+            n = rows.count()
+            if n <= FALLBACK_MAX_ROWS:
+                return topk(rows), "brute"
+        return hits, "lsh"
 
     @staticmethod
     def _pack(hits: DataFrame) -> DataFrame:
