@@ -450,6 +450,35 @@ FROM numbered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 JSON functions: extract a typed field from the events ``props``
+    JSON payload and aggregate — JSON parsing stays JVM-side
+    (get_json_object), pushdown-safe, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(k.alias("k_val"), "value")
+        .filter(F.col("k_val").isNotNull())
+        .groupBy("k_val")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.desc("n"), F.asc("k_val"))
+        .limit(10)
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, k_val ASC LIMIT 10
+"""
+
+
 def q_priority_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: date-ranged orders having >= 1 qualifying lineitem
     (EXISTS -> left-semi join; the fact side never duplicates rows)."""
@@ -701,6 +730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_count_exists": q_priority_count_exists,
     "customer_order_distribution": q_customer_order_distribution,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "events_json_props": q_events_json_props,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -725,4 +755,5 @@ ORACLE_SQL: dict[str, str] = {
     "priority_count_exists": SQL_PRIORITY_COUNT_EXISTS,
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
 }
