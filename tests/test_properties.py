@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): the Spark operators agree with plain
+Python/numpy reference implementations on randomized inputs — the test layer
+the reference never had (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vector_db_mvp_spark.functions.lsh import bucket_codes_python, generate_planes
+from vector_db_mvp_spark.operators.topk import topk_cosine
+
+DIM = 4
+finite_float = st.floats(
+    min_value=-10, max_value=10, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite_float, min_size=DIM, max_size=DIM)
+
+SET = settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+def _py_cosine(a, b):
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+
+@given(vectors=st.lists(vec, min_size=1, max_size=12), q=vec, k=st.integers(1, 6))
+@SET
+def test_topk_matches_python_reference(spark, vectors, q, k):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in topk_cosine(df, [float(x) for x in q], k).collect()]
+    # reference: cosine computed on the FLOAT32-rounded stored vectors, same
+    # tie-break (score desc, id asc)
+    scored = [
+        (_py_cosine([float(np.float32(x)) for x in v], [float(x) for x in q]), i)
+        for i, v in enumerate(vectors)
+    ]
+    want = [i for s, i in sorted(scored, key=lambda t: (-t[0], t[1]))[:k]]
+    assert got == want
+
+
+@given(vectors=st.lists(vec, min_size=1, max_size=8))
+@SET
+def test_bucket_codes_stable_and_bounded(spark, vectors):
+    """Python fold == Catalyst expression for arbitrary vectors, and every
+    code fits in the P-bit range."""
+    from vector_db_mvp_spark.functions.lsh import bucket_codes_native
+
+    planes = generate_planes(DIM, 4, 6, seed=42)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: list(r["c"])
+        for r in df.select("vec_id", bucket_codes_native("embedding", planes).alias("c")).collect()
+    }
+    for i, v in enumerate(vectors):
+        codes = bucket_codes_python([float(x) for x in v], planes)
+        assert got[i] == codes
+        assert all(0 <= c < (1 << 6) for c in codes)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=8),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=8),
+)
+@SET
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    import datetime as dt
+
+    import pandas as pd
+
+    from vector_db_mvp_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)]
+    # dedupe right on (key, ts): equal-ts right rows have engine-specific
+    # winners (our contract: max payload; pandas: last occurrence)
+    seen = set()
+    rrows = []
+    for j, (k, s) in enumerate(right):
+        if (k, s) not in seen:
+            seen.add((k, s))
+            rrows.append((k, base + dt.timedelta(seconds=s), 1000 + j))
+    ldf = spark.createDataFrame(lrows, "user_id long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(
+        rrows or [(99, base, -1)], "user_id long, ts timestamp, rid long"
+    )
+    got = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(ldf, rdf, on="ts", by="user_id", right_cols=["rid"]).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["user_id", "ts", "lid"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        rrows or [(99, base, -1)], columns=["user_id", "ts", "rid"]
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    want = {
+        int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+        for row in merged.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40), min_size=1, max_size=6
+    )
+)
+@SET
+def test_exact_dedup_counts(spark, texts):
+    """exact_dedup groups == python dict on normalized text; keeper is min id."""
+    import re
+
+    from vector_db_mvp_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["n_docs"], r["keeper_id"])
+        for r in exact_dedup(df, text_col="text", id_col="doc_id").collect()
+    }
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        groups.setdefault(norm, []).append(i)
+    want = {(len(ids), min(ids)) for ids in groups.values()}
+    assert got == want
