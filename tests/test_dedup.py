@@ -56,6 +56,32 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert recall >= 0.8, (recall, exact - approx)
 
 
+def test_stop_shingle_pruning_guards_skew_without_changing_scores(spark):
+    """max_doc_freq drops hot shingles from CANDIDATE generation (the skew
+    guard: a shingle shared by k docs costs k^2 join rows) but Jaccard is
+    still computed over FULL shingle sets — pruning may lose pairs held
+    together only by hot shingles, never report a wrong score."""
+    rows = [
+        (0, "common common common common common alpha beta gamma delta one"),
+        (1, "common common common common common alpha beta gamma delta two"),
+        (2, "unrelated words entirely different text here for this doc yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, tau=0.1).collect()
+    }
+    pruned = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, tau=0.1, max_doc_freq=1).collect()
+    }
+    assert (0, 1) in full
+    # pruning only shrinks the candidate set; surviving scores identical
+    assert set(pruned) <= set(full)
+    for k, v in pruned.items():
+        assert v == full[k]
+
+
 def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {
