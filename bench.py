@@ -51,13 +51,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM/codegen/reader spin-up + parquet footer reads for every
-    # table the headline queries touch (a deployed engine has these cached;
-    # first-touch costs ~1-2 s each and would smear into whichever query
-    # happens to read the table first)
+    # Warm-up (JMH-style): parquet footers for every benched table, then one
+    # pass of each headline query at the smallest SF. Whole-stage codegen
+    # compiles each plan's generated source once per session (~3-4 s for the
+    # expression-heavy dedup/LSH plans) and caches it by source text, so the
+    # timed runs below measure the plan executing, not javac.
     for t in ["nation", "region", "customer", "orders", "lineitem",
               "events", "documents", "embeddings"]:
         load_table(spark, sf_dir, t).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            QUERIES[name](spark, warm_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
