@@ -309,6 +309,7 @@ def embedding_neardup_pairs_lsh(
     tau: float = 0.4,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    native: bool = False,
 ) -> DataFrame:
     """Scale path: candidates = pairs sharing an LSH bucket in >= 1 table
     (shuffle keyed by (table, code) — sub-quadratic), then exact cosine
@@ -317,7 +318,8 @@ def embedding_neardup_pairs_lsh(
     from ..operators.lsh import with_bucket_codes
 
     coded = with_bucket_codes(
-        df.filter(F.col(embedding_col).isNotNull()), planes, embedding_col=embedding_col
+        df.filter(F.col(embedding_col).isNotNull()), planes,
+        embedding_col=embedding_col, native=native,
     ).select(
         F.col(id_col).alias("_id"),
         F.col(embedding_col).alias("_e"),

@@ -164,6 +164,38 @@ ORDER BY id1, id2
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: candidates only from shared
+    LSH buckets (shuffle keyed by (table, code) — sub-quadratic), exact
+    cosine verify. Deterministic given the seeded planes, so the oracle
+    reproduces the same bucket-coincidence predicate in SQL."""
+    from ..functions.lsh import generate_planes
+    from ..operators.dedup import embedding_neardup_pairs_lsh
+
+    planes = generate_planes(64, 4, 8, seed=42)
+    return embedding_neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), planes, tau=0.4, native=True
+    ).orderBy("id1", "id2")
+
+
+def _sql_dedup_embedding_lsh() -> str:
+    from ..functions.lsh import generate_planes, sql_bucket_code
+
+    planes = generate_planes(64, 4, 8, seed=42)
+    overlap = " OR ".join(
+        f"({sql_bucket_code('a.embedding', t)}) = ({sql_bucket_code('b.embedding', t)})"
+        for t in planes
+    )
+    return f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2, round({_DUCK_COS_PAIR}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+  AND ({overlap})
+  AND round({_DUCK_COS_PAIR}, 6) >= 0.4
+ORDER BY id1, id2
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -243,6 +275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "token_stats": q_token_stats,
     "language_id": q_language_id,
     "fingerprints": q_fingerprints,
@@ -254,6 +287,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_lsh": _sql_minhash(5, 16, 4, 0.4),
     "dedup_simhash": _sql_simhash_pairs(3),
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
     "token_stats": SQL_TOKEN_STATS,
     "language_id": _sql_language_id(),
     "fingerprints": SQL_FINGERPRINTS,
