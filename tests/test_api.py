@@ -1,0 +1,111 @@
+"""Endpoint-facade tests mirroring the reference's endpoint-level CRUD suite
+(``tests/test_crud.py`` there: lifecycle + 404/400 per entity) against the
+Spark-backed VectorDbApi."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_mvp_spark.api import ApiError, VectorDbApi
+from vector_db_mvp_spark.engine import SearchEngine
+from vector_db_mvp_spark.storage.store import EntityStore
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    store = EntityStore(spark, str(tmp_path_factory.mktemp("api") / "store"), default_dim=4)
+    return VectorDbApi(SearchEngine(store))
+
+
+def _status(excinfo) -> int:
+    return excinfo.value.status
+
+
+def test_library_crud_lifecycle(api):
+    lib = api.create_library({"name": "lib-a", "description": "d"})
+    assert lib["name"] == "lib-a" and lib["version"] == 0 and lib["documents"] == []
+    got = api.get_library(lib["id"])
+    assert got["id"] == lib["id"]
+    upd = api.update_library(lib["id"], {"name": "lib-b"})
+    assert upd["name"] == "lib-b" and upd["version"] == 1
+    assert any(entry["id"] == lib["id"] for entry in api.list_libraries())
+    api.delete_library(lib["id"])
+    with pytest.raises(ApiError) as e:
+        api.get_library(lib["id"])
+    assert _status(e) == 404
+
+
+def test_library_validation_and_404s(api):
+    with pytest.raises(ApiError) as e:
+        api.create_library({})
+    assert _status(e) == 400
+    with pytest.raises(ApiError) as e:
+        api.update_library("nope", {"name": "x"})
+    assert _status(e) == 404
+    with pytest.raises(ApiError) as e:
+        api.update_library("nope", {})
+    assert _status(e) == 400  # validation precedes existence (libraries.py:36)
+    with pytest.raises(ApiError) as e:
+        api.delete_library("nope")
+    assert _status(e) == 404
+
+
+def test_document_crud_and_errors(api):
+    lib = api.create_library({"name": "docs"})["id"]
+    doc = api.add_document(lib, {"title": "t1", "metadata": {"category": "guide"}})
+    assert doc["metadata"]["category"] == "guide" and doc["chunks"] == []
+    upd = api.update_document(lib, doc["id"], {"title": "t2"})
+    assert upd["title"] == "t2"
+    assert len(api.list_documents(lib)) == 1
+    with pytest.raises(ApiError) as e:
+        api.update_document(lib, doc["id"], {})
+    assert _status(e) == 400
+    with pytest.raises(ApiError) as e:
+        api.get_document(lib, "missing")
+    assert _status(e) == 404 and e.value.detail == "Document not found"
+    with pytest.raises(ApiError) as e:
+        api.list_documents("missing-lib")
+    assert _status(e) == 404 and e.value.detail == "Library not found"
+    api.delete_document(lib, doc["id"])
+    assert api.list_documents(lib) == []
+
+
+def test_chunk_crud_cascade_and_search(api):
+    lib = api.create_library({"name": "search-lib"})["id"]
+    doc = api.add_document(lib, {"title": "d"})["id"]
+    c1 = api.add_chunk(lib, doc, {"text": "north", "embedding": [1.0, 0.0, 0.0, 0.0]})
+    api.add_chunk(lib, doc, {"text": "east", "embedding": [0.0, 1.0, 0.0, 0.0],
+                             "metadata": {"type": "paragraph"}})
+    assert len(api.list_chunks(lib, doc)) == 2
+
+    upd = api.update_chunk(lib, doc, c1["id"], {"metadata": {"type": "heading"}})
+    assert upd["metadata"]["type"] == "heading"
+    with pytest.raises(ApiError) as e:
+        api.update_chunk(lib, doc, c1["id"], {})
+    assert _status(e) == 400
+
+    res = api.search(lib, {"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 1})
+    assert res["durable_execution"] is False and res["index_used"] == "brute"
+    assert res["hits"][0]["text"] == "north"
+
+    res0 = api.search(lib, {"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 0})
+    assert res0["hits"] == [] and "index_used" not in res0  # k<=0 contract
+
+    with pytest.raises(ApiError) as e:
+        api.search(lib, {})
+    assert _status(e) == 400 and "query_text or query_embedding" in e.value.detail
+    with pytest.raises(ApiError) as e:
+        api.search(lib, {"query_embedding": [1.0, 0.0, 0.0, 0.0], "index": "hnsw"})
+    assert _status(e) == 400  # engine ValueError -> 400 (search.py:88-89)
+
+    durable = api.search(
+        lib, {"query_text": "north", "k": 2}, use_temporal=True
+    )
+    assert durable["durable_execution"] is True
+    assert durable["execution_metadata"]["embedding_generated"] is True
+
+    # cascade: deleting the document empties its chunks
+    api.delete_document(lib, doc)
+    with pytest.raises(ApiError) as e:
+        api.list_chunks(lib, doc)
+    assert _status(e) == 404

@@ -1,0 +1,288 @@
+"""Framework-free endpoint facade — the reference's FastAPI router surface
+(``app/api/routers/{libraries,documents,chunks,search}.py``) as plain
+methods with the SAME route semantics: validation order, 404/400 error
+codes and messages, response dict shapes (nested library -> documents ->
+chunks, version counter, ``durable_execution`` flag). Mounting these under
+FastAPI would be mechanical; keeping the facade dependency-free lets the
+whole contract run anywhere Spark runs.
+
+Error contract: every failure raises ``ApiError(status, detail)`` with the
+reference's status codes — 404 "Library/Document/Chunk not found", 400 for
+missing/invalid parameters (ValueError from the engine maps to 400 exactly
+like the router's try/except, search.py:88-89).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any
+
+from .engine import SearchEngine
+from .plans.pipeline import DurableQueryPipeline, QueryRequest
+from .storage.store import EntityStore, NotFoundError
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, detail: str) -> None:
+        super().__init__(f"{status}: {detail}")
+        self.status = status
+        self.detail = detail
+
+
+def _lib_404() -> ApiError:
+    return ApiError(404, "Library not found")
+
+
+class VectorDbApi:
+    def __init__(self, engine: SearchEngine) -> None:
+        self.engine = engine
+        self.store: EntityStore = engine.store
+
+    # -- entity serialization (reference response models) ------------------
+
+    def _chunk_dict(self, row) -> dict[str, Any]:
+        return {
+            "id": row["chunk_id"],
+            "text": row["text"],
+            "embedding": list(row["embedding"]) if row["embedding"] is not None else None,
+            "metadata": {
+                "type": row["meta_type"],
+                "created_at": row["created_at"],
+                "updated_at": row["updated_at"],
+            },
+        }
+
+    def _doc_dict(self, row, chunks: list[dict]) -> dict[str, Any]:
+        return {
+            "id": row["doc_id"],
+            "title": row["title"],
+            "metadata": {
+                "category": row["category"],
+                "created_at": row["created_at"],
+                "updated_at": row["updated_at"],
+            },
+            "chunks": chunks,
+        }
+
+    def _library_dict(self, row, documents: list[dict]) -> dict[str, Any]:
+        return {
+            "id": row["library_id"],
+            "name": row["name"],
+            "description": row["description"],
+            "metadata": {
+                "tags": row["tags"],
+                "created_at": row["created_at"],
+                "updated_at": row["updated_at"],
+            },
+            "documents": documents,
+            "version": row["version"],
+        }
+
+    def _assemble_library(self, lib_row) -> dict[str, Any]:
+        lib_id = lib_row["library_id"]
+        docs = []
+        for d in self.store.list_documents(lib_id).collect():
+            chunks = [
+                self._chunk_dict(c)
+                for c in self.store.list_chunks(lib_id, d["doc_id"]).collect()
+            ]
+            docs.append(self._doc_dict(d, chunks))
+        return self._library_dict(lib_row, docs)
+
+    def _require_library(self, lib_id: str) -> None:
+        try:
+            self.store.get_library(lib_id)
+        except NotFoundError:
+            raise _lib_404() from None
+
+    # -- libraries (routers/libraries.py) ----------------------------------
+
+    def create_library(self, payload: dict[str, Any]) -> dict[str, Any]:
+        name = payload.get("name")
+        if not name:
+            raise ApiError(400, "name is required")
+        tags = (payload.get("metadata") or {}).get("tags")
+        lib_id = self.store.create_library(name, payload.get("description"), tags)
+        return self.get_library(lib_id)
+
+    def list_libraries(self) -> list[dict[str, Any]]:
+        return [
+            self._assemble_library(r)
+            for r in self.store.list_libraries().orderBy("created_at").collect()
+        ]
+
+    def get_library(self, lib_id: str) -> dict[str, Any]:
+        try:
+            return self._assemble_library(self.store.get_library(lib_id))
+        except NotFoundError:
+            raise _lib_404() from None
+
+    def update_library(self, lib_id: str, payload: dict[str, Any]) -> dict[str, Any]:
+        name = payload.get("name")
+        if not name:  # libraries.py:36-37
+            raise ApiError(400, "name is required")
+        self._require_library(lib_id)
+        self.store.update_library(
+            lib_id,
+            name=name,
+            description=payload.get("description"),
+            tags=(payload.get("metadata") or {}).get("tags"),
+        )
+        return self.get_library(lib_id)
+
+    def delete_library(self, lib_id: str) -> None:
+        try:
+            self.store.delete_library(lib_id)
+        except NotFoundError:
+            raise _lib_404() from None
+
+    # -- documents (routers/documents.py) ----------------------------------
+
+    def list_documents(self, lib_id: str) -> list[dict[str, Any]]:
+        self._require_library(lib_id)
+        return self.get_library(lib_id)["documents"]
+
+    def add_document(self, lib_id: str, payload: dict[str, Any]) -> dict[str, Any]:
+        self._require_library(lib_id)
+        title = payload.get("title")
+        if not title:
+            raise ApiError(400, "title is required")
+        doc_id = self.store.add_document(
+            lib_id, title, (payload.get("metadata") or {}).get("category")
+        )
+        return self.get_document(lib_id, doc_id)
+
+    def get_document(self, lib_id: str, doc_id: str) -> dict[str, Any]:
+        self._require_library(lib_id)
+        try:
+            row = self.store.get_document(lib_id, doc_id)
+        except NotFoundError:
+            raise ApiError(404, "Document not found") from None
+        chunks = [
+            self._chunk_dict(c) for c in self.store.list_chunks(lib_id, doc_id).collect()
+        ]
+        return self._doc_dict(row, chunks)
+
+    def update_document(self, lib_id: str, doc_id: str, payload: dict[str, Any]) -> dict[str, Any]:
+        self._require_library(lib_id)
+        title = payload.get("title")
+        metadata = payload.get("metadata")
+        if title is None and not metadata:  # documents.py:51-52
+            raise ApiError(400, "Provide at least one of: title, metadata")
+        try:
+            self.store.update_document(
+                lib_id, doc_id, title=title, category=(metadata or {}).get("category")
+            )
+        except NotFoundError:
+            raise ApiError(404, "Document not found") from None
+        return self.get_document(lib_id, doc_id)
+
+    def delete_document(self, lib_id: str, doc_id: str) -> None:
+        self._require_library(lib_id)
+        try:
+            self.store.delete_document(lib_id, doc_id)
+        except NotFoundError:
+            raise ApiError(404, "Document not found") from None
+
+    # -- chunks (routers/chunks.py) ----------------------------------------
+
+    def _require_document(self, lib_id: str, doc_id: str) -> None:
+        self._require_library(lib_id)
+        try:
+            self.store.get_document(lib_id, doc_id)
+        except NotFoundError:
+            raise ApiError(404, "Document not found") from None
+
+    def list_chunks(self, lib_id: str, doc_id: str) -> list[dict[str, Any]]:
+        self._require_document(lib_id, doc_id)
+        return [
+            self._chunk_dict(c) for c in self.store.list_chunks(lib_id, doc_id).collect()
+        ]
+
+    def add_chunk(self, lib_id: str, doc_id: str, payload: dict[str, Any]) -> dict[str, Any]:
+        self._require_document(lib_id, doc_id)
+        text = payload.get("text")
+        if not text:
+            raise ApiError(400, "text is required")
+        chunk_id = self.store.add_chunk(
+            lib_id,
+            doc_id,
+            text,
+            payload.get("embedding"),
+            (payload.get("metadata") or {}).get("type"),
+            embed_if_missing=payload.get("embedding") is None,
+        )
+        return self._chunk_dict(self.store.get_chunk(lib_id, chunk_id))
+
+    def update_chunk(
+        self, lib_id: str, doc_id: str, chunk_id: str, payload: dict[str, Any]
+    ) -> dict[str, Any]:
+        self._require_document(lib_id, doc_id)
+        text = payload.get("text")
+        embedding = payload.get("embedding")
+        metadata = payload.get("metadata")
+        if text is None and embedding is None and not metadata:  # chunks.py:53-54
+            raise ApiError(400, "Provide at least one of: text, embedding, metadata")
+        try:
+            self.store.get_chunk(lib_id, chunk_id)
+            self.store.update_chunk(
+                lib_id,
+                chunk_id,
+                text=text,
+                embedding=embedding,
+                meta_type=(metadata or {}).get("type"),
+                reembed_if_needed=True,  # chunks.py:55-57 behavior
+            )
+        except NotFoundError:
+            raise ApiError(404, "Chunk not found") from None
+        return self._chunk_dict(self.store.get_chunk(lib_id, chunk_id))
+
+    def delete_chunk(self, lib_id: str, doc_id: str, chunk_id: str) -> None:
+        self._require_document(lib_id, doc_id)
+        try:
+            self.store.delete_chunk(lib_id, chunk_id)
+        except NotFoundError:
+            raise ApiError(404, "Chunk not found") from None
+
+    # -- search (routers/search.py) ----------------------------------------
+
+    def search(
+        self, lib_id: str, body: dict[str, Any], *, use_temporal: bool = False
+    ) -> dict[str, Any]:
+        """POST /{lib_id}/search. ``use_temporal=True`` maps to the durable
+        checkpointed pipeline (the reference's Temporal QueryWorkflow path);
+        ValueError from the engine -> 400 (search.py:88-89)."""
+        self._require_library(lib_id)
+        query_text = body.get("query_text")
+        query_embedding = body.get("query_embedding")
+        if not query_text and not query_embedding:  # search.py:51-52
+            raise ApiError(400, "Provide query_text or query_embedding")
+        kwargs = dict(
+            query_text=query_text,
+            query_embedding=query_embedding,
+            k=int(body.get("k", 5)),
+            index=body.get("index", "brute"),
+            lsh_tables=int(body.get("lsh_tables", 8)),
+            lsh_planes=int(body.get("lsh_planes", 12)),
+            filters=body.get("filters"),
+        )
+        try:
+            if use_temporal:
+                ckpt = tempfile.mkdtemp(prefix="durable-query-", dir=os.environ.get("TMPDIR"))
+                resp = DurableQueryPipeline(self.engine, ckpt).run(
+                    QueryRequest(library_id=lib_id, **kwargs)
+                )
+                return {
+                    "hits": [r.asDict() for r in resp.hits.collect()],
+                    "index": resp.index,
+                    "library_version": resp.library_version,
+                    "execution_metadata": resp.metadata,
+                    "durable_execution": True,
+                }
+            # Direct path = SearchService.search semantics verbatim (k<=0
+            # returns empty hits with NO index_used key, never an error).
+            res = self.engine.search(lib_id, **kwargs)
+            return {**res.to_dict(), "durable_execution": False}
+        except ValueError as e:
+            raise ApiError(400, str(e)) from None
