@@ -70,6 +70,60 @@ def test_document_crud_and_errors(api):
     assert api.list_documents(lib) == []
 
 
+def test_interactive_session_endpoints(api, tmp_path):
+    """start -> signals -> process -> status/results, mirroring the
+    interactive router contract (202-accept dicts, 400 validations, status
+    shape of interactive_workflow.get_status)."""
+    from vector_db_mvp_spark.api import InteractiveApi
+
+    ia = InteractiveApi(api.engine, root=str(tmp_path / "ia"))
+    wf = ia.start()["workflow_id"]
+
+    with pytest.raises(ApiError) as e:
+        ia.signal_add_library(wf, {})
+    assert _status(e) == 400
+    with pytest.raises(ApiError) as e:
+        ia.signal_add_library("unknown-wf", {"name": "x"})
+    assert _status(e) == 404
+
+    assert ia.signal_add_library(wf, {"name": "stream-lib"}) == {
+        "accepted": True, "message": "add_library signaled"
+    }
+    ia.process()
+    st = ia.status(wf)
+    lib = st["active_library_id"]
+    assert st["created_library_ids"] == [lib]
+    assert st["created_libraries_by_id"][lib] == "stream-lib"
+
+    ia.signal_add_document(wf, {"lib_id": lib, "title": "doc"})
+    ia.process()
+    doc = ia.status(wf)["active_document_id"]
+    ia.signal_add_chunk(wf, {"lib_id": lib, "doc_id": doc, "text": "north",
+                             "embedding": [1.0, 0.0, 0.0, 0.0],
+                             "metadata": {"type": "heading"}})
+    ia.signal_add_chunk(wf, {"lib_id": lib, "doc_id": doc, "text": "east",
+                             "embedding": [0.0, 1.0, 0.0, 0.0],
+                             "metadata": {"type": "paragraph"}})
+    ia.signal_set_query_params(wf, {"k": 1})
+    ia.signal_start_query(wf, {"lib_id": lib,
+                               "query_embedding": [1.0, 0.0, 0.0, 0.0]})
+    ia.signal_finish(wf)
+    ia.process()
+
+    st = ia.status(wf)
+    assert st["finished"] is True
+    assert st["created_chunk_counts_by_doc"][doc] == 2  # A2 incremental count
+    assert st["chunk_metadata_catalog_by_library"][lib]["type"] == [
+        "heading", "paragraph"
+    ]  # A3 catalog, observed order
+    assert st["query_params"] == {"k": 1}
+    assert st["timeline_tail"][-1] == "finish:ok"
+
+    res = ia.results(wf)
+    assert res["index_used"] == "brute"
+    assert [h["text"] for h in res["hits"]] == ["north"]
+
+
 def test_chunk_crud_cascade_and_search(api):
     lib = api.create_library({"name": "search-lib"})["id"]
     doc = api.add_document(lib, {"title": "d"})["id"]

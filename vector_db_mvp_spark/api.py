@@ -18,6 +18,8 @@ import os
 import tempfile
 from typing import Any
 
+from pyspark.sql import functions as F
+
 from .engine import SearchEngine
 from .plans.pipeline import DurableQueryPipeline, QueryRequest
 from .storage.store import EntityStore, NotFoundError
@@ -28,6 +30,138 @@ class ApiError(Exception):
         super().__init__(f"{status}: {detail}")
         self.status = status
         self.detail = detail
+
+
+class InteractiveApi:
+    """The interactive router (``routers/interactive.py``) over the
+    Structured Streaming session instead of Temporal: ``start`` mints a
+    session, ``signal_*`` enqueue commands (202-style accept dicts, same
+    400 validations), ``process`` drains pending commands through one
+    availableNow micro-batch run (the Temporal worker's role), and
+    ``status``/``results`` mirror the workflow's ``get_status`` /
+    ``get_partial_results`` query shapes (interactive_workflow.py:198-222).
+    """
+
+    def __init__(self, engine: SearchEngine, root: str | None = None) -> None:
+        from .streaming.session_stream import SessionStreamProcessor
+
+        self.root = root or tempfile.mkdtemp(prefix="interactive-api-")
+        self.cmd_dir = os.path.join(self.root, "commands")
+        os.makedirs(self.cmd_dir, exist_ok=True)
+        self.processor = SessionStreamProcessor(
+            engine.store.spark, engine.store, os.path.join(self.root, "out")
+        )
+        self._seqs: dict[str, int] = {}
+        self._clock = 0
+
+    def start(self) -> dict[str, Any]:
+        import uuid
+
+        sid = f"interactive-session-{uuid.uuid4()}"
+        self._seqs[sid] = 0
+        return {"workflow_id": sid}
+
+    def _signal(self, workflow_id: str, action: str, payload: dict[str, Any]) -> dict[str, Any]:
+        import json as _json
+
+        if workflow_id not in self._seqs:
+            raise ApiError(404, "workflow not found")
+        seq = self._seqs[workflow_id]
+        self._seqs[workflow_id] = seq + 1
+        path = os.path.join(self.cmd_dir, f"{workflow_id}-{seq:06d}.json")
+        with open(path, "w") as f:
+            f.write(_json.dumps({
+                "session_id": workflow_id, "seq": seq,
+                "action": action, "payload": _json.dumps(payload),
+            }))
+        # monotone mtimes: the file stream source orders pending files by
+        # modification time (commands "arrive over time")
+        self._clock += 1
+        t = 1_700_000_000 + self._clock
+        os.utime(path, (t, t))
+        return {"accepted": True, "message": f"{action} signaled"}
+
+    def signal_add_library(self, workflow_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        name = body.get("name")
+        if not name or not str(name).strip():  # interactive.py:86-88
+            raise ApiError(400, "name is required")
+        return self._signal(workflow_id, "add_library",
+                            {"name": name, "description": body.get("description")})
+
+    def signal_add_document(self, workflow_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        if not body.get("lib_id") or not body.get("title"):  # interactive.py:106-108
+            raise ApiError(400, "lib_id and title are required")
+        return self._signal(workflow_id, "add_document", {
+            "library_id": body["lib_id"], "title": body["title"],
+            "category": (body.get("metadata") or {}).get("category"),
+        })
+
+    def signal_add_chunk(self, workflow_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        if not body.get("lib_id") or not body.get("doc_id") or not body.get("text"):
+            raise ApiError(400, "lib_id, doc_id and text are required")  # :127-129
+        return self._signal(workflow_id, "add_chunk", {
+            "library_id": body["lib_id"], "doc_id": body["doc_id"],
+            "text": body["text"], "embedding": body.get("embedding"),
+            "meta_type": (body.get("metadata") or {}).get("type"),
+            "dim": body.get("dim"),
+        })
+
+    def signal_set_query_params(self, workflow_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        return self._signal(workflow_id, "set_query_params", dict(body))
+
+    def signal_start_query(self, workflow_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        if not body.get("lib_id"):  # interactive.py:166-173
+            raise ApiError(400, "lib_id is required")
+        payload = {"library_id": body.pop("lib_id"), **body}
+        return self._signal(workflow_id, "start_query", payload)
+
+    def signal_finish(self, workflow_id: str) -> dict[str, Any]:
+        return self._signal(workflow_id, "finish", {})
+
+    def process(self, timeout_sec: int = 240) -> None:
+        """Drain all pending commands (one file per micro-batch, in order) —
+        the role Temporal's worker loop plays in the reference."""
+        from .streaming.session_stream import start_session_stream
+
+        q = start_session_stream(
+            self.processor.spark, self.cmd_dir, self.processor,
+            available_now=True, max_files_per_trigger=1,
+            checkpoint_dir=os.path.join(self.root, "ckpt"),
+        )
+        q.awaitTermination(timeout_sec)
+
+    def status(self, workflow_id: str) -> dict[str, Any]:
+        if workflow_id not in self._seqs:
+            raise ApiError(404, "workflow not found")
+        st = self.processor._session_state.get(workflow_id, {})
+        try:
+            tail = [
+                f"{r['action']}:{r['status']}"
+                for r in self.processor.timeline()
+                .filter(F.col("session_id") == workflow_id)
+                .orderBy("seq").collect()
+            ][-10:]
+        except Exception:  # no timeline written yet
+            tail = []
+        return {
+            "current_step": st.get("current_step"),
+            "active_library_id": st.get("library_id"),
+            "active_document_id": st.get("doc_id"),
+            "created_library_ids": list(st.get("created_library_ids", [])),
+            "created_libraries_by_id": dict(st.get("library_names", {})),
+            "created_document_ids_by_library": dict(st.get("doc_ids_by_library", {})),
+            "created_chunk_counts_by_doc": dict(st.get("chunk_counts_by_doc", {})),
+            "chunk_metadata_catalog_by_library": dict(st.get("metadata_catalog", {})),
+            "query_params": dict(self.processor.query_params.get(workflow_id, {})),
+            "finished": bool(st.get("finished", False)),
+            "timeline_tail": tail,
+        }
+
+    def results(self, workflow_id: str) -> dict[str, Any]:
+        if workflow_id not in self._seqs:
+            raise ApiError(404, "workflow not found")
+        st = self.processor._session_state.get(workflow_id, {})
+        return dict(st.get("last_results") or {})
 
 
 def _lib_404() -> ApiError:

@@ -113,6 +113,8 @@ class SessionStreamProcessor:
             entries.append(self._dispatch(r))
         self._log(entries)
 
+    CATALOG_CAP = 20  # A3 distinct-sample cap (interactive_workflow.py:302-304)
+
     def _dispatch(self, cmd) -> tuple:
         sid, seq, action = cmd["session_id"], cmd["seq"], cmd["action"]
         payload = json.loads(cmd["payload"]) if cmd["payload"] else {}
@@ -121,11 +123,14 @@ class SessionStreamProcessor:
             if action == "add_library":
                 lib = self.store.create_library(payload["name"])
                 state["library_id"] = lib
+                state.setdefault("created_library_ids", []).append(lib)
+                state.setdefault("library_names", {})[lib] = payload["name"]
                 detail = lib
             elif action == "add_document":
                 lib = payload.get("library_id") or state["library_id"]
                 doc = self.store.add_document(lib, payload["title"], payload.get("category"))
                 state["doc_id"] = doc
+                state.setdefault("doc_ids_by_library", {}).setdefault(lib, []).append(doc)
                 detail = doc
             elif action == "add_chunk":
                 lib = payload.get("library_id") or state["library_id"]
@@ -137,6 +142,16 @@ class SessionStreamProcessor:
                     embed_if_missing=True,
                     dim=payload.get("dim"),
                 )
+                counts = state.setdefault("chunk_counts_by_doc", {})
+                counts[doc] = counts.get(doc, 0) + 1  # A2 incremental count
+                if payload.get("meta_type") is not None:
+                    # A3: per-library metadata key -> first CATALOG_CAP
+                    # distinct stringified values, observed order
+                    cat = state.setdefault("metadata_catalog", {}).setdefault(lib, {})
+                    vals = cat.setdefault("type", [])
+                    sval = str(payload["meta_type"])
+                    if sval not in vals and len(vals) < self.CATALOG_CAP:
+                        vals.append(sval)
                 detail = cid
             elif action == "set_query_params":
                 self.query_params[sid] = payload
@@ -152,12 +167,14 @@ class SessionStreamProcessor:
                     .write.mode("append")
                     .parquet(self.results_dir)
                 )
+                state["last_results"] = res.to_dict()
                 detail = f"hits_written index_used={res.index_used}"
             elif action == "finish":
                 state["finished"] = True
                 detail = "finished"
             else:
                 raise ValueError(f"unknown action: {action}")
+            state["current_step"] = action
             return (sid, seq, action, "ok", detail)
         except Exception as e:  # ST5: contain, log, continue
             return (sid, seq, action, "error", f"{type(e).__name__}: {e}")
