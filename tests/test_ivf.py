@@ -47,6 +47,38 @@ def test_partial_probe_recall(ivf):
     assert hits / total >= 0.5, f"recall {hits}/{total}"
 
 
+def test_persisted_layout_prunes_partitions(spark, ivf, tmp_path):
+    """The serving layout: partitionBy(cluster_id) on disk; an nprobe query
+    must reach the scan as PartitionFilters (directory pruning), and results
+    must equal querying the in-memory assignment."""
+    from vector_db_mvp_spark.operators.ivf import (
+        read_ivf_layout,
+        write_ivf_layout,
+    )
+
+    assigned, centroids, emb = ivf
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(assigned, centroids, path)
+    disk, c2 = read_ivf_layout(spark, path)
+    assert [[round(x, 9) for x in c] for c in c2] == [
+        [round(x, 9) for x in c] for c in centroids
+    ]
+
+    q = emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    df = ivf_topk(disk, c2, q, 10, nprobe=3)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster_id" in ln for ln in part_lines), plan
+
+    want = [(r["vec_id"], round(r["score"], 9))
+            for r in ivf_topk(assigned, centroids, q, 10, nprobe=3).collect()]
+    got = [(r["vec_id"], round(r["score"], 9)) for r in df.collect()]
+    assert got == want
+
+
 def test_build_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     _, c1 = build_ivf_index(emb, 4, seed=42)

@@ -61,6 +61,35 @@ def build_ivf_index(
     return assigned, centroids
 
 
+def write_ivf_layout(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist the IVF index in its serving layout: parquet partitioned by
+    ``cluster_id`` (one directory per inverted list) + a centroids sidecar.
+    At 100 TB this is the whole point of IVF — a query's nprobe clusters map
+    to nprobe directories and the scan never touches the rest (verified by
+    the PartitionFilters plan assertion in tests/test_ivf.py)."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    tmp = os.path.join(path, "_centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+    os.replace(tmp, os.path.join(path, "_centroids.json"))
+
+
+def read_ivf_layout(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],
