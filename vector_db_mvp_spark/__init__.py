@@ -11,3 +11,24 @@ multi-executor 100 TB deployment even though tests run on local[32].
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level exports: keep `import vector_db_mvp_spark` free of the
+    # pyspark import cost until a symbol is actually touched.
+    _exports = {
+        "EntityStore": ("vector_db_mvp_spark.storage.store", "EntityStore"),
+        "ChunkIndexStore": ("vector_db_mvp_spark.storage.index_store", "ChunkIndexStore"),
+        "SearchEngine": ("vector_db_mvp_spark.engine", "SearchEngine"),
+        "VectorDbApi": ("vector_db_mvp_spark.api", "VectorDbApi"),
+        "InteractiveApi": ("vector_db_mvp_spark.api", "InteractiveApi"),
+        "QueryPipeline": ("vector_db_mvp_spark.plans.pipeline", "QueryPipeline"),
+        "DurableQueryPipeline": ("vector_db_mvp_spark.plans.pipeline", "DurableQueryPipeline"),
+        "get_spark": ("vector_db_mvp_spark.session", "get_spark"),
+    }
+    if name in _exports:
+        import importlib
+
+        module, attr = _exports[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
