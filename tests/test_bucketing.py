@@ -51,10 +51,9 @@ def test_bucketed_join_has_no_exchange(spark, bucketed):
 
 
 def test_chunks_scan_prunes_library_partition(spark, tmp_path):
-    """The chunks fact table is written partitionBy(library_id): a
-    per-library search must hit PartitionFilters (directory pruning), not a
-    post-scan filter — at 100 TB this is the difference between reading one
-    library and reading the world."""
+    """The chunks fact table stores one immutable directory per library: a
+    per-library search scans ONLY that library's directory — at 100 TB this
+    is the difference between reading one library and reading the world."""
     from vector_db_mvp_spark.engine import SearchEngine
     from vector_db_mvp_spark.storage.store import EntityStore
 
@@ -71,8 +70,10 @@ def test_chunks_scan_prunes_library_partition(spark, tmp_path):
     plan = rows._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert any("library_id" in ln for ln in scan_lines), plan
+    assert f"chunks.{lib1}" in plan  # scans lib1's directory...
+    assert f"chunks.{lib2}" not in plan  # ...and never touches lib2's
+    # full-table read still sees both libraries (union of current dirs)
+    assert store.read("chunks").count() == 2
 
 
 def test_bucketed_join_results_match_plain_join(spark, sf_dir, bucketed):

@@ -74,8 +74,11 @@ class SearchEngine:
         self._plane_cache: dict[tuple[str, int, int, int, int], list] = {}
 
     # S3: flatten one library into search rows (join docs for category).
+    # read_chunks_library opens exactly one per-library directory — the
+    # pruned scan, with no partition filter needed (the layout IS the
+    # partition).
     def collect_rows(self, library_id: str, *, require_embedding: bool = True) -> DataFrame:
-        chunks = self.store.read("chunks").filter(F.col("library_id") == library_id)
+        chunks = self.store.read_chunks_library(library_id)
         docs = (
             self.store.read("documents")
             .filter(F.col("library_id") == library_id)

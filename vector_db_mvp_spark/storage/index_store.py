@@ -97,8 +97,8 @@ class ChunkIndexStore:
         current = self.store.library_version(library_id)  # raises NotFound
         if self.built_version(library_id) == current:
             return False
-        chunks = self.store.read("chunks").filter(
-            (F.col("library_id") == library_id) & F.col("embedding").isNotNull()
+        chunks = self.store.read_chunks_library(library_id).filter(
+            F.col("embedding").isNotNull()
         )
         docs = (
             self.store.read("documents")

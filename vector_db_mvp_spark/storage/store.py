@@ -17,20 +17,24 @@ semantics (SURVEY.md §2.1 S5-S8):
 
 Concurrency/consistency: the reference holds RW locks and deep-copies on
 read; Spark DataFrames are immutable snapshots, so readers are isolated for
-free. Writes are read-modify-write of a whole table version directory with an
-atomic pointer flip (``_CURRENT`` file) — single-writer discipline, exactly
-the writer-preference serialization the reference's global write lock gives.
-At deployment scale this class is a thin facade over Delta Lake MERGE/DELETE
-(schema enforcement, optimistic concurrency, table versions); the API is
-deliberately MERGE-shaped so the swap is mechanical. Chunks are written
-partitioned by ``library_id`` — per-library search prunes to one partition
-directory, which is what keeps point queries cheap when the chunks table is
-100 TB.
+free. The dimension tables (libraries/documents — small) version as whole
+directories behind an atomic ``_CURRENT`` pointer flip. The chunks FACT
+table versions **per library**: one immutable subdirectory per
+(library, version) behind a single atomic JSON pointer map — a write
+rewrites only its library's data (O(library), not O(table)), a per-library
+read opens exactly one directory, and a full-table read unions the current
+directories. This is the property that keeps CRUD viable when the chunks
+table is 100 TB: the reference's own locking is per-library for content ops
+(library_repo.py:24-38), so per-library snapshot granularity is the same
+consistency contract. At deployment scale this class is a thin facade over
+Delta Lake MERGE/DELETE (schema enforcement, optimistic concurrency, table
+versions); the API is deliberately MERGE-shaped so the swap is mechanical.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
 import shutil
 import uuid
@@ -41,11 +45,11 @@ from pyspark.sql import functions as F
 from ..embedding.provider import EmbeddingProvider, HashEmbeddingProvider
 from ..schemas import CHUNK_SCHEMA, DOCUMENT_SCHEMA, LIBRARY_SCHEMA
 
-_TABLES = {
+_DIM_TABLES = {
     "libraries": LIBRARY_SCHEMA,
     "documents": DOCUMENT_SCHEMA,
-    "chunks": CHUNK_SCHEMA,
 }
+_TABLES = {**_DIM_TABLES, "chunks": CHUNK_SCHEMA}
 
 
 class NotFoundError(KeyError):
@@ -71,9 +75,11 @@ class EntityStore:
         self.provider = embedding_provider or HashEmbeddingProvider()
         self.default_dim = default_dim
         os.makedirs(root, exist_ok=True)
-        for t, schema in _TABLES.items():
+        for t, schema in _DIM_TABLES.items():
             if not os.path.exists(self._pointer(t)):
                 self._write(t, spark.createDataFrame([], schema))
+        if not os.path.exists(self._pointer("chunks")):
+            self._flip_chunks_map({})
 
     # ---- versioned table IO (atomic pointer flip) -----------------------
 
@@ -84,19 +90,36 @@ class EntityStore:
         with open(self._pointer(table)) as f:
             return f.read().strip()
 
+    def _chunks_map(self) -> dict[str, str]:
+        """library_id -> current immutable chunk-directory for that library."""
+        return json.loads(self._read_pointer("chunks"))
+
+    def _flip_chunks_map(self, mapping: dict[str, str]) -> None:
+        tmp = self._pointer("chunks") + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(mapping))
+        os.replace(tmp, self._pointer("chunks"))  # atomic snapshot flip
+
     def read(self, table: str) -> DataFrame:
+        if table == "chunks":
+            dirs = sorted(self._chunks_map().values())
+            if not dirs:
+                return self.spark.createDataFrame([], CHUNK_SCHEMA)
+            return self.spark.read.schema(CHUNK_SCHEMA).parquet(*dirs)
         return self.spark.read.schema(_TABLES[table]).parquet(self._read_pointer(table))
+
+    def read_chunks_library(self, library_id: str) -> DataFrame:
+        """One library's chunks = ONE directory — the pruned read every
+        search uses; no partition filter needed because the layout IS the
+        partition."""
+        d = self._chunks_map().get(library_id)
+        if d is None:
+            return self.spark.createDataFrame([], CHUNK_SCHEMA)
+        return self.spark.read.schema(CHUNK_SCHEMA).parquet(d)
 
     def _write(self, table: str, df: DataFrame) -> None:
         new_dir = os.path.join(self.root, f"{table}.v{uuid.uuid4().hex[:12]}")
-        writer = df.repartition(1).write.mode("overwrite")
-        if table == "chunks":
-            # Partition the fact table by library -> per-library scans prune
-            # to one directory (the 100 TB layout; locally dirs are tiny).
-            writer = df.repartition("library_id").write.mode("overwrite").partitionBy(
-                "library_id"
-            )
-        writer.parquet(new_dir)
+        df.repartition(1).write.mode("overwrite").parquet(new_dir)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(new_dir)
@@ -104,9 +127,19 @@ class EntityStore:
         # Old version dirs are kept so in-flight snapshot reads stay valid
         # (Delta semantics: files live until VACUUM); reclaim via vacuum().
 
+    def _write_chunks_library(self, library_id: str, df: DataFrame) -> None:
+        """Copy-on-write of ONE library's chunk directory: O(library) per
+        write regardless of how many other libraries exist."""
+        new_dir = os.path.join(self.root, f"chunks.{library_id}.v{uuid.uuid4().hex[:12]}")
+        df.repartition(1).write.mode("overwrite").parquet(new_dir)
+        mapping = self._chunks_map()
+        mapping[library_id] = new_dir
+        self._flip_chunks_map(mapping)
+
     def vacuum(self) -> None:
-        """Drop all non-current table version directories."""
-        current = {self._read_pointer(t) for t in _TABLES}
+        """Drop all non-current table/library version directories."""
+        current = {self._read_pointer(t) for t in _DIM_TABLES}
+        current |= set(self._chunks_map().values())
         for entry in os.listdir(self.root):
             path = os.path.join(self.root, entry)
             if os.path.isdir(path) and ".v" in entry and path not in current:
@@ -175,9 +208,9 @@ class EntityStore:
         self._write(
             "documents", self.read("documents").filter(F.col("library_id") != library_id)
         )
-        self._write(
-            "chunks", self.read("chunks").filter(F.col("library_id") != library_id)
-        )
+        mapping = self._chunks_map()
+        mapping.pop(library_id, None)  # drop the library's chunk directory
+        self._flip_chunks_map(mapping)
 
     # ---- documents ------------------------------------------------------
 
@@ -225,7 +258,9 @@ class EntityStore:
         self._write(
             "documents", self.read("documents").filter(F.col("doc_id") != doc_id)
         )
-        self._write("chunks", self.read("chunks").filter(F.col("doc_id") != doc_id))
+        self._write_chunks_library(
+            library_id, self.read_chunks_library(library_id).filter(F.col("doc_id") != doc_id)
+        )
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
 
     # ---- chunks ---------------------------------------------------------
@@ -253,19 +288,19 @@ class EntityStore:
         new = self.spark.createDataFrame(
             [(chunk_id, doc_id, library_id, text, emb, meta_type, ts, ts)], CHUNK_SCHEMA
         )
-        self._write("chunks", self.read("chunks").unionByName(new))
+        self._write_chunks_library(
+            library_id, self.read_chunks_library(library_id).unionByName(new)
+        )
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
         return chunk_id
 
     def list_chunks(self, library_id: str, doc_id: str) -> DataFrame:
-        return self.read("chunks").filter(
-            (F.col("library_id") == library_id) & (F.col("doc_id") == doc_id)
-        )
+        return self.read_chunks_library(library_id).filter(F.col("doc_id") == doc_id)
 
     def get_chunk(self, library_id: str, chunk_id: str):
         rows = (
-            self.read("chunks")
-            .filter((F.col("library_id") == library_id) & (F.col("chunk_id") == chunk_id))
+            self.read_chunks_library(library_id)
+            .filter(F.col("chunk_id") == chunk_id)
             .collect()
         )
         if not rows:
@@ -293,8 +328,8 @@ class EntityStore:
             except Exception:
                 embedding = None
         ts = _now()
-        chunks = self.read("chunks")
-        hit = (F.col("library_id") == library_id) & (F.col("chunk_id") == chunk_id)
+        chunks = self.read_chunks_library(library_id)
+        hit = F.col("chunk_id") == chunk_id
         if text is not None:
             chunks = chunks.withColumn("text", F.when(hit, F.lit(text)).otherwise(F.col("text")))
         if embedding is not None:
@@ -309,11 +344,14 @@ class EntityStore:
         chunks = chunks.withColumn(
             "updated_at", F.when(hit, F.lit(ts)).otherwise(F.col("updated_at"))
         )
-        self._write("chunks", chunks)
+        self._write_chunks_library(library_id, chunks)
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
 
     def delete_chunk(self, library_id: str, chunk_id: str) -> None:
         self._require("chunks", library_id=library_id, chunk_id=chunk_id)
         ts = _now()
-        self._write("chunks", self.read("chunks").filter(F.col("chunk_id") != chunk_id))
+        self._write_chunks_library(
+            library_id,
+            self.read_chunks_library(library_id).filter(F.col("chunk_id") != chunk_id),
+        )
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
