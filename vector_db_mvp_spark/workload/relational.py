@@ -450,6 +450,65 @@ FROM numbered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_parts_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 string predicates: LIKE / NOT LIKE with string functions (upper,
+    substring, concat) in the projection — all JVM-side, all pushdown-safe
+    (StringStartsWith/Contains reach the parquet scan)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%red%") & ~F.col("p_type").like("STANDARD%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_name")).alias("name_upper"),
+            F.concat(F.substring(F.col("p_brand"), 1, 5), F.lit("#"),
+                     F.col("p_type")).alias("brand_type"),
+            F.length(F.col("p_name")).alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SQL_PARTS_LIKE_PATTERNS = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_brand, 1, 5) || '#' || p_type AS brand_type,
+       length(p_name) AS name_len
+FROM part
+WHERE p_name LIKE '%red%' AND p_type NOT LIKE 'STANDARD%'
+ORDER BY p_partkey
+"""
+
+
+def q_cube_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 CUBE grouping sets: all four (brand x type) aggregation levels in
+    one pass; sentinel '<ALL>' keeps NULL group keys out of the comparator."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.cube("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("<ALL>")).alias("brand"),
+            F.coalesce("p_type", F.lit("<ALL>")).alias("ptype"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("brand", "ptype")
+    )
+
+
+SQL_CUBE_PART_COUNTS = """
+SELECT COALESCE(p_brand, '<ALL>') AS brand,
+       COALESCE(p_type, '<ALL>') AS ptype,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part GROUP BY CUBE(p_brand, p_type)
+ORDER BY brand, ptype
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 JSON functions: extract a typed field from the events ``props``
     JSON payload and aggregate — JSON parsing stays JVM-side
@@ -731,6 +790,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_distribution": q_customer_order_distribution,
     "small_quantity_revenue": q_small_quantity_revenue,
     "events_json_props": q_events_json_props,
+    "parts_like_patterns": q_parts_like_patterns,
+    "cube_part_counts": q_cube_part_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -756,4 +817,6 @@ ORACLE_SQL: dict[str, str] = {
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "parts_like_patterns": SQL_PARTS_LIKE_PATTERNS,
+    "cube_part_counts": SQL_CUBE_PART_COUNTS,
 }
