@@ -450,6 +450,34 @@ FROM numbered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ordered-set aggregates: exact median/p90 per return flag. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both linearly interpolate
+    over the sorted DOUBLE values — verified bit-exact on the fixtures at
+    every SF. (At 100 TB the exact form needs a per-group sort; swap in
+    ``percentile_approx`` when a bounded-memory sketch is acceptable.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(price, F.lit(0.5)).alias("median_price"),
+            F.percentile(price, F.lit(0.9)).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS median_price,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS p90_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_parts_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 string predicates: LIKE / NOT LIKE with string functions (upper,
     substring, concat) in the projection — all JVM-side, all pushdown-safe
@@ -791,6 +819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "events_json_props": q_events_json_props,
     "parts_like_patterns": q_parts_like_patterns,
+    "price_quantiles": q_price_quantiles,
     "cube_part_counts": q_cube_part_counts,
 }
 
@@ -818,5 +847,6 @@ ORACLE_SQL: dict[str, str] = {
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "parts_like_patterns": SQL_PARTS_LIKE_PATTERNS,
+    "price_quantiles": SQL_PRICE_QUANTILES,
     "cube_part_counts": SQL_CUBE_PART_COUNTS,
 }
