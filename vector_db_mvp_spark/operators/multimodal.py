@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -126,33 +127,50 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 FEATURE_DIM = 32
 
-FEATURES_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType(), False),
-        StructField("features", ArrayType(FloatType()), True),
-    ]
-)
+
+def _stub_features(payload: bytes, dim: int) -> list[float]:
+    """STUB embedder: digest-byte unit vector, ``raw[j] = byte[j % 32]/128 - 1``
+    then L2-normalized in float64. Chosen over an RNG-seeded stub so the exact
+    same vector is computable in ANSI SQL (``sha256`` + hex slicing) — giving
+    the feature pipeline a bit-exact DuckDB oracle. A deployment swaps this for
+    a real image/audio encoder; the mapInPandas plumbing is unchanged."""
+    h = hashlib.sha256(payload).digest()
+    reps = (dim + len(h) - 1) // len(h)
+    raw = np.frombuffer((h * reps)[:dim], dtype=np.uint8).astype(np.float64)
+    raw = raw / 128.0 - 1.0
+    n = float(np.sqrt(np.dot(raw, raw)))
+    return [float(x) for x in (raw / n if n else raw)]
 
 
-def extract_features(df: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
+def features_schema(dtype: str = "float") -> StructType:
+    elem = FloatType() if dtype == "float" else DoubleType()
+    return StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("features", ArrayType(elem), True),
+        ]
+    )
+
+
+FEATURES_SCHEMA = features_schema("float")
+
+
+def extract_features(df: DataFrame, *, dim: int = FEATURE_DIM, dtype: str = "float") -> DataFrame:
     """mapInPandas feature extraction: payload bytes -> unit vector.
-    STUB embedder (sha256-seeded gaussian) with the real batch plumbing; the
-    output feeds straight into topk_cosine / embedding_neardup_pairs."""
+    STUB embedder (sha256-byte derived, see ``_stub_features``) with the real
+    batch plumbing; the output feeds straight into topk_cosine /
+    embedding_neardup_pairs. ``dtype="double"`` keeps full float64 precision
+    for oracle-parity checks; the default float mirrors the embeddings table."""
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if payload is None:
-                    feats.append(None)
-                    continue
-                seed = int.from_bytes(hashlib.sha256(bytes(payload)).digest()[:8], "big")
-                v = np.random.default_rng(seed).standard_normal(dim)
-                n = np.linalg.norm(v)
-                feats.append([float(x) for x in (v / n if n else v)])
+            feats = [
+                None if payload is None else _stub_features(bytes(payload), dim)
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return df.mapInPandas(_features, schema=FEATURES_SCHEMA)
+    return df.mapInPandas(_features, schema=features_schema(dtype))
 
 
 def sample_frames(decoded: DataFrame, *, stride: int = 24) -> DataFrame:

@@ -1,12 +1,15 @@
-"""Multimodal workload: binary-column metadata projection with a DuckDB
-oracle (codec-free stage), plus the rows-only decode/feature queries (the
-stubbed-codec stages are Python-side by design -> weaker driver check)."""
+"""Multimodal workload: binary-column metadata projection, stub decode, and
+stub feature extraction — each with an exact DuckDB oracle. The decode and
+feature stubs are sha256-derived (operators/multimodal.py), so DuckDB can
+recompute the identical values with ``sha256`` + hex slicing even though the
+Spark side runs through the real Arrow-batched ``mapInPandas`` plumbing."""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     decode_media,
@@ -32,16 +35,65 @@ FROM documents ORDER BY media_id
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: decode goes through the stubbed codec (mapInPandas),
-    deliberately not SQL-expressible."""
+    """Stub decode through mapInPandas; the sha256-byte pseudo-metadata is
+    recomputed exactly by the DuckDB oracle (all-integer arithmetic)."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return decode_media(media).orderBy("media_id")
 
 
+SQL_MEDIA_DECODE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+         sha256(text) AS hx
+  FROM documents
+), b AS (
+  SELECT media_id, kind,
+         CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) AS b0,
+         CAST(('0x' || substr(hx, 3, 2)) AS INTEGER) AS b1,
+         CAST(('0x' || substr(hx, 5, 2)) AS INTEGER) AS b2,
+         CAST(('0x' || substr(hx, 7, 2)) AS INTEGER) AS b3
+  FROM m
+)
+SELECT media_id, kind,
+  CAST(CASE WHEN kind IN ('image', 'video') THEN 160 + (b0 % 8) * 80 END AS INTEGER) AS width,
+  CAST(CASE WHEN kind IN ('image', 'video') THEN 120 + (b1 % 8) * 60 END AS INTEGER) AS height,
+  CAST(CASE WHEN kind = 'image' THEN 1
+            WHEN kind = 'video' THEN 24 + (b2 % 240) END AS INTEGER) AS n_frames,
+  CAST(CASE WHEN kind = 'audio' THEN 8000 * (1 + (b1 % 6)) END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN kind = 'audio' THEN 500 + b2 * 37
+            WHEN kind = 'video' THEN 1000 + b3 * 91 END AS INTEGER) AS duration_ms
+FROM b ORDER BY media_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: sha-seeded stub embedder via mapInPandas."""
+    """Stub feature extraction (sha256-byte unit vectors via mapInPandas),
+    exploded to (media_id, pos, value) so the driver's canonicalization has
+    only hashable scalars; values rounded to 6dp on both sides. The float64
+    path (`dtype="double"`) keeps Spark and DuckDB bit-comparable."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media, dtype="double")
+    return (
+        feats.select("media_id", F.posexplode("features").alias("pos", "value"))
+        .select("media_id", "pos", F.round("value", 6).alias("value"))
+        .orderBy("media_id", "pos")
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH b AS (
+  SELECT doc_id AS media_id, CAST(j AS INTEGER) AS pos,
+         CAST(('0x' || substr(sha256(text), j * 2 + 1, 2)) AS INTEGER) / 128.0 - 1.0 AS raw
+  FROM documents, range(32) t(j)
+), n AS (
+  SELECT media_id, sqrt(sum(raw * raw)) AS nrm FROM b GROUP BY media_id
+)
+SELECT b.media_id, b.pos,
+       round(CASE WHEN n.nrm = 0 THEN b.raw ELSE b.raw / n.nrm END, 6) AS value
+FROM b JOIN n USING (media_id)
+ORDER BY media_id, pos
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -52,4 +104,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "media_metadata": SQL_MEDIA_METADATA,
+    "media_decode": SQL_MEDIA_DECODE,
+    "media_features": SQL_MEDIA_FEATURES,
 }
