@@ -19,12 +19,15 @@ Concurrency/consistency: the reference holds RW locks and deep-copies on
 read; Spark DataFrames are immutable snapshots, so readers are isolated for
 free. The dimension tables (libraries/documents — small) version as whole
 directories behind an atomic ``_CURRENT`` pointer flip. The chunks FACT
-table versions **per library**: one immutable subdirectory per
-(library, version) behind a single atomic JSON pointer map — a write
-rewrites only its library's data (O(library), not O(table)), a per-library
-read opens exactly one directory, and a full-table read unions the current
-directories. This is the property that keeps CRUD viable when the chunks
-table is 100 TB: the reference's own locking is per-library for content ops
+table versions **per library** as an ordered list of immutable *generation*
+directories behind a single atomic JSON pointer map: an insert appends a
+new generation holding only the inserted rows (O(delta) — no existing file
+is read or touched), updates/deletes copy-on-write the one library into a
+fresh single-generation snapshot with the read's natural parallelism, and
+size-tiered compaction (LSM-style) merges same-tier generations so the
+per-library directory count stays bounded. This is the property that keeps
+CRUD viable when the chunks table is 100 TB: inserts never pay O(library),
+and the reference's own locking is per-library for content ops
 (library_repo.py:24-38), so per-library snapshot granularity is the same
 consistency contract. At deployment scale this class is a thin facade over
 Delta Lake MERGE/DELETE (schema enforcement, optimistic concurrency, table
@@ -90,32 +93,44 @@ class EntityStore:
         with open(self._pointer(table)) as f:
             return f.read().strip()
 
-    def _chunks_map(self) -> dict[str, str]:
-        """library_id -> current immutable chunk-directory for that library."""
+    def _chunks_map(self) -> dict[str, list[dict]]:
+        """library_id -> ordered generation list ``[{"dir": path, "rows": n}]``.
+
+        A library's current snapshot is the UNION of its generation
+        directories. Inserts append a new generation holding only the new
+        rows (generations are row-disjoint by construction — fresh UUIDs),
+        so a single ``add_chunk`` is O(1) regardless of library size;
+        updates/deletes collapse the list back to one rewritten generation.
+        """
         return json.loads(self._read_pointer("chunks"))
 
-    def _flip_chunks_map(self, mapping: dict[str, str]) -> None:
+    def _flip_chunks_map(self, mapping: dict[str, list[dict]]) -> None:
         tmp = self._pointer("chunks") + ".tmp"
         with open(tmp, "w") as f:
             f.write(json.dumps(mapping))
         os.replace(tmp, self._pointer("chunks"))  # atomic snapshot flip
 
+    def _library_dirs(self, library_id: str) -> list[str]:
+        return [g["dir"] for g in self._chunks_map().get(library_id, [])]
+
     def read(self, table: str) -> DataFrame:
         if table == "chunks":
-            dirs = sorted(self._chunks_map().values())
+            dirs = sorted(
+                g["dir"] for gens in self._chunks_map().values() for g in gens
+            )
             if not dirs:
                 return self.spark.createDataFrame([], CHUNK_SCHEMA)
             return self.spark.read.schema(CHUNK_SCHEMA).parquet(*dirs)
         return self.spark.read.schema(_TABLES[table]).parquet(self._read_pointer(table))
 
     def read_chunks_library(self, library_id: str) -> DataFrame:
-        """One library's chunks = ONE directory — the pruned read every
-        search uses; no partition filter needed because the layout IS the
-        partition."""
-        d = self._chunks_map().get(library_id)
-        if d is None:
+        """One library's chunks = its few generation directories (compaction
+        bounds the count) — the pruned read every search uses; no partition
+        filter needed because the layout IS the partition."""
+        dirs = self._library_dirs(library_id)
+        if not dirs:
             return self.spark.createDataFrame([], CHUNK_SCHEMA)
-        return self.spark.read.schema(CHUNK_SCHEMA).parquet(d)
+        return self.spark.read.schema(CHUNK_SCHEMA).parquet(*dirs)
 
     def _write(self, table: str, df: DataFrame) -> None:
         new_dir = os.path.join(self.root, f"{table}.v{uuid.uuid4().hex[:12]}")
@@ -127,19 +142,86 @@ class EntityStore:
         # Old version dirs are kept so in-flight snapshot reads stay valid
         # (Delta semantics: files live until VACUUM); reclaim via vacuum().
 
-    def _write_chunks_library(self, library_id: str, df: DataFrame) -> None:
-        """Copy-on-write of ONE library's chunk directory: O(library) per
-        write regardless of how many other libraries exist."""
-        new_dir = os.path.join(self.root, f"chunks.{library_id}.v{uuid.uuid4().hex[:12]}")
-        df.repartition(1).write.mode("overwrite").parquet(new_dir)
+    # Generations sharing a size tier are merged once FANOUT of them pile up
+    # (size-tiered LSM): a run of inserts costs O(1) each, compaction work is
+    # amortized O(log N) rows per insert, and the generation count per
+    # library stays O(FANOUT * log N) so reads never union an unbounded
+    # directory list.
+    _COMPACT_FANOUT = 8
+    _ROWS_PER_FILE = 1 << 20
+
+    def _new_chunk_dir(self, library_id: str) -> str:
+        return os.path.join(self.root, f"chunks.{library_id}.v{uuid.uuid4().hex[:12]}")
+
+    def _write_generation(self, library_id: str, df: DataFrame, rows: int | None) -> dict:
+        """Materialize one immutable generation directory. ``rows=None``
+        means unknown (rewrite path): write with the plan's natural
+        parallelism, then take the count from parquet footers (metadata-only
+        job, no data scan). Known-size paths coalesce toward the target
+        file size instead of forcing a single task."""
+        new_dir = self._new_chunk_dir(library_id)
+        if rows is not None:
+            df = df.coalesce(max(1, -(-rows // self._ROWS_PER_FILE)))
+        df.write.mode("overwrite").parquet(new_dir)
+        if rows is None:
+            rows = self.spark.read.schema(CHUNK_SCHEMA).parquet(new_dir).count()
+        return {"dir": new_dir, "rows": int(rows)}
+
+    def _append_chunks_library(self, library_id: str, df: DataFrame, rows: int) -> None:
+        """O(delta) insert: write ONLY the new rows as a fresh generation and
+        append it to the library's list — no existing file is read or
+        touched. The reference rewrites nothing either (in-place dict append,
+        chunk_repo.py:32-45); this is the same cost shape on immutable
+        storage."""
+        gen = self._write_generation(library_id, df, rows)
         mapping = self._chunks_map()
-        mapping[library_id] = new_dir
+        mapping[library_id] = mapping.get(library_id, []) + [gen]
+        self._compact_tiers(library_id, mapping)
         self._flip_chunks_map(mapping)
+
+    def _rewrite_chunks_library(self, library_id: str, df: DataFrame) -> None:
+        """Copy-on-write rewrite of ONE library (update/delete paths): the
+        new snapshot becomes a single generation, written with the read's
+        natural parallelism (never a forced single task)."""
+        gen = self._write_generation(library_id, df, None)
+        mapping = self._chunks_map()
+        mapping[library_id] = [gen]
+        self._flip_chunks_map(mapping)
+
+    def _compact_tiers(self, library_id: str, mapping: dict[str, list[dict]]) -> None:
+        """Size-tiered compaction: merge any >= FANOUT generations whose row
+        counts fall in the same power-of-FANOUT tier. Merge order is
+        irrelevant — generations are row-disjoint (inserts mint fresh UUIDs;
+        rewrites collapse to one generation first)."""
+        gens = mapping[library_id]
+        while True:
+            tiers: dict[int, list[dict]] = {}
+            for g in gens:
+                t = 0
+                n = g["rows"]
+                while n >= self._COMPACT_FANOUT:
+                    n //= self._COMPACT_FANOUT
+                    t += 1
+                tiers.setdefault(t, []).append(g)
+            victims = next(
+                (gs for gs in tiers.values() if len(gs) >= self._COMPACT_FANOUT), None
+            )
+            if victims is None:
+                mapping[library_id] = gens
+                return
+            df = self.spark.read.schema(CHUNK_SCHEMA).parquet(*[g["dir"] for g in victims])
+            merged = self._write_generation(
+                library_id, df, sum(g["rows"] for g in victims)
+            )
+            victim_dirs = {g["dir"] for g in victims}
+            first = next(i for i, g in enumerate(gens) if g["dir"] in victim_dirs)
+            gens = [g for g in gens if g["dir"] not in victim_dirs]
+            gens.insert(first, merged)
 
     def vacuum(self) -> None:
         """Drop all non-current table/library version directories."""
         current = {self._read_pointer(t) for t in _DIM_TABLES}
-        current |= set(self._chunks_map().values())
+        current |= {g["dir"] for gens in self._chunks_map().values() for g in gens}
         for entry in os.listdir(self.root):
             path = os.path.join(self.root, entry)
             if os.path.isdir(path) and ".v" in entry and path not in current:
@@ -258,7 +340,7 @@ class EntityStore:
         self._write(
             "documents", self.read("documents").filter(F.col("doc_id") != doc_id)
         )
-        self._write_chunks_library(
+        self._rewrite_chunks_library(
             library_id, self.read_chunks_library(library_id).filter(F.col("doc_id") != doc_id)
         )
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
@@ -288,9 +370,7 @@ class EntityStore:
         new = self.spark.createDataFrame(
             [(chunk_id, doc_id, library_id, text, emb, meta_type, ts, ts)], CHUNK_SCHEMA
         )
-        self._write_chunks_library(
-            library_id, self.read_chunks_library(library_id).unionByName(new)
-        )
+        self._append_chunks_library(library_id, new, rows=1)
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
         return chunk_id
 
@@ -344,13 +424,21 @@ class EntityStore:
         chunks = chunks.withColumn(
             "updated_at", F.when(hit, F.lit(ts)).otherwise(F.col("updated_at"))
         )
-        self._write_chunks_library(library_id, chunks)
+        self._rewrite_chunks_library(library_id, chunks)
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
 
     def delete_chunk(self, library_id: str, chunk_id: str) -> None:
-        self._require("chunks", library_id=library_id, chunk_id=chunk_id)
+        # Existence check against ONE library's directories, not the union
+        # of every library (the reference's delete is likewise scoped to the
+        # owning library, chunk_repo.py:47-62).
+        if not (
+            self.read_chunks_library(library_id)
+            .filter(F.col("chunk_id") == chunk_id)
+            .take(1)
+        ):
+            raise NotFoundError(f"chunks: {library_id}/{chunk_id} not found")
         ts = _now()
-        self._write_chunks_library(
+        self._rewrite_chunks_library(
             library_id,
             self.read_chunks_library(library_id).filter(F.col("chunk_id") != chunk_id),
         )
