@@ -124,6 +124,56 @@ def test_interactive_session_endpoints(api, tmp_path):
     assert [h["text"] for h in res["hits"]] == ["north"]
 
 
+def test_interactive_cancel_signal(api, tmp_path):
+    """POST /{wf}/signal/cancel parity (interactive.py:189-199 +
+    interactive_workflow.py:189-191,362): cancel marks the session finished;
+    cancel on an already-closed workflow is idempotent success; unknown
+    workflow is 404."""
+    from vector_db_mvp_spark.api import InteractiveApi
+
+    ia = InteractiveApi(api.engine, root=str(tmp_path / "ia-cancel"))
+    wf = ia.start()["workflow_id"]
+
+    with pytest.raises(ApiError) as e:
+        ia.signal_cancel("unknown-wf")
+    assert _status(e) == 404
+
+    ia.signal_add_library(wf, {"name": "doomed"})
+    assert ia.signal_cancel(wf) == {"accepted": True, "message": "cancel signaled"}
+    ia.process()
+
+    st = ia.status(wf)
+    assert st["finished"] is True
+    assert st["timeline_tail"][-1] == "cancel:ok"
+
+    # double-cancel: idempotent accept, same as the reference's
+    # already-closed branch — and no new command is enqueued
+    seq_before = ia._seqs[wf]
+    assert ia.signal_cancel(wf) == {"accepted": True, "message": "workflow already closed"}
+    assert ia.signal_finish(wf) == {"accepted": True, "message": "workflow already closed"}
+    assert ia._seqs[wf] == seq_before
+
+
+def test_assemble_library_chunk_cap(api):
+    """Driver OOM guard: nested responses collect at most
+    max_chunks_per_response chunks (limit pushed into the plan) and flag
+    truncation; the default (uncapped here) response shape is unchanged."""
+    from vector_db_mvp_spark.api import VectorDbApi
+
+    lib = api.create_library({"name": "big-lib"})["id"]
+    doc = api.add_document(lib, {"title": "d"})["id"]
+    for i in range(5):
+        api.add_chunk(lib, doc, {"text": f"c{i}", "embedding": [float(i), 1.0, 0.0, 0.0]})
+
+    full = api.get_library(lib)
+    assert "truncated" not in full
+    assert len(full["documents"][0]["chunks"]) == 5
+
+    capped = VectorDbApi(api.engine, max_chunks_per_response=3).get_library(lib)
+    assert capped["truncated"] is True
+    assert len(capped["documents"][0]["chunks"]) == 3
+
+
 def test_chunk_crud_cascade_and_search(api):
     lib = api.create_library({"name": "search-lib"})["id"]
     doc = api.add_document(lib, {"title": "d"})["id"]

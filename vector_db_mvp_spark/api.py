@@ -115,7 +115,19 @@ class InteractiveApi:
         payload = {"library_id": body.pop("lib_id"), **body}
         return self._signal(workflow_id, "start_query", payload)
 
+    def signal_cancel(self, workflow_id: str) -> dict[str, Any]:
+        """POST /{workflow_id}/signal/cancel (interactive.py:189-199):
+        cancel on an already-finished workflow is idempotent success
+        ("workflow already closed"); unknown workflow -> 404."""
+        if workflow_id not in self._seqs:
+            raise ApiError(404, "workflow not found")
+        if self.processor._session_state.get(workflow_id, {}).get("finished"):
+            return {"accepted": True, "message": "workflow already closed"}
+        return self._signal(workflow_id, "cancel", {})
+
     def signal_finish(self, workflow_id: str) -> dict[str, Any]:
+        if self.processor._session_state.get(workflow_id, {}).get("finished"):
+            return {"accepted": True, "message": "workflow already closed"}
         return self._signal(workflow_id, "finish", {})
 
     def process(self, timeout_sec: int = 240) -> None:
@@ -169,9 +181,14 @@ def _lib_404() -> ApiError:
 
 
 class VectorDbApi:
-    def __init__(self, engine: SearchEngine) -> None:
+    def __init__(self, engine: SearchEngine, *, max_chunks_per_response: int = 10_000) -> None:
         self.engine = engine
         self.store: EntityStore = engine.store
+        # Driver OOM guard: nested library/document responses collect at most
+        # this many chunks (the limit is pushed into the Spark plan, so the
+        # excess rows are never shipped to the driver); a truncated response
+        # carries "truncated": True so callers know to page via list_chunks.
+        self.max_chunks_per_response = max_chunks_per_response
 
     # -- entity serialization (reference response models) ------------------
 
@@ -216,13 +233,23 @@ class VectorDbApi:
     def _assemble_library(self, lib_row) -> dict[str, Any]:
         lib_id = lib_row["library_id"]
         docs = []
+        budget = self.max_chunks_per_response
+        truncated = False
         for d in self.store.list_documents(lib_id).collect():
-            chunks = [
-                self._chunk_dict(c)
-                for c in self.store.list_chunks(lib_id, d["doc_id"]).collect()
-            ]
-            docs.append(self._doc_dict(d, chunks))
-        return self._library_dict(lib_row, docs)
+            if budget <= 0:
+                truncated = True
+                docs.append(self._doc_dict(d, []))
+                continue
+            rows = self.store.list_chunks(lib_id, d["doc_id"]).limit(budget + 1).collect()
+            if len(rows) > budget:
+                truncated = True
+                rows = rows[:budget]
+            budget -= len(rows)
+            docs.append(self._doc_dict(d, [self._chunk_dict(c) for c in rows]))
+        out = self._library_dict(lib_row, docs)
+        if truncated:
+            out["truncated"] = True
+        return out
 
     def _require_library(self, lib_id: str) -> None:
         try:

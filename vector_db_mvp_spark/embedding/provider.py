@@ -55,6 +55,62 @@ class FailingEmbeddingProvider:
         raise RuntimeError("embedding provider unavailable")
 
 
+class HttpEmbeddingProvider:
+    """REST text->vector adapter matching the reference Cohere provider
+    shape (``cohere_provider.py:12-29``): POST ``{"texts": [text], "model":
+    ..., "input_type": "search_document"}``, 10 s timeout (``:10``), missing
+    API key -> ValueError (``:14-15``), non-2xx -> error (``raise_for_status``
+    analog), and ``dim`` accepted but UNUSED — the endpoint's full dimension
+    is returned as-is (``:12,29``).
+
+    ``transport`` is an injectable callable ``(url, headers, body, timeout)
+    -> (status, response_bytes)`` so the contract is testable without a
+    network; the default uses stdlib urllib (no extra dependency). The
+    provider holds no open connection, so it pickles cleanly into the
+    pandas-UDF closure for batch embedding — though at scale embedding
+    belongs in an offline job writing an embeddings table, not inline HTTP.
+    """
+
+    def __init__(
+        self,
+        url: str = "https://api.cohere.ai/v1/embed",
+        api_key: str | None = None,
+        model: str = "embed-english-v3.0",
+        timeout: float = 10.0,
+        transport=None,
+    ) -> None:
+        self.url = url
+        self.api_key = api_key
+        self.model = model
+        self.timeout = timeout
+        self.transport = transport
+
+    def _urllib_transport(self, url, headers, body, timeout):
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read()
+
+    def embed_text(self, text: str, dim: int = 384) -> list[float]:
+        import json
+
+        if not self.api_key:
+            raise ValueError("embedding API key not configured")
+        body = json.dumps(
+            {"texts": [text], "model": self.model, "input_type": "search_document"}
+        ).encode("utf-8")
+        headers = {
+            "Authorization": f"Bearer {self.api_key}",
+            "Content-Type": "application/json",
+        }
+        send = self.transport or self._urllib_transport
+        status, payload = send(self.url, headers, body, self.timeout)
+        if not 200 <= status < 300:
+            raise RuntimeError(f"embedding endpoint returned {status}")
+        return json.loads(payload)["embeddings"][0]  # dim intentionally unused
+
+
 def embed_text_column(
     text: Column | str, dim: int = 384, provider: EmbeddingProvider | None = None
 ) -> Column:

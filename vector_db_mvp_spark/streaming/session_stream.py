@@ -169,6 +169,11 @@ class SessionStreamProcessor:
                 )
                 state["last_results"] = res.to_dict()
                 detail = f"hits_written index_used={res.index_used}"
+            elif action == "cancel":
+                # interactive_workflow.py:189-191,362: cancel marks the whole
+                # session finished ("For simplicity, we mark finished").
+                state["finished"] = True
+                detail = "Cancel received. Finishing workflow."
             elif action == "finish":
                 state["finished"] = True
                 detail = "finished"
