@@ -29,6 +29,7 @@ HEADLINE = [
     "topk_cosine_filtered",
     "topk_cosine_k100",
     "lsh_topk",
+    "lsh_topk_served",
     "ann_batch_topk",
     "pricing_summary",
     "top_revenue_orders",
@@ -63,6 +64,17 @@ def main() -> None:
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name in HEADLINE:
             QUERIES[name](spark, warm_dir).collect()
+    # Build the served ANN index for the benched SF ahead of timing: the
+    # artifact is build-once/serve-many by contract (operators/served.py), so
+    # `lsh_topk_served` measures serving latency — the 100 TB query shape —
+    # while `lsh_topk` right above it measures the reference's
+    # rebuild-per-query semantic for comparison.
+    from vector_db_mvp_spark.workload.vector import _PLANES  # noqa: E402
+    from vector_db_mvp_spark.operators.served import build_served_index  # noqa: E402
+
+    build_served_index(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), _PLANES, force=True
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

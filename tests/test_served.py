@@ -1,0 +1,91 @@
+"""Served ANN index (operators/served.py): build-once/serve-many contract.
+
+Pins the three properties the serving layout promises:
+- result parity with the live rebuild-per-query path (same codes -> same
+  candidates -> same scores/order);
+- build caching: a second query against the same (corpus, config) reuses the
+  artifact (no rewrite);
+- the served plan carries no per-row hashing — the scan reads precomputed
+  ``lsh_codes`` instead of recomputing T x P plane dots per row.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from vector_db_mvp_spark.operators.served import (
+    build_served_index,
+    lsh_topk_served,
+    served_index_path,
+)
+from vector_db_mvp_spark.sources.testdata import load_table
+from vector_db_mvp_spark.workload.vector import _PLANES, q_lsh_topk, q_lsh_topk_served
+
+
+@pytest.fixture(scope="module")
+def corpus_path(sf_dir):
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("served_index"))
+
+
+def _qv(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(emb.vec_id == 0).take(1)[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_served_matches_live_path(spark, sf_dir, corpus_path, index_root):
+    qv = _qv(spark, sf_dir)
+    served = lsh_topk_served(
+        spark, corpus_path, qv, 10, _PLANES, score_decimals=6, root=index_root
+    ).select("vec_id", "label", "score")
+    live = q_lsh_topk(spark, sf_dir).select("vec_id", "label", "score")
+    assert [r.asDict() for r in served.collect()] == [
+        r.asDict() for r in live.collect()
+    ]
+
+
+def test_workload_entry_matches_live(spark, sf_dir):
+    # The registered query (default index root) agrees with the live path too.
+    served = q_lsh_topk_served(spark, sf_dir)
+    live = q_lsh_topk(spark, sf_dir)
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in live.collect()]
+
+
+def test_build_is_cached(spark, corpus_path, index_root):
+    path = build_served_index(spark, corpus_path, _PLANES, root=index_root)
+    assert path == served_index_path(corpus_path, _PLANES, root=index_root)
+    success = os.path.join(path, "_SUCCESS")
+    mtime = os.path.getmtime(success)
+    again = build_served_index(spark, corpus_path, _PLANES, root=index_root)
+    assert again == path
+    assert os.path.getmtime(success) == mtime  # untouched: cache hit
+    rebuilt = build_served_index(spark, corpus_path, _PLANES, root=index_root, force=True)
+    assert rebuilt == path
+    assert os.path.getmtime(success) >= mtime
+
+
+def test_config_keys_are_distinct(corpus_path):
+    p1 = served_index_path(corpus_path, _PLANES)
+    p2 = served_index_path(corpus_path, _PLANES[:2])
+    assert p1 != p2
+
+
+def test_served_plan_has_no_per_row_hashing(spark, corpus_path, index_root):
+    qv = _qv(spark, os.path.dirname(corpus_path))
+    served = lsh_topk_served(
+        spark, corpus_path, qv, 5, _PLANES, root=index_root
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # The live path hashes every row at query time (Arrow matmul batches or
+    # T x P native fold dots); the served plan must instead read the
+    # precomputed column straight off the parquet scan.
+    assert "ArrowEvalPython" not in plan  # no query-time pandas hashing
+    scan = plan[plan.index("Scan parquet"):]
+    assert "lsh_codes" in scan  # codes come off the scan, not an expression

@@ -1,0 +1,121 @@
+"""Build-once / serve-many ANN index over a parquet corpus table.
+
+The reference rebuilds its LSH/brute index from scratch on *every* query
+(``app/services/search_service.py:121-125`` — ``build_index`` inside the
+search call), which is the one semantic that cannot survive 100 TB: hashing
+the corpus is O(N·T·P) per query.  ``ChunkIndexStore``
+(storage/index_store.py) already fixes this for the CRUD store's chunks;
+this module is its table-level twin for a static corpus table such as the
+benchmark's ``embeddings`` parquet:
+
+- **build** (once): attach per-table sign-bit codes via the Arrow-batched
+  matmul path (bit-identical to the native fold — asserted in
+  tests/test_lsh.py) and persist the serving layout as parquet.  At cluster
+  scale this is the artifact a pipeline publishes; rebuilds happen on data
+  change, never per query.
+- **serve** (per query): read only the serving columns, prune on the
+  *precomputed* codes with the same ``exists`` filter as the live path, and
+  exact-rerank the ~C << N candidates.  The per-query cost drops from
+  O(N·T·P + C·D) to O(N + C·D) — and with a code-partitioned layout the scan
+  side prunes too.
+
+The build is keyed by (corpus path, LSH config) and skipped when the
+artifact already exists, so callers may invoke ``lsh_topk_served`` per query
+exactly like ``lsh_topk`` and pay the build once per corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.lsh import bucket_codes_native
+from .lsh import lsh_candidates, with_bucket_codes
+from .topk import topk_cosine
+
+
+def _planes_key(planes: list[list[list[float]]]) -> str:
+    """Deterministic fingerprint of the LSH config (tables x planes x dim
+    plus the plane values themselves)."""
+    h = hashlib.md5()
+    for table in planes:
+        for plane in table:
+            for x in plane:
+                h.update(repr(float(x)).encode())
+        h.update(b"|")
+    return h.hexdigest()[:16]
+
+
+def served_index_path(
+    corpus_path: str,
+    planes: list[list[list[float]]],
+    *,
+    root: str | None = None,
+) -> str:
+    """Filesystem location of the serving artifact for (corpus, config)."""
+    root = root or os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(corpus_path)}|{_planes_key(planes)}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(root, f"embidx-{key}")
+
+
+def build_served_index(
+    spark: SparkSession,
+    corpus_path: str,
+    planes: list[list[list[float]]],
+    *,
+    embedding_col: str = "embedding",
+    root: str | None = None,
+    force: bool = False,
+) -> str:
+    """Persist the corpus with precomputed ``lsh_codes``; returns the index
+    directory.  No-op when the artifact for this (corpus, config) exists."""
+    path = served_index_path(corpus_path, planes, root=root)
+    if not force and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+    corpus = spark.read.parquet(corpus_path).filter(
+        F.col(embedding_col).isNotNull()
+    )
+    # Arrow matmul path: one BLAS call per batch at build time; codes are
+    # bit-identical to the oracle's sequential fold (tests/test_lsh.py).
+    indexed = with_bucket_codes(corpus, planes, embedding_col=embedding_col)
+    indexed.write.mode("overwrite").parquet(path)
+    return path
+
+
+def lsh_topk_served(
+    spark: SparkSession,
+    corpus_path: str,
+    query_vector: Sequence[float],
+    k: int,
+    planes: list[list[list[float]]],
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int | None = None,
+    root: str | None = None,
+) -> DataFrame:
+    """`lsh_topk` semantics served from the persisted index: identical
+    candidates and scores (same codes, same exists-prune, same rerank), but
+    the per-row hashing was paid once at build time."""
+    path = build_served_index(
+        spark, corpus_path, planes, embedding_col=embedding_col, root=root
+    )
+    idx = spark.read.parquet(path)
+    qv = [float(x) for x in query_vector]
+    qc = bucket_codes_native(qv, planes)
+    cands = lsh_candidates(idx, qc).drop("lsh_codes")
+    return topk_cosine(
+        cands, qv, k,
+        embedding_col=embedding_col, id_col=id_col,
+        score_decimals=score_decimals,
+    )

@@ -114,6 +114,25 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "score")
 
 
+def q_lsh_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 served from a persisted index (operators/served.py): identical
+    result contract to ``lsh_topk`` — same codes, same prune, same rerank —
+    but the per-row hashing was paid once at index-build time instead of per
+    query. The build is cached per (corpus, config); bench.py warms it so the
+    timed number is pure serving cost, which is the 100 TB query shape (the
+    reference's rebuild-per-query, search_service.py:121-125, cannot scale)."""
+    import os
+
+    from ..operators.served import lsh_topk_served
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    corpus_path = os.path.join(sf_dir, "embeddings.parquet")
+    return lsh_topk_served(
+        spark, corpus_path, qv, 10, _PLANES, score_decimals=6
+    ).select("vec_id", "label", "score")
+
+
 def _sql_lsh_topk(k: int, query_vec_id: int = 0) -> str:
     cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
     row_codes = [sql_bucket_code("e.embedding", t) for t in _PLANES]
@@ -207,6 +226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
     "lsh_topk": q_lsh_topk,
+    "lsh_topk_served": q_lsh_topk_served,
     "ann_batch_topk": q_ann_batch_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -217,5 +237,6 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
     "lsh_topk": _sql_lsh_topk(10),
+    "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
 }
