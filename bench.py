@@ -40,6 +40,8 @@ HEADLINE = [
     "asof_purchase_view",
     "range_join_events",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "lsh_batch_topk",
     "token_stats",
 ]
 

@@ -1,0 +1,115 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+The dedup operators (operators/dedup.py) emit *pairs* (id1, id2, sim). A
+training-data pipeline needs one more step — resolve pairs into clusters and
+keep one canonical document per cluster (the reference's `keeper` notion from
+exact dedup, ``workload/text.py`` SQL_DEDUP_EXACT ``MIN(doc_id)``, lifted to
+transitive near-dup groups).
+
+Algorithm: HashMin label propagation. Every node starts labeled with its own
+id; each round a node takes the min label among itself and its neighbors;
+fixpoint when no label changes. Rounds = graph diameter, and near-dup
+clusters are shallow (stars/cliques around a template), so 3-5 rounds is
+typical. Each round is one shuffle join keyed by node id.
+
+Scale notes (100 TB):
+- lineage is truncated every round with an eager ``localCheckpoint`` —
+  without it the iterated join plan grows exponentially and the optimizer
+  chokes long before data size matters; on a cluster use
+  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for fault
+  tolerance instead of the local variant.
+- the edge list stays partitioned by ``dst`` across rounds, so only the
+  (small, shrinking) label frame moves.
+- for adversarial graphs (long chains) swap HashMin for the
+  large-star/small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") — same join primitives, O(log n) rounds; near-dup
+  workloads don't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id1",
+    dst: str = "id2",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node, component = min node id reachable.
+
+    ``edges`` is undirected input (each pair listed once, either order).
+    ``nodes`` optionally supplies the full node universe (single-column
+    DataFrame named ``id_col``) so isolated nodes appear as their own
+    singleton components; defaults to the ids present in ``edges``.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if nodes is None:
+        labels = (
+            sym.select(F.col("a").alias(id_col)).distinct()
+            .withColumn("comp", F.col(id_col))
+        )
+    else:
+        labels = nodes.select(F.col(id_col)).distinct().withColumn(
+            "comp", F.col(id_col)
+        )
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min neighbor label per node, one shuffle keyed by node id
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels[id_col])
+            .groupBy(sym["a"].alias(id_col))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                F.col("comp"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).take(1)
+        labels = updated.select(id_col, F.col("new_comp").alias("comp"))
+        if not changed:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup ``pairs`` into clusters over the full ``docs``
+    universe: (doc_id, cluster_id, is_keeper). The keeper is the cluster's
+    min doc_id — the same canonical-choice rule as exact dedup's
+    ``keeper_id``; singleton docs keep themselves."""
+    comp = connected_components(
+        pairs,
+        src="id1",
+        dst="id2",
+        nodes=docs.select(F.col(id_col).alias("id")),
+        id_col="id",
+        max_iter=max_iter,
+    )
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("id")).alias("is_keeper"),
+    )

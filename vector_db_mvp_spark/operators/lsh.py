@@ -158,6 +158,7 @@ def lsh_topk_batch(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     score_col: str = "score",
+    score_decimals: int | None = None,
     native: bool = False,
 ) -> DataFrame:
     """Batched LSH top-k — many queries against one corpus in one shuffle.
@@ -192,6 +193,8 @@ def lsh_topk_batch(
             cosine_similarity(F.col(embedding_col), F.col(query_embedding_col)),
         )
     )
+    if score_decimals is not None:
+        cand = cand.withColumn(score_col, F.round(F.col(score_col), score_decimals))
     w = Window.partitionBy(query_id_col).orderBy(F.desc(score_col), F.asc(id_col))
     return (
         cand.withColumn("_rank", F.row_number().over(w))

@@ -196,6 +196,35 @@ ORDER BY id1, id2
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash+LSH, same config as ``dedup_minhash_lsh``)
+    resolved into clusters by iterative min-label propagation
+    (operators/cluster.py); keeper = min doc_id per cluster. The oracle
+    computes the same components with a recursive CTE — an exact check of an
+    *iterative* Spark algorithm."""
+    from ..operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=5, num_hashes=16, bands=4, tau=0.4)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+def _sql_dedup_clusters() -> str:
+    pairs = _sql_minhash(5, 16, 4, 0.4)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_keeper
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -276,6 +305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
     "language_id": q_language_id,
     "fingerprints": q_fingerprints,
@@ -288,6 +318,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": _sql_simhash_pairs(3),
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
+    "dedup_clusters": _sql_dedup_clusters(),
     "token_stats": SQL_TOKEN_STATS,
     "language_id": _sql_language_id(),
     "fingerprints": SQL_FINGERPRINTS,

@@ -200,6 +200,49 @@ ORDER BY query_id, rank
 """
 
 
+def q_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LSH: 5 query vectors against the corpus in ONE shuffle —
+    explode codes on both sides, equi-join on (table, code), dedupe candidate
+    pairs, exact rerank, per-query window top-5 (operators/lsh.py
+    ``lsh_topk_batch``). The approximate twin of ``ann_batch_topk``: at
+    100 TB the corpus shuffles once on the bucket key instead of being
+    cross-joined against every query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    from ..operators.lsh import lsh_topk_batch
+
+    return lsh_topk_batch(
+        queries_df, emb, 5, _PLANES, score_decimals=6, native=True
+    ).orderBy("query_id", "rank")
+
+
+def _sql_lsh_batch_topk() -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
+    overlap = " OR ".join(
+        f"({sql_bucket_code('e.embedding', t)}) = ({sql_bucket_code('q._qv', t)})"
+        for t in _PLANES
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS _qv FROM embeddings WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS score
+  FROM embeddings e JOIN q ON ({overlap})
+  WHERE e.embedding IS NOT NULL
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (MLlib KMeans partitioning) with FULL probe: scanning every
     cluster makes the result exactly the brute-force top-k, so the same SQL
@@ -228,11 +271,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk": q_lsh_topk,
     "lsh_topk_served": q_lsh_topk_served,
     "ann_batch_topk": q_ann_batch_topk,
+    "lsh_batch_topk": q_lsh_batch_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "ann_batch_topk": _sql_ann_batch_topk(),
+    "lsh_batch_topk": _sql_lsh_batch_topk(),
     "topk_cosine_brute": _sql_topk_cosine(10),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
