@@ -214,8 +214,11 @@ def q_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.lsh import lsh_topk_batch
 
+    # Arrow matmul hashing on both sides: one BLAS call per batch instead of
+    # T x P fold-dots per row, bit-identical codes (tests/test_lsh.py), and
+    # immune to the HOF-lambda CSE loss the native fold hits under posexplode.
     return lsh_topk_batch(
-        queries_df, emb, 5, _PLANES, score_decimals=6, native=True
+        queries_df, emb, 5, _PLANES, score_decimals=6
     ).orderBy("query_id", "rank")
 
 
