@@ -82,3 +82,24 @@ def test_frame_sampling(spark, sf_dir):
     assert per_kind["video"] >= n_by_kind["video"]
     vid = frames.filter(F.col("kind") == "video").collect()
     assert all(r["frame_index"] % 24 == 0 for r in vid)
+
+
+def test_resize_contract(spark, sf_dir):
+    import hashlib
+
+    from vector_db_mvp_spark.operators.multimodal import resize_media
+
+    media = _media(spark, sf_dir).limit(60)
+    resized = resize_media(media, width=64, height=64)
+    rows = resized.collect()
+    assert len(rows) == media.count()  # 1:1 map, no silent drops
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    # audio rows pass through with null payload; visual rows get the stub digest
+    assert all(r["payload"] is None for r in by_kind["audio"])
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in by_kind["image"] + by_kind["video"]:
+        want = hashlib.sha256(src[r["media_id"]] + b"|64x64").digest()
+        assert bytes(r["payload"]) == want
+        assert (r["width"], r["height"]) == (64, 64)

@@ -315,15 +315,19 @@ def embedding_neardup_pairs_lsh(
     (shuffle keyed by (table, code) — sub-quadratic), then exact cosine
     verify. Recall < 1 by construction; measured against the exact variant in
     tests."""
-    from ..operators.lsh import with_bucket_codes
+    from ..functions.lsh import bucket_codes_native, bucket_codes_pandas
 
-    coded = with_bucket_codes(
-        df.filter(F.col(embedding_col).isNotNull()), planes,
-        embedding_col=embedding_col, native=native,
-    ).select(
+    codes = (
+        bucket_codes_native(embedding_col, planes) if native
+        else bucket_codes_pandas(planes, embedding_col)
+    )
+    # posexplode the codes expression directly — materializing via withColumn
+    # first makes Catalyst re-inline it into both the Generate input and the
+    # outer project, evaluating the hash twice per row (see lsh_topk_batch).
+    coded = df.filter(F.col(embedding_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(embedding_col).alias("_e"),
-        F.posexplode("lsh_codes").alias("table_id", "code"),
+        F.posexplode(codes).alias("table_id", "code"),
     )
     a, b = coded.alias("a"), coded.alias("b")
     return (

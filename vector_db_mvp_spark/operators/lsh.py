@@ -170,19 +170,24 @@ def lsh_topk_batch(
     """
     from pyspark.sql import Window
 
-    c = with_bucket_codes(
-        corpus_df.filter(F.col(embedding_col).isNotNull()), planes,
-        embedding_col=embedding_col, native=native,
-    ).select(
+    def _codes(col: str) -> Column:
+        return (
+            bucket_codes_native(col, planes) if native
+            else bucket_codes_pandas(planes, col)
+        )
+
+    # posexplode the codes EXPRESSION directly: materializing it first via
+    # withColumn makes Catalyst re-inline the (UDF) expression into both the
+    # Generate input and the outer project — two ArrowEvalPython passes over
+    # every corpus row (measured 2x; the CSE-loss pathology). The direct
+    # generator form evaluates it once.
+    c = corpus_df.filter(F.col(embedding_col).isNotNull()).select(
         id_col, embedding_col,
-        F.posexplode("lsh_codes").alias("table_id", "code"),
+        F.posexplode(_codes(embedding_col)).alias("table_id", "code"),
     )
-    q = with_bucket_codes(
-        queries_df.filter(F.col(query_embedding_col).isNotNull()), planes,
-        embedding_col=query_embedding_col, native=native,
-    ).select(
+    q = queries_df.filter(F.col(query_embedding_col).isNotNull()).select(
         query_id_col, query_embedding_col,
-        F.posexplode("lsh_codes").alias("table_id", "code"),
+        F.posexplode(_codes(query_embedding_col)).alias("table_id", "code"),
     )
     cand = (
         c.join(q, ["table_id", "code"])

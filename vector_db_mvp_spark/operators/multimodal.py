@@ -173,6 +173,57 @@ def extract_features(df: DataFrame, *, dim: int = FEATURE_DIM, dtype: str = "flo
     return df.mapInPandas(_features, schema=features_schema(dtype))
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize — deterministic 32-byte "thumbnail" derived from the
+    payload and target geometry (sha256(payload || '|WxH')). Replace with
+    PIL ``Image.resize`` / ffmpeg scale in deployment; chosen so the exact
+    bytes are recomputable in DuckDB SQL for the oracle."""
+    return hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
+
+
+def resize_media(df: DataFrame, *, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas resize for visual media (image/video): binary in, binary
+    out, same Arrow batch plumbing as decode. Non-visual rows (audio) pass
+    through with a null payload — resize is undefined for them, and emitting
+    the row keeps the operator a 1:1 map (no silent drops)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real codec path (absent in this container)
+            import PIL.Image  # noqa: F401
+            real = True
+        except ImportError:
+            real = False
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None or kind not in ("image", "video"):
+                    resized = None
+                elif real:
+                    raise NotImplementedError(
+                        "real codec path: wire PIL.Image.open(...).resize((w, h)) here"
+                    )
+                else:
+                    resized = _stub_resize(bytes(payload), width, height)
+                out.append(
+                    {"media_id": media_id, "kind": kind, "width": width,
+                     "height": height, "payload": resized}
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(decoded: DataFrame, *, stride: int = 24) -> DataFrame:
     """Explode videos into sampled frame rows (every ``stride``-th frame) —
     pure native sequence/explode, no Python. Non-videos pass through with a

@@ -16,6 +16,7 @@ from ..operators.multimodal import (
     extract_features,
     media_from_documents,
     media_metadata,
+    resize_media,
 )
 from ..sources.testdata import load_table
 
@@ -96,14 +97,39 @@ ORDER BY media_id, pos
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub resize through mapInPandas: visual payloads -> deterministic
+    32-byte thumbnails (sha256(payload || '|64x64')); the oracle recomputes
+    the identical digest in SQL. Binary projected to hex so the driver's
+    canonicalization sees scalars."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(media, width=64, height=64)
+    return resized.select(
+        "media_id", "kind", "width", "height",
+        F.lower(F.hex("payload")).alias("resized_sha"),
+    ).orderBy("media_id")
+
+
+SQL_MEDIA_RESIZE = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+       64 AS width, 64 AS height,
+       CASE WHEN (['image', 'audio', 'video'])[doc_id % 3 + 1] IN ('image', 'video')
+            THEN sha256(text || '|64x64') END AS resized_sha
+FROM documents ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "media_metadata": SQL_MEDIA_METADATA,
     "media_decode": SQL_MEDIA_DECODE,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_resize": SQL_MEDIA_RESIZE,
 }
