@@ -204,3 +204,65 @@ def test_session_stream_lww_and_error_containment(spark, tmp_path):
     assert tl[1][0] == "error"    # no library in state -> contained failure
     assert "KeyError" in tl[1][1]
     assert store.list_libraries().count() == 0  # nothing applied
+
+
+def test_stream_dedup_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup (streaming/dedup_stream.py): duplicates within
+    the watermark horizon are dropped, first arrival survives, and the
+    surviving set matches the batch exact-dedup fingerprint universe."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from vector_db_mvp_spark.streaming.dedup_stream import (
+        dedup_stream_exact,
+        with_fingerprint,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("text", StringType(), True),
+            StructField("ts", TimestampType(), False),
+        ]
+    )
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "docs_in")
+    # file 1: three originals; file 2 (later micro-batch): two exact dupes
+    # (same text, new ids) + one genuinely new doc
+    spark.createDataFrame(
+        [(1, "alpha beta", t0), (2, "gamma", t0), (3, "delta", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, "alpha  BETA", t0 + dt.timedelta(minutes=5)),   # dupe of 1 (normalized)
+         (5, "gamma", t0 + dt.timedelta(minutes=6)),          # dupe of 2
+         (6, "epsilon", t0 + dt.timedelta(minutes=7))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        dedup_stream_exact(with_fingerprint(stream), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 6]
+    # fingerprint universe identical to the batch exact-dedup view
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta"), (4, "alpha  BETA"),
+         (5, "gamma"), (6, "epsilon")],
+        "doc_id long, text string",
+    )
+    batch_fps = {r["fingerprint"] for r in with_fingerprint(batch).select("fingerprint").distinct().collect()}
+    assert {r["fingerprint"] for r in rows} == batch_fps
