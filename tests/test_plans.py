@@ -88,3 +88,24 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     for q in ["pricing_summary", "topk_cosine_brute"]:
         p = plan_of(spark, q, sf_dir, mode="codegen")
         assert "WholeStageCodegen" in p, q
+
+
+def test_batch_lsh_single_hash_pass_per_side(spark, sf_dir):
+    """Regression for the withColumn+posexplode re-inlining pathology: the
+    code-hash UDF must run ONCE per side (corpus, queries) — materializing
+    the codes column before exploding made Catalyst evaluate it twice per
+    row (2x Arrow transfer of the whole corpus). Simple mode: one mention
+    per physical node (formatted lists each node twice)."""
+    plan = plan_of(spark, "lsh_batch_topk", sf_dir, mode="simple")
+    assert plan.count("ArrowEvalPython") == 2  # one per side, not two
+    # tiny query side broadcasts; the corpus never shuffles for the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_served_index_reads_precomputed_codes(plans):
+    """The served ANN path must read lsh_codes off the parquet scan — no
+    query-time hashing of any kind."""
+    plan = plans("lsh_topk_served")
+    assert "ArrowEvalPython" not in plan
+    scan = plan[plan.index("Scan parquet"):]
+    assert "lsh_codes" in scan
