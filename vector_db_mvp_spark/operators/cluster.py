@@ -40,6 +40,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, component) for every node, component = min node id reachable.
 
@@ -47,6 +48,14 @@ def connected_components(
     ``nodes`` optionally supplies the full node universe (single-column
     DataFrame named ``id_col``) so isolated nodes appear as their own
     singleton components; defaults to the ids present in ``edges``.
+
+    ``num_partitions`` sizes the iterative joins. The label/edge frames are
+    usually orders of magnitude smaller than the corpus that produced the
+    pairs, so inheriting the session's corpus-sized
+    ``spark.sql.shuffle.partitions`` makes every round pay fixed task
+    overhead for near-empty partitions (measured ~40% of CC wall time at
+    sf0.1). Pass a small value when the pair graph is small; leave None on
+    a cluster to inherit the session setting.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -62,6 +71,9 @@ def connected_components(
         labels = nodes.select(F.col(id_col)).distinct().withColumn(
             "comp", F.col(id_col)
         )
+    if num_partitions is not None:
+        sym = sym.repartition(num_partitions, "b")
+        labels = labels.repartition(num_partitions, id_col)
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
@@ -95,6 +107,7 @@ def dedup_clusters(
     *,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve near-dup ``pairs`` into clusters over the full ``docs``
     universe: (doc_id, cluster_id, is_keeper). The keeper is the cluster's
@@ -107,6 +120,7 @@ def dedup_clusters(
         nodes=docs.select(F.col(id_col).alias("id")),
         id_col="id",
         max_iter=max_iter,
+        num_partitions=num_partitions,
     )
     return comp.select(
         F.col("id").alias(id_col),

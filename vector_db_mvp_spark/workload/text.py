@@ -206,7 +206,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, n=5, num_hashes=16, bands=4, tau=0.4)
-    return dedup_clusters(docs, pairs).orderBy("doc_id")
+    # The label/edge frames are tiny relative to the corpus (5k docs at
+    # sf0.1): run the iterative joins on a few partitions instead of the
+    # corpus-sized session default (~40% of CC wall time was task overhead).
+    return dedup_clusters(docs, pairs, num_partitions=8).orderBy("doc_id")
 
 
 def _sql_dedup_clusters() -> str:
