@@ -69,7 +69,9 @@ def main() -> None:
         from vector_db_mvp_spark.workload import QUERIES
 
         print("\nfixture workload samples (sf0.001):")
-        for name in ["topk_cosine_brute", "dedup_minhash_lsh", "asof_purchase_view"]:
+        for name in ["topk_cosine_brute", "dedup_minhash_lsh", "dedup_clusters",
+                     "lsh_topk_served", "lsh_batch_topk", "media_resize",
+                     "asof_purchase_view"]:
             n = QUERIES[name](spark, sf).count()
             print(f"  {name}: {n} rows")
 
