@@ -88,6 +88,49 @@ def q_topk_cosine_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 over int8-quantized embeddings (operators/quantize.py): quantize ->
+    dequantize -> exact cosine -> top-10. Proves the 4x-storage-cut path
+    end-to-end against an oracle that replicates the quantization arithmetic
+    (per-vector scale = max|x|/127 in double, scale stored as float32,
+    round-half-up codes) bit-for-bit in SQL."""
+    from ..operators.quantize import dequantize_embedding, quantize_embedding
+
+    joined = _with_query_vector(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    dq = joined.withColumn(
+        "_edq", dequantize_embedding(quantize_embedding(F.col("embedding")))
+    )
+    return topk_cosine(
+        dq, F.col("_qv"), 10, embedding_col="_edq", score_decimals=6
+    ).select("vec_id", "label", "score")
+
+
+def _sql_topk_cosine_quantized(k: int, query_vec_id: int = 0) -> str:
+    cos = _DUCK_COS.format(a="d.emb_dq", b="q._qv")
+    return f"""
+WITH q AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id}),
+qz AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale_d
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+d AS (
+  SELECT vec_id, label,
+         CASE WHEN scale_d = 0
+              THEN list_transform(ed, x -> CAST(0.0 AS REAL))
+              ELSE list_transform(
+                     ed, x -> CAST(round(x / scale_d)
+                                   * CAST(CAST(scale_d AS REAL) AS DOUBLE) AS REAL))
+         END AS emb_dq
+  FROM qz
+)
+SELECT d.vec_id, d.label, round({cos}, 6) AS score
+FROM d CROSS JOIN q
+ORDER BY score DESC, d.vec_id ASC
+LIMIT {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # LSH approximate top-k (reference T3/J2/F4/F5, lsh.py:19-95)
 # --------------------------------------------------------------------------
@@ -271,6 +314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
+    "topk_cosine_quantized": q_topk_cosine_quantized,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_served": q_lsh_topk_served,
     "ann_batch_topk": q_ann_batch_topk,
@@ -284,6 +328,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_brute": _sql_topk_cosine(10),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
+    "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
     "lsh_topk": _sql_lsh_topk(10),
     "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
