@@ -109,3 +109,16 @@ def test_served_index_reads_precomputed_codes(plans):
     assert "ArrowEvalPython" not in plan
     scan = plan[plan.index("Scan parquet"):]
     assert "lsh_codes" in scan
+
+
+def test_asof_and_range_joins_never_nested_loop(spark, sf_dir):
+    """The as-of join compiles to union+window (no join node at all) and the
+    range join to an equi hash join on time bins — neither may degrade to
+    CartesianProduct / BroadcastNestedLoopJoin, the O(N*M) shapes that are
+    instant death at 100 TB."""
+    for q in ("asof_purchase_view", "range_join_events"):
+        plan = plan_of(spark, q, sf_dir, mode="simple")
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    range_plan = plan_of(spark, "range_join_events", sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in range_plan  # bin-key equi join carries the range predicate
