@@ -52,6 +52,28 @@ def token_stats(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+# GPT-2-style pre-tokenizer regex (contractions | word | number | punct run,
+# each optionally space-prefixed) — the standard cheap proxy for an LLM token
+# budget when the real BPE merges aren't available. Java and RE2 agree on
+# this pattern (parity tested against DuckDB).
+BPE_ISH_PATTERN = r"'(?:ll|ve|re|[sdmt])| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts_bpe(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc + chars-per-token ratio
+    (the budget planners' number). Pure Catalyst: one regexp_count, no UDF."""
+    t = tokens(F.col(text_col))
+    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.col(text_col)) / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 def language_id(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: per-language hit counts, argmax with fixed
     priority tie-break (first in LANG_PRIORITY wins ties)."""

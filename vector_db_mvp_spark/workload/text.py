@@ -259,6 +259,30 @@ FROM base ORDER BY doc_id
 """
 
 
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import token_counts_bpe
+
+    return token_counts_bpe(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sql_token_counts_bpe() -> str:
+    from ..operators.textops import BPE_ISH_PATTERN
+
+    # dollar-quoted so the pattern's quotes/backslashes pass through verbatim
+    return f"""
+WITH c AS (
+  SELECT doc_id, text, {_TOKS} AS t,
+         len(regexp_extract_all(text, $${BPE_ISH_PATTERN}$$)) AS n_bpe
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_ws_tokens,
+       n_bpe AS n_bpe_tokens,
+       round(length(text)::DOUBLE / greatest(n_bpe, 1), 6) AS chars_per_bpe_token
+FROM c ORDER BY doc_id
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -310,6 +334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
+    "token_counts_bpe": q_token_counts_bpe,
     "language_id": q_language_id,
     "fingerprints": q_fingerprints,
 }
@@ -323,6 +348,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
     "dedup_clusters": _sql_dedup_clusters(),
     "token_stats": SQL_TOKEN_STATS,
+    "token_counts_bpe": _sql_token_counts_bpe(),
     "language_id": _sql_language_id(),
     "fingerprints": SQL_FINGERPRINTS,
 }
