@@ -41,6 +41,7 @@ HEADLINE = [
     "range_join_events",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "corpus_curation",
     "lsh_batch_topk",
     "token_stats",
 ]

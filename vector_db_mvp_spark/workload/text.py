@@ -228,6 +228,40 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline in ONE plan: near-dup
+    cluster keepers (MinHash-LSH -> connected components) joined with quality
+    scoring and language ID, thresholded — the keep-list a 100 TB corpus
+    build actually materializes. Every stage is an already-oracled operator;
+    this query proves they compose (and the oracle recomputes the whole
+    pipeline in SQL)."""
+    from ..operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=5, num_hashes=16, bands=4, tau=0.4)
+    keepers = dedup_clusters(docs, pairs, num_partitions=8).filter("is_keeper")
+    quality = token_stats(docs).select("doc_id", "quality_score")
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        keepers.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_score") >= 0.7) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "cluster_id", "quality_score", "pred_lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_corpus_curation() -> str:
+    return f"""
+SELECT c.doc_id, c.cluster_id, q.quality_score, l.pred_lang
+FROM ({_sql_dedup_clusters()}) c
+JOIN ({SQL_TOKEN_STATS}) q USING (doc_id)
+JOIN ({_sql_language_id()}) l USING (doc_id)
+WHERE c.is_keeper AND q.quality_score >= 0.7 AND l.pred_lang = 'en'
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -333,6 +367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_curation": q_corpus_curation,
     "token_stats": q_token_stats,
     "token_counts_bpe": q_token_counts_bpe,
     "language_id": q_language_id,
@@ -347,6 +382,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "corpus_curation": _sql_corpus_curation(),
     "token_stats": SQL_TOKEN_STATS,
     "token_counts_bpe": _sql_token_counts_bpe(),
     "language_id": _sql_language_id(),
