@@ -25,6 +25,13 @@ def __getattr__(name):
         "QueryPipeline": ("vector_db_mvp_spark.plans.pipeline", "QueryPipeline"),
         "DurableQueryPipeline": ("vector_db_mvp_spark.plans.pipeline", "DurableQueryPipeline"),
         "get_spark": ("vector_db_mvp_spark.session", "get_spark"),
+        "connected_components": ("vector_db_mvp_spark.operators.cluster", "connected_components"),
+        "dedup_clusters": ("vector_db_mvp_spark.operators.cluster", "dedup_clusters"),
+        "build_served_index": ("vector_db_mvp_spark.operators.served", "build_served_index"),
+        "lsh_topk_served": ("vector_db_mvp_spark.operators.served", "lsh_topk_served"),
+        "salted_join": ("vector_db_mvp_spark.operators.skew", "salted_join"),
+        "salted_two_phase_agg": ("vector_db_mvp_spark.operators.skew", "salted_two_phase_agg"),
+        "dedup_stream_exact": ("vector_db_mvp_spark.streaming.dedup_stream", "dedup_stream_exact"),
     }
     if name in _exports:
         import importlib
