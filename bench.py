@@ -30,6 +30,7 @@ HEADLINE = [
     "topk_cosine_k100",
     "lsh_topk",
     "lsh_topk_served",
+    "ann_ivf_served",
     "ann_batch_topk",
     "pricing_summary",
     "top_revenue_orders",
@@ -73,11 +74,14 @@ def main() -> None:
     # while `lsh_topk` right above it measures the reference's
     # rebuild-per-query semantic for comparison.
     from vector_db_mvp_spark.workload.vector import _PLANES  # noqa: E402
-    from vector_db_mvp_spark.operators.served import build_served_index  # noqa: E402
-
-    build_served_index(
-        spark, os.path.join(sf_dir, "embeddings.parquet"), _PLANES, force=True
+    from vector_db_mvp_spark.operators.served import (  # noqa: E402
+        build_served_index,
+        build_served_ivf,
     )
+
+    corpus = os.path.join(sf_dir, "embeddings.parquet")
+    build_served_index(spark, corpus, _PLANES, force=True)
+    build_served_ivf(spark, corpus, 8, seed=42, force=True)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

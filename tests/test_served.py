@@ -89,3 +89,27 @@ def test_served_plan_has_no_per_row_hashing(spark, corpus_path, index_root):
     assert "ArrowEvalPython" not in plan  # no query-time pandas hashing
     scan = plan[plan.index("Scan parquet"):]
     assert "lsh_codes" in scan  # codes come off the scan, not an expression
+
+
+def test_served_ivf_matches_brute_and_caches(spark, sf_dir, corpus_path, index_root):
+    import os as _os
+
+    from vector_db_mvp_spark.operators.ivf import ivf_topk, read_ivf_layout
+    from vector_db_mvp_spark.operators.served import build_served_ivf
+    from vector_db_mvp_spark.operators.topk import topk_cosine
+    from vector_db_mvp_spark.sources.testdata import load_table as _lt
+
+    path = build_served_ivf(spark, corpus_path, 4, seed=42, root=index_root)
+    marker = _os.path.join(path, "_centroids.json")
+    mtime = _os.path.getmtime(marker)
+    assert build_served_ivf(spark, corpus_path, 4, seed=42, root=index_root) == path
+    assert _os.path.getmtime(marker) == mtime  # cache hit, no rebuild
+
+    assigned, centroids = read_ivf_layout(spark, path)
+    qv = _qv(spark, sf_dir)
+    served = ivf_topk(assigned, centroids, qv, 10, nprobe=4, score_decimals=6)
+    brute = topk_cosine(_lt(spark, sf_dir, "embeddings"), qv, 10, score_decimals=6)
+    # full probe (nprobe == C) is exactly brute force
+    assert [
+        (r["vec_id"], r["score"]) for r in served.collect()
+    ] == [(r["vec_id"], r["score"]) for r in brute.collect()]

@@ -92,6 +92,42 @@ def build_served_index(
     return path
 
 
+def build_served_ivf(
+    spark: SparkSession,
+    corpus_path: str,
+    num_clusters: int,
+    *,
+    embedding_col: str = "embedding",
+    seed: int = 42,
+    root: str | None = None,
+    force: bool = False,
+) -> str:
+    """Persist the IVF serving layout (parquet partitioned by cluster_id +
+    centroid sidecar, operators/ivf.py) for a corpus table, keyed and cached
+    like the LSH artifact. The KMeans fit runs once per (corpus, config);
+    queries then read only their nprobe directories."""
+    from .ivf import build_ivf_index, write_ivf_layout
+
+    root = root or os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(corpus_path)}|ivf|{num_clusters}|{seed}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(root, f"ivfidx-{key}")
+    # _centroids.json is written last via atomic rename: its presence marks a
+    # complete build.
+    if not force and os.path.isfile(os.path.join(path, "_centroids.json")):
+        return path
+    corpus = spark.read.parquet(corpus_path)
+    assigned, centroids = build_ivf_index(
+        corpus, num_clusters, embedding_col=embedding_col, seed=seed
+    )
+    write_ivf_layout(assigned, centroids, path)
+    return path
+
+
 def lsh_topk_served(
     spark: SparkSession,
     corpus_path: str,

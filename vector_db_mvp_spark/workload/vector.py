@@ -306,6 +306,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "score")
 
 
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe IVF served from the persisted partitioned layout
+    (operators/served.py build_served_ivf): the KMeans fit and the
+    partitionBy(cluster_id) write were paid once; the query ranks centroids
+    driver-side and scans the probed directories. Full probe == exact brute
+    force, so the brute oracle applies — the approximate nprobe<C path over
+    the same layout is recall-tested in tests/test_ivf.py."""
+    import os
+
+    from ..operators.ivf import ivf_topk, read_ivf_layout
+    from ..operators.served import build_served_ivf
+
+    corpus_path = os.path.join(sf_dir, "embeddings.parquet")
+    path = build_served_ivf(spark, corpus_path, 8, seed=42)
+    assigned, centroids = read_ivf_layout(spark, path)
+    qv = [
+        float(x)
+        for x in assigned.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]
+    ]
+    return ivf_topk(
+        assigned, centroids, qv, 10, nprobe=8, score_decimals=6
+    ).select("vec_id", "label", "score")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -320,6 +344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_batch_topk": q_ann_batch_topk,
     "lsh_batch_topk": q_lsh_batch_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_served": q_ann_ivf_served,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -332,4 +357,5 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_topk": _sql_lsh_topk(10),
     "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
+    "ann_ivf_served": _sql_topk_cosine(10),  # same contract, served layout
 }
