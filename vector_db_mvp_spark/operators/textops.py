@@ -94,6 +94,30 @@ def language_id(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     return out
 
 
+def deterministic_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    buckets: int = 100,
+) -> DataFrame:
+    """Reproducible train/val assignment by content-independent id hash:
+    bucket = int(md5(id)[:8], 16) % buckets; train iff bucket < train_pct.
+    The standard split primitive for dataset curation — stable across runs,
+    machines, and engines (no RNG), and any engine that can md5 reproduces
+    the exact same membership. Joins/filters on `split` prune with the scan."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
+    )
+
+
 def fingerprints(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact fingerprint (md5 of normalized text) + content minhash
     fingerprint (min token-hash — a 1-hash minhash, stable under

@@ -342,6 +342,32 @@ FROM hits ORDER BY doc_id
 """
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 split assignment + per-split counts in one result:
+    each doc's bucket and split label (operators/textops.py
+    deterministic_split), verifiable bit-for-bit by any md5-capable engine."""
+    from ..operators.textops import deterministic_split
+
+    return (
+        deterministic_split(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "split_bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS split_bucket
+  FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 90 THEN 'train' ELSE 'val' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -372,6 +398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_bpe": q_token_counts_bpe,
     "language_id": q_language_id,
     "fingerprints": q_fingerprints,
+    "train_val_split": q_train_val_split,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -387,4 +414,5 @@ ORACLE_SQL: dict[str, str] = {
     "token_counts_bpe": _sql_token_counts_bpe(),
     "language_id": _sql_language_id(),
     "fingerprints": SQL_FINGERPRINTS,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
 }
