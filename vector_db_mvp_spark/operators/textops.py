@@ -18,7 +18,9 @@ from ..functions.text import (
     LANG_MARKERS,
     LANG_PRIORITY,
     STOPWORDS,
+    h64,
     marker_hits,
+    shingles,
     tokens,
 )
 from ..operators.dedup import NORM_TEXT
@@ -115,6 +117,190 @@ def deterministic_split(
         F.when(F.col("split_bucket") < train_pct, F.lit("train")).otherwise(
             F.lit("val")
         ),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    train_pct: int = 90,
+) -> DataFrame:
+    """Train→val n-gram contamination audit: for every val doc, how many of
+    its distinct word n-grams also occur anywhere in the train split.
+
+    The standard eval-set decontamination primitive (cf. GPT-3 appendix C:
+    13-gram overlap; we default n=8 so the small fixture docs have grams).
+    Splits come from :func:`deterministic_split`, so membership is bit-stable
+    across engines.
+
+    Scale shape: both sides shingle once, dedupe *per doc* with
+    ``array_distinct`` before exploding (bounds the explode at doc length),
+    then the train side collapses to a distinct 60-bit hash index — an
+    inverted-index equi-join keyed on the hash, never doc×doc. Every
+    aggregate here is map-side combinable. At 100 TB the exact train index
+    is itself a big table; the drop-in approximation is a broadcast Bloom
+    filter over the same hashes (one false-positive-bounded scan, zero
+    shuffle on the val side) — the exact join below stays the oracle path.
+    """
+    split = deterministic_split(df, id_col=id_col, train_pct=train_pct)
+    grams = split.select(
+        F.col(id_col),
+        F.col("split"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), n))
+        ).alias("shingle"),
+    ).select(F.col(id_col), F.col("split"), h64(F.col("shingle")).alias("h"))
+    train_index = (
+        grams.filter(F.col("split") == "train").select("h").distinct()
+    )
+    val_grams = grams.filter(F.col("split") == "val")
+    stats = (
+        val_grams.join(train_index.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    val_docs = split.filter(F.col("split") == "val").select(id_col)
+    return val_docs.join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_contaminated") / F.col("n_ngrams"), F.lit(0.0)), 6
+        ).alias("contamination_rate"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-bigram
+    fraction, most-frequent-bigram share, duplicate-trigram fraction
+    (cf. Rae et al. 2021 §A1.1 repetition filters).
+
+    Two plan shapes on purpose: the bigram stats need a per-(doc,gram) count
+    (for the max share), so they go explode → two-level hash agg — both
+    levels map-side combinable, shuffle keyed by doc — while the trigram
+    dup fraction never leaves the row (`size` vs `size(array_distinct)`),
+    i.e. zero shuffle. Trigram shingles are materialized in their own
+    projection so the two size() calls share one computation (HOF lambdas
+    defeat CSE when inlined)."""
+    toks = tokens(F.col(text_col))
+    per_gram = (
+        df.select(F.col(id_col), F.explode(shingles(toks, 2)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigram_stats = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+    tri = df.select(F.col(id_col), shingles(toks, 3).alias("tg")).select(
+        F.col(id_col),
+        F.size("tg").alias("n_trigrams"),
+        F.size(F.array_distinct("tg")).alias("n_distinct_trigrams"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(bigram_stats, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count") / F.col("n_bigrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    - F.col("n_distinct_trigrams")
+                    / F.nullif(F.col("n_trigrams"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 3,
+) -> DataFrame:
+    """Per-doc top-N keywords by tf·idf (raw term count × ln(N/df)).
+
+    Plan: one explode → (doc, term) hash agg (map-side combined), a
+    vocabulary-sized doc-frequency agg joined back on term, the corpus size
+    as a broadcast 1-row cross join (no driver-side count action), and a
+    per-doc window for the top-N — rank ties broken lexically so the result
+    is deterministic. The vocabulary table is Zipf-small relative to the
+    corpus, so Catalyst broadcast-joins it back; at 100 TB the df table is
+    still ≪ corpus (vocab grows sub-linearly)."""
+    from pyspark.sql import Window
+
+    term_counts = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        term_counts.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def top_ngrams(
+    df: DataFrame, *, text_col: str = "text", n: int = 2, k: int = 50
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams. Explode → hash agg
+    (map-side partial combine) → global top-k, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, driver merge of k rows —
+    no full sort at any scale). Ties broken lexically for determinism."""
+    return (
+        df.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
     )
 
 

@@ -381,6 +381,174 @@ FROM toks ORDER BY doc_id
 """
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→val 8-gram contamination audit over the deterministic split
+    (operators/textops.py contamination_check): inverted-index join on
+    shingle hashes, never doc×doc."""
+    from ..operators.textops import contamination_check
+
+    return contamination_check(
+        load_table(spark, sf_dir, "documents"), n=8
+    ).orderBy("doc_id")
+
+
+def _sql_contamination_check(n: int, train_pct: int) -> str:
+    return f"""
+WITH split AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+),
+toks AS (SELECT doc_id, b, {SQL_TOKENS.format(text="text")} AS t FROM split),
+grams AS (
+  SELECT doc_id, b, unnest(list_distinct({sql_shingles("t", n)})) AS shingle
+  FROM toks
+),
+hashed AS (SELECT doc_id, b, {sql_h64("shingle")} AS h FROM grams),
+train AS (SELECT DISTINCT h FROM hashed WHERE b < {train_pct}),
+stats AS (
+  SELECT v.doc_id,
+         COUNT(*) AS n_ngrams,
+         COUNT(t.h) AS n_contaminated
+  FROM hashed v LEFT JOIN train t ON v.h = t.h
+  WHERE v.b >= {train_pct}
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       COALESCE(n_ngrams, 0) AS n_ngrams,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       ROUND(COALESCE(n_contaminated * 1.0 / n_ngrams, 0.0), 6)
+         AS contamination_rate
+FROM split s LEFT JOIN stats USING (doc_id)
+WHERE s.b >= {train_pct}
+ORDER BY doc_id
+"""
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/textops.py
+    repetition_metrics): dup-bigram / top-bigram / dup-trigram fractions."""
+    from ..operators.textops import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_repetition_metrics() -> str:
+    toks = SQL_TOKENS.format(text="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+g2 AS (SELECT doc_id, unnest({sql_shingles("t", 2)}) AS gram FROM toks),
+per_gram AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+b AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         COUNT(*) AS n_distinct_bigrams, MAX(c) AS top_bigram_count
+  FROM per_gram GROUP BY 1
+),
+t3 AS (
+  SELECT doc_id, len({sql_shingles("t", 3)}) AS n_trigrams,
+         len(list_distinct({sql_shingles("t", 3)})) AS n_distinct_trigrams
+  FROM toks
+)
+SELECT d.doc_id,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       ROUND(COALESCE(1.0 - n_distinct_bigrams * 1.0 / n_bigrams, 0.0), 6)
+         AS dup_bigram_frac,
+       ROUND(COALESCE(top_bigram_count * 1.0 / n_bigrams, 0.0), 6)
+         AS top_bigram_frac,
+       ROUND(COALESCE(1.0 - n_distinct_trigrams * 1.0 / NULLIF(n_trigrams, 0),
+                      0.0), 6) AS dup_trigram_frac
+FROM documents d
+LEFT JOIN b USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf·idf keywords (operators/textops.py tfidf_keywords)."""
+    from ..operators.textops import tfidf_keywords
+
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"), top=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def _sql_tfidf_keywords(top: int) -> str:
+    toks = SQL_TOKENS.format(text="text")
+    return f"""
+WITH tc AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+term_counts AS (SELECT doc_id, term, COUNT(*) AS tf FROM tc GROUP BY 1, 2),
+doc_freq AS (SELECT term, COUNT(*) AS df_t FROM term_counts GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         ROUND(tf * ln(n_docs * 1.0 / df_t), 6) AS tfidf
+  FROM term_counts JOIN doc_freq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {top}
+ORDER BY doc_id, rank
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 50 most frequent bigrams (operators/textops.py
+    top_ngrams): partial-agg + TakeOrderedAndProject."""
+    from ..operators.textops import top_ngrams
+
+    return top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=50)
+
+
+def _sql_top_ngrams(n: int, k: int) -> str:
+    toks = SQL_TOKENS.format(text="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (SELECT unnest({sql_shingles("t", n)}) AS ngram FROM toks)
+SELECT ngram, COUNT(*) AS n_occurrences
+FROM g GROUP BY 1
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT {k}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 40-per-language quota sample (operators/sampling.py
+    stratified_sample): smallest-md5(id) rows of each group, bit-stable.
+    Groups are uneven (en dominates), so the cap actually bites."""
+    from ..operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(
+            load_table(spark, sf_dir, "documents"),
+            group_col="lang",
+            id_col="doc_id",
+            quota=40,
+        )
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_stratified_sample(quota: int) -> str:
+    return f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= {quota}
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -399,6 +567,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "fingerprints": q_fingerprints,
     "train_val_split": q_train_val_split,
+    "contamination_check": q_contamination_check,
+    "repetition_metrics": q_repetition_metrics,
+    "tfidf_keywords": q_tfidf_keywords,
+    "top_ngrams": q_top_ngrams,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -415,4 +588,9 @@ ORACLE_SQL: dict[str, str] = {
     "language_id": _sql_language_id(),
     "fingerprints": SQL_FINGERPRINTS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "contamination_check": _sql_contamination_check(8, 90),
+    "repetition_metrics": _sql_repetition_metrics(),
+    "tfidf_keywords": _sql_tfidf_keywords(3),
+    "top_ngrams": _sql_top_ngrams(2, 50),
+    "stratified_sample": _sql_stratified_sample(40),
 }
