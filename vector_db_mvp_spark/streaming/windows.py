@@ -42,6 +42,54 @@ def windowed_event_counts(
     )
 
 
+def view_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (ST7 companion): each
+    purchase matched to the views by the same user in the preceding
+    ``within`` interval — the classic click/view attribution join.
+
+    Both inputs carry a watermark and the join predicate bounds purchase
+    time to [view time, view time + within], which is what lets Spark evict
+    buffered rows: a view older than watermark + within can never match a
+    future purchase, so per-key state stays finite on an unbounded stream.
+    Batch semantics are identical (the pytest twin runs the same function on
+    bounded DataFrames), mirroring the batch as-of join
+    (operators/asof.py) with which it shares the purchase/view workload."""
+    v = views.withWatermark(ts_col, watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col(ts_col).alias("view_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        [
+            v["user_id"] == p["user_id"],
+            F.col("purchase_ts") >= F.col("view_ts"),
+            F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}"),
+        ],
+        "inner",
+    ).select(
+        v["user_id"],
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def user_running_counts(events: DataFrame, *, ts_col: str = "ts", watermark: str = "30 minutes") -> DataFrame:
     """Stateful per-user event counting via applyInPandasWithState (ST2: the
     explicit-state analog of the reference's InteractiveState counters)."""
