@@ -62,20 +62,25 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    if nodes is None:
-        labels = (
-            sym.select(F.col("a").alias(id_col)).distinct()
-            .withColumn("comp", F.col(id_col))
-        )
-    else:
-        labels = nodes.select(F.col(id_col)).distinct().withColumn(
-            "comp", F.col(id_col)
-        )
     if num_partitions is not None:
         sym = sym.repartition(num_partitions, "b")
+    # Checkpoint the edge list FIRST: it is the output of the (expensive)
+    # pair-generation pipeline, and both the label seed below and every
+    # iteration read it. Deriving labels from the un-checkpointed plan would
+    # run that pipeline twice (measured 2x on dedup_clusters at sf0.1).
+    sym = sym.localCheckpoint(eager=True)
+    # Iterate ONLY over nodes that appear in an edge — isolated nodes can
+    # never change label, so keeping the (typically corpus-sized) universe
+    # in the label frame would make every round pay a full-corpus shuffle
+    # for rows that are fixpoints by construction. Singletons are unioned
+    # back in one non-iterated pass at the end.
+    labels = (
+        sym.select(F.col("a").alias(id_col)).distinct()
+        .withColumn("comp", F.col(id_col))
+    )
+    if num_partitions is not None:
         labels = labels.repartition(num_partitions, id_col)
     labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # min neighbor label per node, one shuffle keyed by node id
@@ -98,6 +103,13 @@ def connected_components(
         labels = updated.select(id_col, F.col("new_comp").alias("comp"))
         if not changed:
             break
+    if nodes is not None:
+        singles = (
+            nodes.select(F.col(id_col)).distinct()
+            .join(labels.select(id_col), id_col, "left_anti")
+            .withColumn("comp", F.col(id_col))
+        )
+        labels = labels.unionByName(singles)
     return labels
 
 
