@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import media, relational, text, vector
+from . import curation, media, relational, text, vector
 
-_MODULES = (vector, relational, text, media)
+_MODULES = (vector, relational, text, curation, media)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}

@@ -1,0 +1,228 @@
+"""Round-2 curation workload: PII redaction, Gopher quality rules,
+line-level boilerplate dedup, and sequence packing — each as a
+(Spark plan, DuckDB oracle) pair over the ``documents`` fixture.
+
+The synthetic fixture text contains no digits, '@', or newlines, so the PII
+and line-dedup queries deterministically ENRICH the text from ``doc_id`` /
+``source`` with identical expressions on both sides (the same technique as
+the sha256-derived media stubs): injected emails/phones/IPs/SSNs for the
+scanner, and per-source header/footer boilerplate lines for the line dedup.
+The operators themselves are generic over any text column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.linededup import line_dedup, sql_line_dedup
+from ..operators.packing import pack_documents, sql_pack_documents
+from ..operators.pii import pii_redact, sql_redacted
+from ..operators.quality import quality_rules, sql_quality_rules
+from ..sources.testdata import load_table
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+def _pii_enriched(docs: DataFrame) -> DataFrame:
+    """Append deterministic PII tokens to some documents (keyed off doc_id
+    residues so Spark and the oracle inject byte-identical text)."""
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" user"), did, F.lit("@mail"), did % 7, F.lit(".net")
+    )
+    phone = F.concat(
+        F.lit(" 415-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ssn = F.concat(
+        F.lit(" "),
+        (did % 900 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad((did % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" 10."), (did % 256).cast("string"), F.lit(".0."), (did % 254 + 1).cast("string")
+    )
+    t = F.col("text")
+    t = F.when(did % 3 == 0, F.concat(t, email)).otherwise(t)
+    t = F.when(did % 5 == 0, F.concat(t, phone)).otherwise(t)
+    t = F.when(did % 7 == 0, F.concat(t, ssn)).otherwise(t)
+    t = F.when(did % 11 == 0, F.concat(t, ip)).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+_SQL_PII_ENRICHED = """
+SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN t4 || ' 10.' || (doc_id % 256) || '.0.' || (doc_id % 254 + 1) ELSE t4 END AS t
+FROM (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN t3 || ' ' || (doc_id % 900 + 100)
+         || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE t3 END AS t4
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 5 = 0 THEN t2 || ' 415-'
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE t2 END AS t3
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN text || ' user' || doc_id || '@mail' || (doc_id % 7) || '.net'
+             ELSE text END AS t2
+      FROM documents
+    )
+  )
+)
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _pii_enriched(load_table(spark, sf_dir, "documents"))
+    out = pii_redact(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        "n_ipv4",
+        "n_pii",
+        "has_pii",
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii_redaction() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH enriched AS ({_SQL_PII_ENRICHED}),
+scanned AS (
+  SELECT doc_id,
+       {counts},
+       md5({sql_redacted('t')}) AS redacted_md5
+  FROM enriched
+)
+SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
+       {total} AS n_pii, ({total}) > 0 AS has_pii, redacted_md5
+FROM scanned ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules
+# --------------------------------------------------------------------------
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quality_rules(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "word_count",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_ratio", 6).alias("alpha_word_ratio"),
+        "stopword_distinct",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "keep",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Line-level boilerplate dedup
+# --------------------------------------------------------------------------
+
+def _boilerplate_enriched(docs: DataFrame) -> DataFrame:
+    """Wrap each document in per-source header/footer lines (boilerplate
+    that repeats across every document of a source)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news from "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nsubscribe to the "),
+            F.col("source"),
+            F.lit(" newsletter"),
+        ).alias("text"),
+    )
+
+
+_SQL_BOILERPLATE_SRC = (
+    "SELECT doc_id, 'breaking news from ' || source || chr(10) || text || "
+    "chr(10) || 'subscribe to the ' || source || ' newsletter' AS t "
+    "FROM documents"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _boilerplate_enriched(load_table(spark, sf_dir, "documents"))
+    out = line_dedup(docs, max_doc_freq=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("kept_text").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+def _sql_line_dedup() -> str:
+    inner = sql_line_dedup(_SQL_BOILERPLATE_SRC, max_doc_freq=2)
+    return f"""
+SELECT doc_id, n_lines, n_kept, md5(kept_text) AS kept_md5
+FROM ({inner}) ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, size_col="n_chars", order_col="doc_id", capacity=_PACK_CAPACITY
+    ).orderBy("doc_id")
+
+
+def _sql_sequence_packing() -> str:
+    return sql_pack_documents(
+        "documents", size_col="n_chars", order_col="doc_id", capacity=_PACK_CAPACITY
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pii_redaction": q_pii_redaction,
+    "quality_rules": q_quality_rules,
+    "line_dedup": q_line_dedup,
+    "sequence_packing": q_sequence_packing,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pii_redaction": _sql_pii_redaction(),
+    "quality_rules": sql_quality_rules(),
+    "line_dedup": _sql_line_dedup(),
+    "sequence_packing": _sql_sequence_packing(),
+}
