@@ -45,6 +45,9 @@ HEADLINE = [
     "corpus_curation",
     "lsh_batch_topk",
     "token_stats",
+    "pii_redaction",
+    "line_dedup",
+    "sequence_packing",
 ]
 
 
