@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.linededup import line_dedup, sql_line_dedup
+from ..sinks.shards import assign_shards, shard_manifest
 from ..operators.packing import pack_documents, sql_pack_documents
 from ..operators.pii import pii_redact, sql_redacted
 from ..operators.quality import quality_rules, sql_quality_rules
@@ -210,6 +211,34 @@ def _sql_sequence_packing() -> str:
 
 
 # --------------------------------------------------------------------------
+# Training-shard plan (sink assignment + manifest; the write itself is
+# exercised in tests/test_shards.py — the driver gate checks the pure plan)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(
+        assign_shards(docs, n_shards=_N_SHARDS), size_col="n_chars"
+    )
+
+
+_SQL_SHARD_MANIFEST = f"""
+WITH a AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_N_SHARDS} AS shard_id
+  FROM documents
+)
+SELECT shard_id, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id, CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -218,6 +247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_rules": q_quality_rules,
     "line_dedup": q_line_dedup,
     "sequence_packing": q_sequence_packing,
+    "shard_manifest": q_shard_manifest,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -225,4 +255,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality_rules": sql_quality_rules(),
     "line_dedup": _sql_line_dedup(),
     "sequence_packing": _sql_sequence_packing(),
+    "shard_manifest": _SQL_SHARD_MANIFEST,
 }
