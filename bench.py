@@ -48,6 +48,7 @@ HEADLINE = [
     "pii_redaction",
     "line_dedup",
     "sequence_packing",
+    "incremental_dedup",
 ]
 
 
@@ -85,6 +86,21 @@ def main() -> None:
     corpus = os.path.join(sf_dir, "embeddings.parquet")
     build_served_index(spark, corpus, _PLANES, force=True)
     build_served_ivf(spark, corpus, 8, seed=42, force=True)
+    # Same contract for the incremental-dedup state: the corpus-side build is
+    # a once-per-corpus publish; `incremental_dedup` times the per-batch path.
+    from vector_db_mvp_spark.operators.incremental import (  # noqa: E402
+        build_dedup_state,
+        dedup_state_path,
+    )
+
+    build_dedup_state(
+        load_table(spark, sf_dir, "documents").filter("doc_id % 10 < 8"),
+        dedup_state_path(sf_dir, n=5, num_hashes=16, bands=4),
+        n=5,
+        num_hashes=16,
+        bands=4,
+        force=True,
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

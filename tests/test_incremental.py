@@ -1,0 +1,67 @@
+"""Incremental near-dup detection vs persisted state
+(operators/incremental.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vector_db_mvp_spark.operators.dedup import minhash_lsh_pairs
+from vector_db_mvp_spark.operators.incremental import (
+    build_dedup_state,
+    incremental_minhash_pairs,
+)
+from vector_db_mvp_spark.sources.testdata import load_table
+
+CFG = dict(n=5, num_hashes=16, bands=4)
+
+
+def _pairs(df):
+    return sorted(map(tuple, df.select("id1", "id2", "jaccard").collect()))
+
+
+def test_incremental_equals_full_recompute_restricted(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    state = str(tmp_path / "state")
+    build_dedup_state(existing, state, **CFG)
+    got = _pairs(incremental_minhash_pairs(spark, state, batch, tau=0.4, **CFG))
+
+    full = minhash_lsh_pairs(docs, tau=0.4, **CFG)
+    want = _pairs(
+        full.filter((F.col("id1") % 10 >= 8) | (F.col("id2") % 10 >= 8))
+    )
+    assert got == want
+    # and it found something (the fixture has near-dups across the split)
+    assert len(got) > 0
+
+
+def test_batch_append_then_next_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 == 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 1)
+    part_c = docs.filter(F.col("doc_id") % 3 == 2)
+
+    state = str(tmp_path / "state")
+    build_dedup_state(part_a, state, **CFG)
+    build_dedup_state(part_b, state, mode="append", **CFG)
+
+    got = _pairs(incremental_minhash_pairs(spark, state, part_c, tau=0.4, **CFG))
+    full = minhash_lsh_pairs(docs, tau=0.4, **CFG)
+    want = _pairs(
+        full.filter((F.col("id1") % 3 == 2) | (F.col("id2") % 3 == 2))
+    )
+    assert got == want
+
+
+def test_state_build_is_skipped_when_present(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    state = str(tmp_path / "state")
+    build_dedup_state(docs, state, **CFG)
+    marker = os.path.join(state, "_STATE_OK")
+    t0 = os.path.getmtime(marker)
+    build_dedup_state(docs, state, **CFG)  # no-op
+    assert os.path.getmtime(marker) == t0

@@ -37,6 +37,10 @@ def __getattr__(name):
         "quality_rules": ("vector_db_mvp_spark.operators.quality", "quality_rules"),
         "line_dedup": ("vector_db_mvp_spark.operators.linededup", "line_dedup"),
         "pack_documents": ("vector_db_mvp_spark.operators.packing", "pack_documents"),
+        "build_dedup_state": ("vector_db_mvp_spark.operators.incremental", "build_dedup_state"),
+        "incremental_minhash_pairs": ("vector_db_mvp_spark.operators.incremental", "incremental_minhash_pairs"),
+        "assign_shards": ("vector_db_mvp_spark.sinks.shards", "assign_shards"),
+        "write_training_shards": ("vector_db_mvp_spark.sinks.shards", "write_training_shards"),
     }
     if name in _exports:
         import importlib

@@ -150,7 +150,6 @@ def minhash_lsh_pairs(
     output pairs are exact — LSH affects recall only.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     # cache: the shingle set feeds BOTH the signature/banding path and the
     # exact-Jaccard verify path — without it shingling runs twice.
     # Filter AFTER the cache boundary: pushed down, the size(_sh) predicate
@@ -158,21 +157,7 @@ def minhash_lsh_pairs(
     # on the single pre-shuffle input task (measured 8.8 s vs 3 s at sf0.1).
     toks = _shingled(_spread(df, id_col), n, text_col, id_col).cache()
     toks = toks.filter(F.size("_sh") > 0)
-    # cache: sig feeds both sides of the band self-join through an explode —
-    # uncached, the 16 minhash transforms recompute per side and per band.
-    sig = toks.select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("sig")).cache()
-    band_rows = sig.select(
-        "_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j] for j in range(r)])).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bh")
+    band_rows = _band_rows(toks, num_hashes, bands)
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     cands = (
         a.join(
@@ -186,6 +171,42 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verify on candidates only
     post = toks.select("_id", F.explode("_sh").alias("s")).distinct()
+    return _jaccard_verify(cands, post, tau)
+
+
+def _band_rows(toks: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bh) banded-signature rows from (_id, _sh) shingle sets.
+
+    Signatures depend only on the document's own shingles (fixed salted-md5
+    hash family), so band rows are corpus-independent — the property the
+    incremental path (operators/incremental.py) relies on: bands computed
+    for a new batch are bit-identical to what a full recompute would emit.
+    """
+    r = num_hashes // bands
+    # cache: sig feeds both sides of the band self-join through an explode —
+    # uncached, the minhash transforms recompute per side and per band.
+    sig = toks.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("sig")
+    ).cache()
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j] for j in range(r)])).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+
+
+def _jaccard_verify(cands: DataFrame, post: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against shingle
+    postings: (id1, id2, jaccard) for pairs with jaccard >= tau. Jaccard
+    uses FULL per-doc set sizes, so candidate pruning upstream affects
+    recall only, never the reported score."""
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pa, pb = post.alias("pa"), post.alias("pb")
     common = (

@@ -211,6 +211,40 @@ def _sql_sequence_packing() -> str:
 
 
 # --------------------------------------------------------------------------
+# Incremental dedup: a new batch (doc_id % 10 >= 8) against the persisted
+# state of the existing corpus (doc_id % 10 < 8). The oracle recomputes the
+# FULL corpus pairs and restricts to pairs touching the batch — equality
+# proves the O(batch) path loses nothing vs the O(corpus) recompute.
+# --------------------------------------------------------------------------
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        build_dedup_state,
+        dedup_state_path,
+        incremental_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    state = dedup_state_path(sf_dir, n=5, num_hashes=16, bands=4)
+    build_dedup_state(existing, state, n=5, num_hashes=16, bands=4)
+    return incremental_minhash_pairs(
+        spark, state, batch, n=5, num_hashes=16, bands=4, tau=0.4
+    ).orderBy("id1", "id2")
+
+
+def _sql_incremental_dedup() -> str:
+    from .text import _sql_minhash
+
+    return f"""
+SELECT * FROM ({_sql_minhash(5, 16, 4, 0.4)})
+WHERE id1 % 10 >= 8 OR id2 % 10 >= 8
+ORDER BY id1, id2
+"""
+
+
+# --------------------------------------------------------------------------
 # Training-shard plan (sink assignment + manifest; the write itself is
 # exercised in tests/test_shards.py — the driver gate checks the pure plan)
 # --------------------------------------------------------------------------
@@ -248,6 +282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "sequence_packing": q_sequence_packing,
     "shard_manifest": q_shard_manifest,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -256,4 +291,5 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup": _sql_line_dedup(),
     "sequence_packing": _sql_sequence_packing(),
     "shard_manifest": _SQL_SHARD_MANIFEST,
+    "incremental_dedup": _sql_incremental_dedup(),
 }
