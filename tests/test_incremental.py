@@ -57,6 +57,40 @@ def test_batch_append_then_next_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_bucketed_state_same_pairs_no_state_side_exchange(spark, sf_dir, tmp_path):
+    from vector_db_mvp_spark.operators.incremental import (
+        incremental_minhash_pairs_table,
+        publish_dedup_state_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    prefix = "dedupstate_test"
+    try:
+        publish_dedup_state_table(existing, prefix, str(tmp_path / "wh"))
+        out = incremental_minhash_pairs_table(spark, prefix, batch, tau=0.4)
+
+        # identical result to the path-based state
+        state = str(tmp_path / "plainstate")
+        build_dedup_state(existing, state, **CFG)
+        want = _pairs(incremental_minhash_pairs(spark, state, batch, tau=0.4, **CFG))
+        assert _pairs(out) == want
+
+        # plan: the batch-vs-state join sort-merges and the state-side
+        # branch (Sort -> Filter -> FileScan of the bucketed table) has NO
+        # exchange — the bucket layout provides the partitioning
+        plan = out._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in plan
+        k = plan.index(f"{prefix}_bands")
+        state_branch = plan[plan[:k].rindex("Sort [band") : k]
+        assert "Exchange" not in state_branch, state_branch
+        assert "Bucketed: true" in plan[k : k + 300]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_post")
+
+
 def test_state_build_is_skipped_when_present(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     state = str(tmp_path / "state")

@@ -39,6 +39,8 @@ def __getattr__(name):
         "pack_documents": ("vector_db_mvp_spark.operators.packing", "pack_documents"),
         "build_dedup_state": ("vector_db_mvp_spark.operators.incremental", "build_dedup_state"),
         "incremental_minhash_pairs": ("vector_db_mvp_spark.operators.incremental", "incremental_minhash_pairs"),
+        "publish_dedup_state_table": ("vector_db_mvp_spark.operators.incremental", "publish_dedup_state_table"),
+        "incremental_minhash_pairs_table": ("vector_db_mvp_spark.operators.incremental", "incremental_minhash_pairs_table"),
         "assign_shards": ("vector_db_mvp_spark.sinks.shards", "assign_shards"),
         "write_training_shards": ("vector_db_mvp_spark.sinks.shards", "write_training_shards"),
     }

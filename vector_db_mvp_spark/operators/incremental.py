@@ -27,8 +27,10 @@ full recompute — the corpus is too small for O(batch) vs O(corpus) to show.
 What changes at scale: the per-batch work that grows with the corpus is ONE
 columnar scan of the 8-byte band/posting state (no text re-shingling, no
 signature recompute), and verification touches candidate documents only.
-The next step at 100 TB is persisting the state as a bucketed table on
-``bh`` so the candidate join co-locates without shuffling the state side.
+For 100 TB use :func:`publish_dedup_state_table` /
+:func:`incremental_minhash_pairs_table`: the state lives as tables bucketed
+on the join keys, so the candidate join sort-merges on the bucket layout
+and the state side is never shuffled at all (plan-asserted in tests).
 """
 
 from __future__ import annotations
@@ -109,30 +111,71 @@ def incremental_minhash_pairs(
     Contract: ``new_docs`` ids must not already exist in the state (the
     standard append-only ingestion invariant) — a re-ingested id would
     double its postings and skew the verify counts."""
+    return _incremental_pairs(
+        spark.read.parquet(os.path.join(state_path, "bands")),
+        spark.read.parquet(os.path.join(state_path, "postings")),
+        new_docs,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        tau=tau,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
+def _incremental_pairs(
+    state_bands: DataFrame,
+    state_post: DataFrame,
+    new_docs: DataFrame,
+    *,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    tau: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_hint: bool = False,
+) -> DataFrame:
+    """Core batch-vs-state pipeline over already-loaded state frames.
+    ``merge_hint`` forces sort-merge for the candidate join — set by the
+    bucketed-table path, where SMJ rides the bucket layout with no state-
+    side exchange (broadcast would win at fixture scale but not at 100 TB,
+    where the batch's band table can exceed the broadcast threshold)."""
     toks = _shingled(_spread(new_docs, id_col), n, text_col, id_col).cache()
     toks = toks.filter(F.size("_sh") > 0)
     new_bands = _band_rows(toks, num_hashes, bands).cache()
     new_post = toks.select("_id", F.explode("_sh").alias("s")).distinct()
 
-    state_bands = spark.read.parquet(os.path.join(state_path, "bands"))
-    all_bands = state_bands.unionByName(new_bands)
-
-    a, b = new_bands.alias("a"), all_bands.alias("b")
+    # Candidates come from two joins kept SEPARATE on purpose: unioning the
+    # batch bands into the state frame first would erase the state table's
+    # bucket-derived partitioning and force both sides to shuffle. Split,
+    # the state side of the batch-vs-state join keeps its layout (zero
+    # exchange when bucketed), and the batch self-join is O(batch) anyway.
+    state_side = state_bands.hint("merge") if merge_hint else state_bands
+    a, b = new_bands.alias("a"), state_side.alias("b")
+    cand_state = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a._id") != F.col("b._id")),
+    ).select(
+        F.least(F.col("a._id"), F.col("b._id")).alias("id1"),
+        F.greatest(F.col("a._id"), F.col("b._id")).alias("id2"),
+    )
+    a2, b2 = new_bands.alias("a"), new_bands.alias("b")
+    cand_new = a2.join(
+        b2,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a._id") != F.col("b._id")),
-        )
-        .select(
-            F.least(F.col("a._id"), F.col("b._id")).alias("id1"),
-            F.greatest(F.col("a._id"), F.col("b._id")).alias("id2"),
-        )
+        cand_state.unionByName(cand_new)
         .distinct()
         # cache: cands feeds the verify join AND the candidate-id semi
         # filter (which itself feeds both posting sides) — uncached, the
-        # band join re-executes once per consumer (measured 2x wall time).
+        # band joins re-execute once per consumer (measured 2x wall time).
         .cache()
     )
 
@@ -144,7 +187,6 @@ def incremental_minhash_pairs(
         .union(cands.select(F.col("id2").alias("_id")))
         .distinct()
     )
-    state_post = spark.read.parquet(os.path.join(state_path, "postings"))
     # cache: the filtered postings (candidate docs only — small) are read by
     # both sides of the common-shingle join and by the set-size aggregation.
     post = (
@@ -153,3 +195,77 @@ def incremental_minhash_pairs(
         .cache()
     )
     return _jaccard_verify(cands, post, tau)
+
+
+def publish_dedup_state_table(
+    docs: DataFrame,
+    table_prefix: str,
+    warehouse_dir: str,
+    *,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[str, str]:
+    """The 100 TB variant of :func:`build_dedup_state`: publish the state as
+    BUCKETED tables — bands bucketed+sorted on ``(band, bh)`` (the candidate
+    join keys), postings bucketed on ``_id`` (the verify key). The write pays the
+    shuffle once; every subsequent batch joins against the state with no
+    state-side exchange (asserted in tests/test_incremental.py).
+
+    Returns the (bands_table, postings_table) names.
+    """
+    import os as _os
+
+    toks = _shingled(_spread(docs, id_col), n, text_col, id_col).cache()
+    toks = toks.filter(F.size("_sh") > 0)
+    bands_t, post_t = f"{table_prefix}_bands", f"{table_prefix}_post"
+    (
+        _band_rows(toks, num_hashes, bands)
+        .write.bucketBy(buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .option("path", _os.path.join(warehouse_dir, bands_t))
+        .mode("overwrite")
+        .saveAsTable(bands_t)
+    )
+    (
+        toks.select("_id", F.explode("_sh").alias("s"))
+        .distinct()
+        .write.bucketBy(buckets, "_id")
+        .option("path", _os.path.join(warehouse_dir, post_t))
+        .mode("overwrite")
+        .saveAsTable(post_t)
+    )
+    toks.unpersist()
+    return bands_t, post_t
+
+
+def incremental_minhash_pairs_table(
+    spark: SparkSession,
+    table_prefix: str,
+    new_docs: DataFrame,
+    *,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    tau: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-vs-state pairs against a bucketed state published by
+    :func:`publish_dedup_state_table`: the candidate join sort-merges on the
+    bucket layout, shuffling ONLY the batch side."""
+    return _incremental_pairs(
+        spark.table(f"{table_prefix}_bands"),
+        spark.table(f"{table_prefix}_post"),
+        new_docs,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        tau=tau,
+        text_col=text_col,
+        id_col=id_col,
+        merge_hint=True,
+    )
