@@ -273,6 +273,24 @@ FROM a GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# Temperature-scaled data mixing
+# --------------------------------------------------------------------------
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import temperature_mix
+
+    return temperature_mix(
+        load_table(spark, sf_dir, "documents"), total=200, alpha=0.5
+    ).orderBy("doc_id")
+
+
+def _sql_temperature_mix() -> str:
+    from ..operators.mixing import sql_temperature_mix
+
+    return sql_temperature_mix("documents", total=200, alpha=0.5)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -283,6 +301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "shard_manifest": q_shard_manifest,
     "incremental_dedup": q_incremental_dedup,
+    "temperature_mix": q_temperature_mix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -292,4 +311,5 @@ ORACLE_SQL: dict[str, str] = {
     "sequence_packing": _sql_sequence_packing(),
     "shard_manifest": _SQL_SHARD_MANIFEST,
     "incremental_dedup": _sql_incremental_dedup(),
+    "temperature_mix": _sql_temperature_mix(),
 }
