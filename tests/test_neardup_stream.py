@@ -1,0 +1,127 @@
+"""Streaming near-dup ingestion gate (streaming/neardup_stream.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from vector_db_mvp_spark.streaming.neardup_stream import (
+    NearDupIngest,
+    neardup_ingest_stream,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill nearby every single morning"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill nearby every single evening"
+)
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines"
+)
+THIRD = (
+    "yet another unrelated document mentioning gradient descent "
+    "optimizers learning rates and batch normalization layers"
+)
+
+
+@pytest.fixture()
+def run_ingest(spark, tmp_path):
+    def _run(batches):
+        src = str(tmp_path / "in")
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                [(d, t, t0 + dt.timedelta(minutes=i)) for d, t in rows], SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+        handler = NearDupIngest(
+            str(tmp_path / "state"),
+            str(tmp_path / "accepted"),
+            str(tmp_path / "dupes"),
+            tau=0.4,
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = neardup_ingest_stream(
+            stream, handler, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        accepted = {
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        }
+        try:
+            dupes = {
+                r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+            }
+        except Exception:
+            dupes = set()
+        return accepted, dupes, handler
+
+    return _run
+
+
+def test_cross_batch_neardup_is_gated(spark, run_ingest):
+    accepted, dupes, _ = run_ingest(
+        [
+            [(1, BASE), (2, OTHER)],
+            [(3, NEAR), (4, THIRD)],  # 3 is a near-dup of stored 1
+        ]
+    )
+    assert accepted == {1, 2, 4}
+    assert dupes == {3}
+
+
+def test_first_batch_siblings_dedup_among_themselves(spark, run_ingest):
+    accepted, dupes, _ = run_ingest([[(1, BASE), (2, NEAR), (3, OTHER)]])
+    assert accepted == {1, 3}
+    assert dupes == {2}
+
+
+def test_replayed_batch_is_skipped(spark, run_ingest, tmp_path):
+    accepted, dupes, handler = run_ingest([[(1, BASE), (2, OTHER)]])
+    n_before = spark.read.parquet(str(tmp_path / "accepted")).count()
+    # simulate foreachBatch redelivery of batch 0
+    replay = spark.read.parquet(str(tmp_path / "accepted")).limit(2)
+    handler(replay, 0)
+    assert spark.read.parquet(str(tmp_path / "accepted")).count() == n_before
+
+
+def test_state_matches_accepted_corpus(spark, run_ingest, tmp_path):
+    from vector_db_mvp_spark.operators.incremental import incremental_minhash_pairs
+
+    accepted, _, handler = run_ingest(
+        [
+            [(1, BASE), (2, OTHER)],
+            [(3, NEAR), (4, THIRD)],
+        ]
+    )
+    # a later out-of-band batch probing the state sees near-dups of ACCEPTED
+    # docs only (3 never entered the state)
+    probe = spark.createDataFrame([(9, BASE + " extra")], "doc_id long, text string")
+    pairs = incremental_minhash_pairs(
+        spark, str(tmp_path / "state"), probe, tau=0.4
+    ).collect()
+    assert {(r["id1"], r["id2"]) for r in pairs} == {(1, 9)}

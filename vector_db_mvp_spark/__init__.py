@@ -32,6 +32,7 @@ def __getattr__(name):
         "salted_join": ("vector_db_mvp_spark.operators.skew", "salted_join"),
         "salted_two_phase_agg": ("vector_db_mvp_spark.operators.skew", "salted_two_phase_agg"),
         "dedup_stream_exact": ("vector_db_mvp_spark.streaming.dedup_stream", "dedup_stream_exact"),
+        "NearDupIngest": ("vector_db_mvp_spark.streaming.neardup_stream", "NearDupIngest"),
         "pii_scan": ("vector_db_mvp_spark.operators.pii", "pii_scan"),
         "pii_redact": ("vector_db_mvp_spark.operators.pii", "pii_redact"),
         "quality_rules": ("vector_db_mvp_spark.operators.quality", "quality_rules"),
