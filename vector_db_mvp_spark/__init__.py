@@ -43,6 +43,7 @@ def __getattr__(name):
         "publish_dedup_state_table": ("vector_db_mvp_spark.operators.incremental", "publish_dedup_state_table"),
         "incremental_minhash_pairs_table": ("vector_db_mvp_spark.operators.incremental", "incremental_minhash_pairs_table"),
         "temperature_mix": ("vector_db_mvp_spark.operators.mixing", "temperature_mix"),
+        "random_projection": ("vector_db_mvp_spark.operators.project", "random_projection"),
         "assign_shards": ("vector_db_mvp_spark.sinks.shards", "assign_shards"),
         "write_training_shards": ("vector_db_mvp_spark.sinks.shards", "write_training_shards"),
     }

@@ -331,6 +331,33 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Random projection (JL sketch)
+# --------------------------------------------------------------------------
+
+_PROJ_K, _PROJ_DIM, _PROJ_SEED = 8, 64, 7
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.project import projection_planes, random_projection
+
+    planes = projection_planes(_PROJ_DIM, _PROJ_K, seed=_PROJ_SEED)
+    out = random_projection(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        planes,
+    )
+    rounded = [F.round(f"p{i}", 6).alias(f"p{i}") for i in range(_PROJ_K)]
+    return out.select("vec_id", *rounded).orderBy("vec_id")
+
+
+def _sql_embedding_projection() -> str:
+    from ..operators.project import projection_planes, sql_random_projection
+
+    planes = projection_planes(_PROJ_DIM, _PROJ_K, seed=_PROJ_SEED)
+    cols = ",\n       ".join(sql_random_projection(planes))
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings ORDER BY vec_id"
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -345,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_batch_topk": q_lsh_batch_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_served": q_ann_ivf_served,
+    "embedding_projection": q_embedding_projection,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -358,4 +386,5 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
     "ann_ivf_served": _sql_topk_cosine(10),  # same contract, served layout
+    "embedding_projection": _sql_embedding_projection(),
 }
