@@ -91,6 +91,33 @@ def test_bucketed_state_same_pairs_no_state_side_exchange(spark, sf_dir, tmp_pat
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_post")
 
 
+def test_compaction_shrinks_files_and_preserves_pairs(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from vector_db_mvp_spark.operators.incremental import compact_dedup_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = str(tmp_path / "state")
+    # many appends -> fragmentation
+    build_dedup_state(docs.filter(F.col("doc_id") % 4 == 0), state, **CFG)
+    for m in (1, 2):
+        build_dedup_state(
+            docs.filter(F.col("doc_id") % 4 == m), state, mode="append", **CFG
+        )
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    before = _pairs(incremental_minhash_pairs(spark, state, batch, tau=0.4, **CFG))
+    n_before = len(glob.glob(os.path.join(state, "bands", "*.parquet")))
+
+    assert compact_dedup_state(spark, state, target_files=4, min_files=4)
+    n_after = len(glob.glob(os.path.join(state, "bands", "*.parquet")))
+    assert n_after <= 4 < n_before
+    after = _pairs(incremental_minhash_pairs(spark, state, batch, tau=0.4, **CFG))
+    assert after == before
+    # below the threshold: compaction is a no-op
+    assert not compact_dedup_state(spark, state, target_files=4, min_files=32)
+
+
 def test_state_build_is_skipped_when_present(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     state = str(tmp_path / "state")

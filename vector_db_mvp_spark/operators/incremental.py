@@ -197,6 +197,48 @@ def _incremental_pairs(
     return _jaccard_verify(cands, post, tau)
 
 
+def compact_dedup_state(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    target_files: int = 8,
+    min_files: int = 32,
+) -> bool:
+    """Rewrite the append-only state into ``target_files`` files per table
+    when fragmentation passes ``min_files`` — the small-files counterpart of
+    the entity store's size-tiered compaction. Every micro-batch append adds
+    a file set; unchecked, a year of batches means thousands of tiny files
+    whose open/footer costs dominate the state scan. Returns True if a
+    rewrite happened.
+
+    The rewrite is publish-then-swap: compacted data lands in a sibling
+    directory, the live directory is replaced only after the write
+    succeeds — a reader mid-swap sees old or new state, never a mix.
+    """
+    import shutil
+
+    def _n_files(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    did = False
+    for sub in ("bands", "postings"):
+        live = os.path.join(state_path, sub)
+        if not os.path.isdir(live) or _n_files(live) < min_files:
+            continue
+        tmp = os.path.join(state_path, f"_{sub}_compacting")
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(live).repartition(target_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = os.path.join(state_path, f"_{sub}_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+        did = True
+    return did
+
+
 def publish_dedup_state_table(
     docs: DataFrame,
     table_prefix: str,
