@@ -31,6 +31,29 @@ def test_projection_plan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_projected_prefilter_topk_recall_and_plan(spark, sf_dir):
+    from vector_db_mvp_spark.operators.project import projected_prefilter_topk
+    from vector_db_mvp_spark.operators.topk import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    planes = projection_planes(64, 16, seed=7)
+    approx = projected_prefilter_topk(
+        emb, planes, qv, 10, candidates=100, score_decimals=6
+    )
+    exact = topk_cosine(emb, qv, 10, score_decimals=6)
+    got = {r["vec_id"] for r in approx.collect()}
+    want = {r["vec_id"] for r in exact.collect()}
+    # the fixture's top-10 cosine gaps (~1e-2) sit near a 16-dim sketch's
+    # resolution floor; the bound is "well above the random-candidate
+    # baseline" (100/500 candidates -> E[recall]=2/10), not near-exactness
+    assert len(got & want) >= 4, (got, want)
+
+    # the candidate cut is a TakeOrderedAndProject, not a global sort
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_projection_preserves_distance_energy(spark, sf_dir):
     # JL sanity via the energy identity: with unit-norm random planes,
     # E[|P(a-b)|^2] = (k/d) * |a-b|^2 — the mean sketch/full squared-distance

@@ -357,6 +357,69 @@ def _sql_embedding_projection() -> str:
     return f"SELECT vec_id,\n       {cols}\nFROM embeddings ORDER BY vec_id"
 
 
+# Sketch-ANN config: 16 projections, 100-candidate budget. On the tightly
+# clustered unit-norm fixture (top-10 cosine gaps ~1e-2) recall@100 is ~6/10
+# — 3x the random-candidate baseline; a JL sketch cannot resolve gaps much
+# below sqrt(1/k), which is the documented tradeoff vs LSH's 32-bit codes.
+_SKETCH_K, _SKETCH_CANDIDATES = 16, 100
+
+
+def q_ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-prefilter ANN: rank by the 16-dim JL sketch of the UNIT
+    vectors (the sketch must approximate cosine, the re-rank metric), keep
+    the top-100 candidates (TakeOrderedAndProject), exact-cosine re-rank to
+    10. The LSH family's alternative when a tunable candidate budget beats
+    a hard bucket cutoff."""
+    from ..operators.project import projected_prefilter_topk, projection_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    planes = projection_planes(_PROJ_DIM, _SKETCH_K, seed=_PROJ_SEED)
+    return projected_prefilter_topk(
+        emb, planes, qv, 10, candidates=_SKETCH_CANDIDATES, score_decimals=6
+    ).select("vec_id", "label", "score")
+
+
+def _sql_ann_projected_topk(
+    k: int = 10, candidates: int = _SKETCH_CANDIDATES, query_vec_id: int = 0
+) -> str:
+    from ..functions.lsh import sql_plane_dot
+    from ..operators.project import projection_planes
+
+    planes = projection_planes(_PROJ_DIM, _SKETCH_K, seed=_PROJ_SEED)
+    # both sides unit-normalized before projecting (the sketch approximates
+    # cosine, the re-rank metric), same zero-norm convention as _DUCK_COS
+    unit = """
+  SELECT vec_id, label, embedding,
+         CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) = 0
+              THEN CAST(embedding AS DOUBLE[])
+              ELSE list_transform(
+                     CAST(embedding AS DOUBLE[]),
+                     x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))))
+         END AS u
+  FROM embeddings WHERE embedding IS NOT NULL
+"""
+    sketch = " + ".join(
+        f"({sql_plane_dot('e.u', p)} * {sql_plane_dot('q.u', p)})" for p in planes
+    )
+    cos = _DUCK_COS.format(a="c.embedding", b="q.embedding")
+    return f"""
+WITH unitv AS ({unit}),
+q AS (SELECT * FROM unitv WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, round({sketch}, 6) AS _sketch
+  FROM unitv e CROSS JOIN q
+),
+cand AS (
+  SELECT * FROM scored ORDER BY _sketch DESC, vec_id ASC LIMIT {candidates}
+)
+SELECT c.vec_id, c.label, round({cos}, 6) AS score
+FROM cand c CROSS JOIN q
+ORDER BY score DESC, c.vec_id ASC
+LIMIT {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -373,6 +436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_served": q_ann_ivf_served,
     "embedding_projection": q_embedding_projection,
+    "ann_projected_topk": q_ann_projected_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -387,4 +451,5 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
     "ann_ivf_served": _sql_topk_cosine(10),  # same contract, served layout
     "embedding_projection": _sql_embedding_projection(),
+    "ann_projected_topk": _sql_ann_projected_topk(),
 }
