@@ -176,6 +176,54 @@ def contamination_check(
     )
 
 
+def decontaminate_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    train_pct: int = 90,
+    max_rate: float = 0.2,
+) -> DataFrame:
+    """The enforcement twin of :func:`contamination_check`, run in the
+    direction pipelines actually act on: drop TRAIN documents that overlap
+    the held-out split (you can rebuild train, you cannot rebuild eval).
+    Returns every train doc with (n_ngrams, n_overlap, overlap_rate, keep):
+    keep = overlap_rate <= ``max_rate``.
+
+    Same scale shape as the audit: per-doc-distinct shingles, 60-bit hash
+    index of the VAL side (small — val is the minority split), broadcast-
+    friendly equi-join, never doc x doc."""
+    split = deterministic_split(df, id_col=id_col, train_pct=train_pct)
+    grams = split.select(
+        F.col(id_col),
+        F.col("split"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), n))
+        ).alias("shingle"),
+    ).select(F.col(id_col), F.col("split"), h64(F.col("shingle")).alias("h"))
+    val_index = grams.filter(F.col("split") == "val").select("h").distinct()
+    train_grams = grams.filter(F.col("split") == "train")
+    stats = (
+        train_grams.join(val_index.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+    train_docs = split.filter(F.col("split") == "train").select(id_col)
+    out = train_docs.join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap") / F.col("n_ngrams"), F.lit(0.0)), 6
+        ).alias("overlap_rate"),
+    )
+    return out.withColumn("keep", F.col("overlap_rate") <= max_rate)
+
+
 def repetition_metrics(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

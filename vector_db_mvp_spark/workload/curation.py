@@ -273,6 +273,100 @@ FROM a GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# Train-side decontamination (enforcement twin of contamination_check)
+# --------------------------------------------------------------------------
+
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import decontaminate_train
+
+    return decontaminate_train(
+        load_table(spark, sf_dir, "documents"), n=8, train_pct=90, max_rate=0.2
+    ).orderBy("doc_id")
+
+
+def _sql_decontaminate_train(n: int = 8, train_pct: int = 90, max_rate: float = 0.2) -> str:
+    from ..functions.text import SQL_TOKENS, sql_h64, sql_shingles
+
+    return f"""
+WITH split AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+),
+toks AS (SELECT doc_id, b, {SQL_TOKENS.format(text="text")} AS t FROM split),
+grams AS (
+  SELECT doc_id, b, unnest(list_distinct({sql_shingles("t", n)})) AS shingle
+  FROM toks
+),
+hashed AS (SELECT doc_id, b, {sql_h64("shingle")} AS h FROM grams),
+val_index AS (SELECT DISTINCT h FROM hashed WHERE b >= {train_pct}),
+stats AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_ngrams,
+         COUNT(v.h) AS n_overlap
+  FROM hashed t LEFT JOIN val_index v ON t.h = v.h
+  WHERE t.b < {train_pct}
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       COALESCE(n_ngrams, 0) AS n_ngrams,
+       COALESCE(n_overlap, 0) AS n_overlap,
+       ROUND(COALESCE(n_overlap * 1.0 / n_ngrams, 0.0), 6) AS overlap_rate,
+       ROUND(COALESCE(n_overlap * 1.0 / n_ngrams, 0.0), 6) <= {max_rate} AS keep
+FROM split s LEFT JOIN stats USING (doc_id)
+WHERE s.b < {train_pct}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source curation report (operator-composition rollup)
+# --------------------------------------------------------------------------
+
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health rollup per source: doc counts, Gopher keep rate,
+    average word count, English share — the dashboard query a corpus build
+    watches. Composes quality_rules + language_id in one plan."""
+    from ..operators.quality import quality_rules
+    from ..operators.textops import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_rules(docs).select("doc_id", "word_count", "keep")
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            F.round(F.avg("word_count"), 6).alias("avg_words"),
+            F.sum(F.when(F.col("pred_lang") == "en", 1).otherwise(0)).alias("n_en"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_curation_report() -> str:
+    from ..operators.quality import sql_quality_rules
+    from .text import _sql_language_id
+
+    return f"""
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(AVG(q.word_count), 6) AS avg_words,
+       CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM documents d
+JOIN ({sql_quality_rules()}) q USING (doc_id)
+JOIN ({_sql_language_id()}) l USING (doc_id)
+GROUP BY 1 ORDER BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
 # Temperature-scaled data mixing
 # --------------------------------------------------------------------------
 
@@ -302,6 +396,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "incremental_dedup": q_incremental_dedup,
     "temperature_mix": q_temperature_mix,
+    "decontaminate_train": q_decontaminate_train,
+    "curation_report": q_curation_report,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -312,4 +408,6 @@ ORACLE_SQL: dict[str, str] = {
     "shard_manifest": _SQL_SHARD_MANIFEST,
     "incremental_dedup": _sql_incremental_dedup(),
     "temperature_mix": _sql_temperature_mix(),
+    "decontaminate_train": _sql_decontaminate_train(),
+    "curation_report": _sql_curation_report(),
 }
