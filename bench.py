@@ -49,6 +49,8 @@ HEADLINE = [
     "line_dedup",
     "sequence_packing",
     "incremental_dedup",
+    "ann_projected_topk",
+    "temperature_mix",
 ]
 
 

@@ -97,6 +97,35 @@ ORDER BY media_id, pos
 """
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded videos (every 24th frame; non-videos one
+    frame 0) — native sequence/explode, completing the decode ->
+    frame-sample stage pair with an exact oracle."""
+    from ..operators.multimodal import sample_frames
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return sample_frames(decode_media(media), stride=24).orderBy(
+        "media_id", "frame_index"
+    )
+
+
+SQL_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+         CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER) AS b2
+  FROM documents
+)
+SELECT media_id, kind, CAST(f AS INTEGER) AS frame_index
+FROM m, LATERAL (
+  SELECT unnest(CASE WHEN kind = 'video'
+                     THEN range(0, 24 + (b2 % 240), 24)
+                     ELSE [0] END) AS f
+)
+ORDER BY media_id, frame_index
+"""
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub resize through mapInPandas: visual payloads -> deterministic
     32-byte thumbnails (sha256(payload || '|64x64')); the oracle recomputes
@@ -125,6 +154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -132,4 +162,5 @@ ORACLE_SQL: dict[str, str] = {
     "media_decode": SQL_MEDIA_DECODE,
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
+    "media_frames": SQL_MEDIA_FRAMES,
 }
