@@ -273,6 +273,24 @@ FROM a GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# Document chunking (ingestion primitive: docs -> embedding-ready chunks)
+# --------------------------------------------------------------------------
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=20, stride=15
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _sql_chunk_documents() -> str:
+    from ..operators.chunking import sql_chunk_documents
+
+    return sql_chunk_documents(window=20, stride=15)
+
+
+# --------------------------------------------------------------------------
 # Train-side decontamination (enforcement twin of contamination_check)
 # --------------------------------------------------------------------------
 
@@ -396,6 +414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "incremental_dedup": q_incremental_dedup,
     "temperature_mix": q_temperature_mix,
+    "chunk_documents": q_chunk_documents,
     "decontaminate_train": q_decontaminate_train,
     "curation_report": q_curation_report,
 }
@@ -408,6 +427,7 @@ ORACLE_SQL: dict[str, str] = {
     "shard_manifest": _SQL_SHARD_MANIFEST,
     "incremental_dedup": _sql_incremental_dedup(),
     "temperature_mix": _sql_temperature_mix(),
+    "chunk_documents": _sql_chunk_documents(),
     "decontaminate_train": _sql_decontaminate_train(),
     "curation_report": _sql_curation_report(),
 }
