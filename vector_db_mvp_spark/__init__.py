@@ -44,6 +44,10 @@ def __getattr__(name):
         "incremental_minhash_pairs_table": ("vector_db_mvp_spark.operators.incremental", "incremental_minhash_pairs_table"),
         "temperature_mix": ("vector_db_mvp_spark.operators.mixing", "temperature_mix"),
         "random_projection": ("vector_db_mvp_spark.operators.project", "random_projection"),
+        "projected_prefilter_topk": ("vector_db_mvp_spark.operators.project", "projected_prefilter_topk"),
+        "chunk_documents": ("vector_db_mvp_spark.operators.chunking", "chunk_documents"),
+        "decontaminate_train": ("vector_db_mvp_spark.operators.textops", "decontaminate_train"),
+        "compact_dedup_state": ("vector_db_mvp_spark.operators.incremental", "compact_dedup_state"),
         "assign_shards": ("vector_db_mvp_spark.sinks.shards", "assign_shards"),
         "write_training_shards": ("vector_db_mvp_spark.sinks.shards", "write_training_shards"),
     }
