@@ -109,6 +109,61 @@ def test_replayed_batch_is_skipped(spark, run_ingest, tmp_path):
     assert spark.read.parquet(str(tmp_path / "accepted")).count() == n_before
 
 
+def test_raw_jsonl_stream_through_gate_end_to_end(spark, tmp_path):
+    """The full ingestion path: raw JSONL files (one with a corrupt line)
+    -> schema-enforced stream -> parse-quarantine filter -> near-dup gate.
+    Corrupt lines never reach the gate; near-dups never reach storage."""
+    import json
+
+    from vector_db_mvp_spark.sources.ingest import (
+        DOCUMENT_INGEST_SCHEMA,
+        _with_corrupt,
+    )
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": BASE, "lang": "en", "source": "s", "n_chars": len(BASE)})
+        + "\n<<< totally not json >>>\n"
+        + json.dumps({"doc_id": 2, "text": OTHER, "lang": "en", "source": "s", "n_chars": len(OTHER)})
+        + "\n"
+    )
+    (src / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": NEAR, "lang": "en", "source": "s", "n_chars": len(NEAR)})
+        + "\n"
+        + json.dumps({"doc_id": 4, "text": THIRD, "lang": "en", "source": "s", "n_chars": len(THIRD)})
+        + "\n"
+    )
+
+    handler = NearDupIngest(
+        str(tmp_path / "state"),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "dupes"),
+        tau=0.4,
+    )
+    stream = (
+        spark.readStream.schema(_with_corrupt(DOCUMENT_INGEST_SCHEMA))
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .filter(F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull())
+        .drop("_corrupt_record")
+        .select("doc_id", "text")
+    )
+    q = neardup_ingest_stream(
+        stream, handler, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    }
+    dupes = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert accepted == {1, 2, 4}  # corrupt line dropped, near-dup 3 gated
+    assert dupes == {3}
+
+
 def test_state_matches_accepted_corpus(spark, run_ingest, tmp_path):
     from vector_db_mvp_spark.operators.incremental import incremental_minhash_pairs
 

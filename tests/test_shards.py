@@ -64,6 +64,28 @@ def test_write_one_file_per_shard_and_roundtrip(spark, sf_dir, tmp_path):
     assert "shard_id=0" not in {os.path.basename(p) for p in glob.glob(os.path.join(out, "_manifest", "*"))}
 
 
+def test_sorted_shards_have_tight_rowgroup_stats(spark, sf_dir, tmp_path):
+    """sort_within_by gives each parquet row group tight min/max stats on
+    the sort column — the storage-layout half of predicate skipping."""
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = str(tmp_path / "sorted")
+    write_training_shards(docs, out, n_shards=4, sort_within_by="doc_id")
+    for k in range(4):
+        f = glob.glob(os.path.join(out, f"shard_id={k}", "*.parquet"))[0]
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        col_idx = names.index("doc_id")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max  # sorted: ranges never overlap
+            prev_max = st.max
+
+
 def test_incremental_rerun_routes_docs_to_same_shard(spark, sf_dir):
     # shard membership must be a pure function of doc_id: adding rows to the
     # corpus never moves an existing doc to a different shard

@@ -75,13 +75,22 @@ def write_training_shards(
     n_shards: int = 16,
     size_col: str | None = None,
     format: str = "parquet",
+    sort_within_by: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``path/shard_id=K/`` (one writer task per shard) plus
-    ``path/_manifest`` (parquet). Returns the manifest DataFrame."""
+    ``path/_manifest`` (parquet). Returns the manifest DataFrame.
+
+    ``sort_within_by`` sorts rows inside each shard before writing (no
+    extra shuffle — a per-partition sort after the shard repartition), so
+    parquet row-group min/max statistics on that column are tight and a
+    later filtered read skips row groups instead of scanning the shard.
+    """
     assigned = assign_shards(df, id_col=id_col, n_shards=n_shards)
+    out = assigned.repartition(n_shards, F.col("shard_id"))
+    if sort_within_by is not None:
+        out = out.sortWithinPartitions(sort_within_by)
     (
-        assigned.repartition(n_shards, F.col("shard_id"))
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("shard_id")
         .format(format)
         .save(path)
