@@ -75,6 +75,16 @@ def main() -> None:
             n = QUERIES[name](spark, sf).count()
             print(f"  {name}: {n} rows")
 
+        # the training-data curation pipeline, end to end: gate -> dedup ->
+        # quality -> mix -> chunk -> pack -> shard
+        print("\ncorpus curation tour (sf0.001 documents):")
+        for name in ["pii_redaction", "quality_rules", "line_dedup",
+                     "corpus_curation", "incremental_dedup", "temperature_mix",
+                     "chunk_documents", "sequence_packing", "shard_manifest",
+                     "decontaminate_train", "curation_report"]:
+            n = QUERIES[name](spark, sf).count()
+            print(f"  {name}: {n} rows")
+
     print("\ndemo artifacts under", root)
 
 
