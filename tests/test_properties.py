@@ -140,3 +140,78 @@ def test_exact_dedup_counts(spark, texts):
         groups.setdefault(norm, []).append(i)
     want = {(len(ids), min(ids)) for ids in groups.values()}
     assert got == want
+
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+doc_text = st.lists(word, min_size=1, max_size=40).map(" ".join)
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=8),
+       window=st.integers(2, 10), stride=st.integers(1, 10))
+@SET
+def test_chunking_reconstructs_document(spark, texts, window, stride):
+    """Every chunk is the exact token slice [start, start+window); with
+    stride <= window the concatenated disjoint prefixes cover the doc."""
+    from vector_db_mvp_spark.operators.chunking import chunk_documents
+
+    stride = min(stride, window)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, window=window, stride=stride)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_start"] for r in rows] == list(range(0, len(toks), stride))
+        for r in rows:
+            assert r["chunk_text"].split(" ") == toks[r["chunk_start"]: r["chunk_start"] + window]
+
+
+@given(sizes=st.lists(st.integers(1, 500), min_size=1, max_size=20),
+       cap=st.integers(8, 256))
+@SET
+def test_packing_is_exact_prefix_sum(spark, sizes, cap):
+    """Distributed prefix sum == python running sum for arbitrary sizes;
+    pack arithmetic consistent with the concat-and-chunk layout."""
+    from vector_db_mvp_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_documents(df, capacity=cap, num_partitions=3).collect()
+    }
+    acc = 0
+    for i, s in enumerate(sizes):
+        r = rows[i]
+        assert r["global_offset"] == acc
+        assert r["first_pack"] == acc // cap
+        assert r["last_pack"] == (acc + s - 1) // cap
+        assert r["pack_offset"] == acc % cap
+        acc += s
+
+
+@given(texts=st.lists(doc_text, min_size=2, max_size=8), freq=st.integers(1, 3))
+@SET
+def test_line_dedup_matches_python_reference(spark, texts, freq):
+    """line_dedup == python dict filter on (line -> distinct doc count)."""
+    from vector_db_mvp_spark.operators.linededup import line_dedup
+
+    docs = [(i, "\n".join(texts[: i + 1])) for i in range(len(texts))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df, max_doc_freq=freq).collect()}
+
+    counts: dict[str, set] = {}
+    for i, t in docs:
+        for line in {ln.strip() for ln in t.split("\n") if ln.strip()}:
+            counts.setdefault(line, set()).add(i)
+    for i, t in docs:
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        kept = [ln for ln in lines if len(counts[ln]) <= freq]
+        assert got[i]["n_lines"] == len(lines)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["kept_text"] == "\n".join(kept)
