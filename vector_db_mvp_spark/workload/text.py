@@ -549,6 +549,35 @@ ORDER BY doc_id
 """
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (operators/sentencize.py): the native
+    split+posexplode scale path, whose rows are parity-tested against the
+    Python-UDTF extension point (SURVEY §2.10 X4) in tests/test_sentencize.
+    RE2-compatible pattern so Java, Python and DuckDB split identically."""
+    from ..operators.sentencize import split_sentences_native
+
+    return split_sentences_native(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id", "sentence_idx")
+
+
+def _sql_sentence_split() -> str:
+    return r"""
+WITH p AS (
+  SELECT doc_id, regexp_split_to_array(text, '[.!?]+\s*') AS parts
+  FROM documents WHERE text IS NOT NULL
+),
+x AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS sentence_idx,
+         unnest(parts) AS sentence
+  FROM p
+)
+SELECT doc_id, sentence_idx, sentence FROM x
+WHERE sentence <> '' ORDER BY doc_id, sentence_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -572,6 +601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "top_ngrams": q_top_ngrams,
     "stratified_sample": q_stratified_sample,
+    "sentence_split": q_sentence_split,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -593,4 +623,5 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_keywords": _sql_tfidf_keywords(3),
     "top_ngrams": _sql_top_ngrams(2, 50),
     "stratified_sample": _sql_stratified_sample(40),
+    "sentence_split": _sql_sentence_split(),
 }

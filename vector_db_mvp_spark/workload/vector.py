@@ -421,6 +421,46 @@ LIMIT {k}
 
 
 # --------------------------------------------------------------------------
+# Grouped-vector aggregation (centroids)
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (operators/centroids.py): element-wise
+    mean vector + group size via posexplode -> partial-agg groupBy — the one
+    scan, tiny output cluster-summary job. The assembled array is exploded
+    back to (label, pos, value) so every output cell is a hashable scalar;
+    the applyInPandas and GROUPED_AGG-UDAF twins are parity-tested in
+    tests/test_centroids.py."""
+    from ..operators.centroids import label_centroids
+
+    cent = label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return (
+        cent.select(
+            "label",
+            "n_vectors",
+            F.posexplode("centroid").alias("pos", "value"),
+        )
+        .select("label", "n_vectors", "pos", F.round("value", 6).alias("value"))
+        .orderBy("label", "pos")
+    )
+
+
+def _sql_label_centroids(dim: int = _EMB_DIM) -> str:
+    return f"""
+WITH b AS (
+  SELECT label, CAST(j AS INTEGER) AS pos, CAST(embedding[j + 1] AS DOUBLE) AS x
+  FROM embeddings, range({dim}) t(j)
+  WHERE embedding IS NOT NULL
+)
+SELECT label, COUNT(*) AS n_vectors, pos, round(avg(x), 6) AS value
+FROM b GROUP BY label, pos ORDER BY label, pos
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -437,6 +477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_served": q_ann_ivf_served,
     "embedding_projection": q_embedding_projection,
     "ann_projected_topk": q_ann_projected_topk,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -452,4 +493,5 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_served": _sql_topk_cosine(10),  # same contract, served layout
     "embedding_projection": _sql_embedding_projection(),
     "ann_projected_topk": _sql_ann_projected_topk(),
+    "label_centroids": _sql_label_centroids(),
 }
