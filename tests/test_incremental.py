@@ -99,13 +99,14 @@ def test_compaction_shrinks_files_and_preserves_pairs(spark, sf_dir, tmp_path):
 
     docs = load_table(spark, sf_dir, "documents")
     state = str(tmp_path / "state")
-    # many appends -> fragmentation
-    build_dedup_state(docs.filter(F.col("doc_id") % 4 == 0), state, **CFG)
-    for m in (1, 2):
+    # many appends -> fragmentation (each small append coalesces to ~1 file
+    # under AQE, so fragmentation = number of appends)
+    build_dedup_state(docs.filter(F.col("doc_id") % 8 == 0), state, **CFG)
+    for m in range(1, 7):
         build_dedup_state(
-            docs.filter(F.col("doc_id") % 4 == m), state, mode="append", **CFG
+            docs.filter(F.col("doc_id") % 8 == m), state, mode="append", **CFG
         )
-    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    batch = docs.filter(F.col("doc_id") % 8 == 7)
     before = _pairs(incremental_minhash_pairs(spark, state, batch, tau=0.4, **CFG))
     n_before = len(glob.glob(os.path.join(state, "bands", "*.parquet")))
 

@@ -75,7 +75,16 @@ def build_dedup_state(
     done = os.path.join(state_path, "_STATE_OK")
     if os.path.exists(done) and not force and mode == "overwrite":
         return state_path
-    toks = _shingled(_spread(docs, id_col), n, text_col, id_col).cache()
+    # localCheckpoint, NOT cache+unpersist: the checkpoint blocks are freed
+    # when the frame is garbage-collected, whereas Dataset.unpersist()
+    # (measured, Spark 4.1) disturbs the session CacheManager enough that
+    # UNRELATED later .cache() plans stop being reused — a one-time build
+    # must not degrade every subsequent query in the session. The eager
+    # barrier also shares the shingle pass across the two writes below and
+    # blocks predicate re-inlining just like the cache boundary did.
+    toks = _shingled(_spread(docs, id_col), n, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     toks = toks.filter(F.size("_sh") > 0)
     _band_rows(toks, num_hashes, bands).write.mode(mode).parquet(
         os.path.join(state_path, "bands")
@@ -86,7 +95,6 @@ def build_dedup_state(
         .write.mode(mode)
         .parquet(os.path.join(state_path, "postings"))
     )
-    toks.unpersist()
     with open(done, "w") as f:
         f.write("ok")
     return state_path
@@ -261,7 +269,12 @@ def publish_dedup_state_table(
     """
     import os as _os
 
-    toks = _shingled(_spread(docs, id_col), n, text_col, id_col).cache()
+    # localCheckpoint for the same reason as build_dedup_state: a one-time
+    # publish must not leave CacheManager entries or (via unpersist) degrade
+    # unrelated cached plans for the rest of the session.
+    toks = _shingled(_spread(docs, id_col), n, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     toks = toks.filter(F.size("_sh") > 0)
     bands_t, post_t = f"{table_prefix}_bands", f"{table_prefix}_post"
     (
@@ -280,7 +293,6 @@ def publish_dedup_state_table(
         .mode("overwrite")
         .saveAsTable(post_t)
     )
-    toks.unpersist()
     return bands_t, post_t
 
 
