@@ -122,3 +122,31 @@ def test_asof_and_range_joins_never_nested_loop(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, q
     range_plan = plan_of(spark, "range_join_events", sf_dir, mode="simple")
     assert "BroadcastHashJoin" in range_plan  # bin-key equi join carries the range predicate
+
+
+def test_q7_shape_broadcasts_both_dimension_chains(plans):
+    """nation_trade_volume routes the fact row through TWO dimension chains
+    (supplier->nation, customer->nation); both must broadcast — the only
+    sort-merge-eligible join is lineitem x orders."""
+    p = plans("nation_trade_volume")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_disjunctive_clause_pushes_per_side_filters(plans):
+    """Q19-shape OR of conjuncts: Catalyst must derive per-side disjuncts
+    and push them into each scan (PushedFilters with Or), keeping the join
+    an equi hash join."""
+    p = plans("disjunctive_part_revenue")
+    assert "Or(" in p  # pushed disjunction on at least one scan
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_global_scalar_subquery_broadcasts(plans):
+    """Q22 shape: the 1-row global average must broadcast (nested-loop on a
+    1-row side is fine and expected); the no-orders check stays an anti
+    join; customer never cartesian-joins anything bigger than 1 row."""
+    p = plans("idle_rich_customers")
+    assert "Anti" in p
+    assert "CartesianProduct" not in p

@@ -795,6 +795,211 @@ FROM documents GROUP BY source ORDER BY source
 # Registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# TPC-H shapes round 2: two-sided dimension joins, conditional-agg ratios,
+# disjunctive pushdown, global-scalar + anti-join
+# --------------------------------------------------------------------------
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between (supplier nation, customer nation)
+    pairs by ship year. The fact row reaches TWO independent dimension
+    chains (lineitem->supplier->nation and lineitem->orders->customer->
+    nation); both chains broadcast, orders is the only shuffled join, and
+    the pair/year agg is partial-aggregated before its exchange."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Fact filter pushed to the scan, one orders join, broadcast
+    customer+nation, TakeOrderedAndProject for the top-20."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — the share of one month's
+    revenue from PROMO-type parts. Two decimal sums in ONE pass (no
+    self-join, no second scan); the ratio is the only double division."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return joined.agg(
+        F.round(
+            (F.lit(100.0) * F.sum(promo).cast("double"))
+            / F.sum(_revenue()).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({_SQL_REV}) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+"""
+
+
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive (brand, size, quantity)
+    clauses across the join. Catalyst extracts the common l_partkey equi-key
+    and pushes the per-side disjuncts down to each scan; no cross join, no
+    per-row Python."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 35))
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return joined.filter(clause).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_PART_REVENUE = f"""
+SELECT CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and NO orders,
+    counted per nation. The global average is a 1-row broadcast (scalar
+    subquery decorrelated by construction); the no-orders check is a
+    left-anti join; the final agg is tiny."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "distinct_agg": q_distinct_agg,
@@ -821,6 +1026,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_like_patterns": q_parts_like_patterns,
     "price_quantiles": q_price_quantiles,
     "cube_part_counts": q_cube_part_counts,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_item_customers": q_returned_item_customers,
+    "promo_revenue_share": q_promo_revenue_share,
+    "disjunctive_part_revenue": q_disjunctive_part_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -849,4 +1059,9 @@ ORACLE_SQL: dict[str, str] = {
     "parts_like_patterns": SQL_PARTS_LIKE_PATTERNS,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "cube_part_counts": SQL_CUBE_PART_COUNTS,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "disjunctive_part_revenue": SQL_DISJUNCTIVE_PART_REVENUE,
+    "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
 }
