@@ -130,3 +130,27 @@ def test_null_embeddings_get_null_codes(spark, codebooks):
     )
     rows = {r["vec_id"]: r["pq_code"] for r in encode_pq(df, codebooks).collect()}
     assert rows[1] is not None and rows[2] is None
+
+
+def test_ivfpq_composition(spark, emb, encoded, codebooks, qv):
+    """IVF coarse prune + PQ ADC + exact rerank: full probe with full
+    candidates degenerates to exact brute force; a partial probe keeps a
+    recall floor and only scans the probed clusters."""
+    from vector_db_mvp_spark.operators.ivf import build_ivf_index
+    from vector_db_mvp_spark.operators.pq import ivfpq_topk
+
+    assigned, centroids = build_ivf_index(encoded, 8, seed=42)
+    n = assigned.count()
+    exact = {r["vec_id"] for r in topk_cosine(emb, qv, 10, score_decimals=6).collect()}
+
+    full = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            assigned, centroids, codebooks, qv, 10, nprobe=8, candidates=n
+        ).collect()
+    }
+    assert full == exact
+
+    part = ivfpq_topk(assigned, centroids, codebooks, qv, 10, nprobe=2, candidates=100)
+    got = {r["vec_id"] for r in part.collect()}
+    assert len(exact & got) >= 5  # coarse prune + PQ candidates, conservative floor

@@ -148,6 +148,57 @@ def adc_score(
     return F.expr(" + ".join(terms))
 
 
+def ivfpq_topk(
+    assigned_encoded: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vector: Sequence[float],
+    k: int,
+    *,
+    nprobe: int = 4,
+    candidates: int = 100,
+    embedding_col: str = "embedding",
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-standard composition. The coarse quantizer
+    (operators/ivf.py cluster assignment) prunes the scan to nprobe
+    partitions/directories; within them the PQ byte codes are ADC-ranked
+    natively; the final ``candidates`` rows get exact-cosine re-ranked.
+
+    At 100 TB the layout is ``partitionBy(cluster_id)`` parquet storing
+    (id, pq_code) — a query reads nprobe directories of m-byte codes, i.e.
+    (nprobe/C) * (m/4d) of the full-corpus float bytes; the exact re-rank
+    fetches full vectors for only ``candidates`` ids.
+
+    ``assigned_encoded`` must carry ``cluster_id`` (from build_ivf_index /
+    read_ivf_layout) and ``code_col`` (from encode_pq)."""
+    import numpy as np  # noqa: F811 — local alias keeps module import light
+
+    q = np.asarray(query_vector, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    ranked = []
+    for cid, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        cn = np.linalg.norm(cv)
+        s = 0.0 if qn == 0.0 or cn == 0.0 else float(q @ cv / (qn * cn))
+        ranked.append((s, cid))
+    probe = [cid for _, cid in sorted(ranked, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    pruned = assigned_encoded.filter(F.col("cluster_id").isin(probe))
+    return pq_topk(
+        pruned,
+        codebooks,
+        query_vector,
+        k,
+        candidates=candidates,
+        embedding_col=embedding_col,
+        code_col=code_col,
+        id_col=id_col,
+        score_decimals=score_decimals,
+    )
+
+
 def pq_topk(
     encoded: DataFrame,
     codebooks: Sequence[Sequence[Sequence[float]]],
