@@ -176,6 +176,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get(t0) == 2
 
 
+def test_stream_dedup_on_ntz_fixture(spark, events_stream_dir, tmp_path):
+    """NTZ regression (Spark 4.x reads fixture parquet ts as TIMESTAMP_NTZ,
+    which withWatermark rejects): the streaming dedup path must coerce the
+    event-time column before declaring its watermark, same as windows.py."""
+    from vector_db_mvp_spark.streaming.dedup_stream import dedup_stream_exact
+
+    src, batch_df = events_stream_dir
+    assert str(batch_df.schema["ts"].dataType) == "TimestampNTZType()", (
+        "fixture no longer NTZ — regression test needs updating"
+    )
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        .withColumn("fingerprint", F.col("user_id").cast("string"))
+    )
+    q = (
+        dedup_stream_exact(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_ntz")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ntz"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(DISTINCT fingerprint) AS n, count(*) AS total FROM dedup_ntz").collect()[0]
+    # one survivor per fingerprint within a single micro-batch
+    assert got["n"] == got["total"] > 0
+
+
 def _write_command(dirpath: str, i: int, **cmd) -> None:
     os.makedirs(dirpath, exist_ok=True)
     path = os.path.join(dirpath, f"cmd_{i:04d}.json")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import NORM_TEXT
+from .windows import as_event_time
 
 
 def with_fingerprint(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -44,5 +45,5 @@ def dedup_stream_exact(
     horizon; first arrival wins. Works on a streaming DataFrame in append
     mode; on a batch frame it degrades to plain dropDuplicates semantics
     (useful for the batch==stream twin test)."""
-    out = stream.withWatermark(ts_col, watermark)
+    out = as_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     return out.dropDuplicatesWithinWatermark(list(keys))

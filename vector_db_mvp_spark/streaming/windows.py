@@ -10,6 +10,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+
+def as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce ``ts_col`` to ``TimestampType`` so it is a legal watermark column.
+
+    Spark 4.x infers parquet timestamps without a zone as ``TIMESTAMP_NTZ``
+    (spark.sql.parquet.inferTimestampNTZ.enabled defaults to true) and
+    ``withWatermark`` rejects NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  The cast is a no-op when the
+    column is already ``timestamp``, so every streaming entry point funnels
+    through here before declaring a watermark."""
+    if isinstance(df.schema[ts_col].dataType, TimestampType):
+        return df
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
 
 def windowed_event_counts(
@@ -27,7 +42,8 @@ def windowed_event_counts(
     — the knob that keeps state finite on an unbounded 100 TB/day stream.
     """
     return (
-        events.withWatermark(ts_col, watermark)
+        as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -61,12 +77,12 @@ def view_purchase_attribution(
     Batch semantics are identical (the pytest twin runs the same function on
     bounded DataFrames), mirroring the batch as-of join
     (operators/asof.py) with which it shares the purchase/view workload."""
-    v = views.withWatermark(ts_col, watermark).select(
+    v = as_event_time(views, ts_col).withWatermark(ts_col, watermark).select(
         F.col("user_id"),
         F.col("event_id").alias("view_id"),
         F.col(ts_col).alias("view_ts"),
     )
-    p = purchases.withWatermark(ts_col, watermark).select(
+    p = as_event_time(purchases, ts_col).withWatermark(ts_col, watermark).select(
         F.col("user_id"),
         F.col("event_id").alias("purchase_id"),
         F.col(ts_col).alias("purchase_ts"),
@@ -117,7 +133,8 @@ def user_running_counts(events: DataFrame, *, ts_col: str = "ts", watermark: str
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
     return (
-        events.withWatermark(ts_col, watermark)
+        as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
