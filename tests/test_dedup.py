@@ -7,7 +7,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from vector_db_mvp_spark.functions.lsh import generate_planes
-from vector_db_mvp_spark.functions.text import minhash_signature, shingles, tokens
+from vector_db_mvp_spark.functions.text import (
+    minhash_signature_from_md5s,
+    shingle_md5s,
+    shingles,
+    tokens,
+)
 from vector_db_mvp_spark.operators.dedup import (
     embedding_neardup_pairs,
     embedding_neardup_pairs_lsh,
@@ -18,11 +23,13 @@ from vector_db_mvp_spark.sources.testdata import load_table
 
 
 def test_minhash_salts_are_independent(spark, sf_dir):
-    """Regression for the binary-lambda salt bug: the k signature entries
-    must not be all identical (distinct salted hash families)."""
+    """Regression for the binary-lambda index bug: the k signature entries
+    must not be all identical (distinct hash functions per slot)."""
     docs = load_table(spark, sf_dir, "documents").limit(20)
     sig = docs.select(
-        minhash_signature(shingles(tokens(F.col("text")), 5), 8).alias("sig")
+        minhash_signature_from_md5s(
+            shingle_md5s(shingles(tokens(F.col("text")), 5)), 8
+        ).alias("sig")
     )
     rows = sig.collect()
     distinct_counts = [len(set(r["sig"])) for r in rows]

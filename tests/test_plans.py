@@ -150,3 +150,15 @@ def test_global_scalar_subquery_broadcasts(plans):
     p = plans("idle_rich_customers")
     assert "Anti" in p
     assert "CartesianProduct" not in p
+
+
+def test_minhash_shingling_behind_structural_boundary(spark, sf_dir):
+    """dedup_minhash_lsh: shingling must be materialized ONCE behind an eager
+    checkpoint. A lazy cache boundary let the size(_sh) filter push down and
+    re-inline the whole tokenize+shingle expression below the exchange onto
+    one pre-shuffle task — the 3.3 s vs 8.1 s bench flap on identical code.
+    After the fix the downstream plan reads the checkpointed RDD and contains
+    zero tokenize expressions."""
+    plan = plan_of(spark, "dedup_minhash_lsh", sf_dir)
+    assert "split(trim(lower(" not in plan  # tokenize ran at checkpoint time
+    assert "ExistingRDD" in plan  # consumers scan the checkpointed shingles

@@ -65,33 +65,54 @@ def sql_h64(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# MinHash signature (salted-md5 family)
+# MinHash signature (Kirsch–Mitzenmacher family over one md5 per shingle)
 # ---------------------------------------------------------------------------
+#
+# h_i(s) = h1(s) + i * h2(s), where h1 = first 60 bits and h2 = 40 bits
+# (hex chars 17-26) of ONE md5 digest per shingle. The classic double-
+# hashing construction preserves minhash accuracy while computing a single
+# cryptographic hash per shingle instead of k salted ones (16x less md5 on
+# the hot path). Bounds: h1 < 2^60, i*h2 <= 15*2^40 < 2^44, so the sum
+# stays far below 2^63 — no ANSI-mode long overflow on either engine.
+# Portability: md5/substr/conv exist identically in Spark and DuckDB, so
+# the oracle reproduces signatures bit-for-bit.
 
 
-def _salted_hash(i: int):
-    # NOTE: must be a unary lambda built via factory — ``lambda s, i=i``
-    # makes PySpark treat it as a binary (element, index) lambda and bind
-    # ``i`` to the array-index Column, silently corrupting the salt.
-    def fn(s: Column) -> Column:
-        return h64(F.concat(F.lit(f"{i}:"), s))
+def shingle_md5s(shingle_col: Column) -> Column:
+    """array<string> — one 32-hex-char md5 digest per shingle. The only
+    cryptographic hash the minhash path computes; signatures AND the
+    Jaccard-verify postings both derive from these digests (digest equality
+    == shingle equality on both engines, so verify counts are unchanged)."""
+    return F.transform(shingle_col, F.md5)
+
+
+def _km_hash(i: int):
+    # factory, not a default-arg lambda — ``lambda m, i=i`` would be treated
+    # as a binary (element, index) lambda, binding ``i`` to the array index
+    def fn(m: Column) -> Column:
+        h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(m, 17, 10), 16, 10).cast("long")
+        return h1 + F.lit(i) * h2
 
     return fn
 
 
-def minhash_signature(shingle_col: Column, k: int) -> Column:
-    """array<long> of k minhashes; empty shingle set -> array of NULLs
-    (docs without shingles are excluded by callers)."""
+def minhash_signature_from_md5s(md5s_col: Column, k: int) -> Column:
+    """array<long> of k minhashes from per-shingle md5 digests; empty input
+    -> array of NULLs (docs without shingles are excluded by callers)."""
     return F.array(*[
-        F.array_min(F.transform(shingle_col, _salted_hash(i))) for i in range(k)
+        F.array_min(F.transform(md5s_col, _km_hash(i))) for i in range(k)
     ])
 
 
-def sql_minhash_signature(shingles_expr: str, k: int) -> str:
+def sql_minhash_signature_from_md5s(md5s_expr: str, k: int) -> str:
     parts = []
     for i in range(k):
-        salted = "'" + str(i) + ":' || s"
-        parts.append(f"list_min(list_transform({shingles_expr}, s -> {sql_h64(salted)}))")
+        km = (
+            f"CAST(('0x' || substr(m, 1, 15)) AS BIGINT) "
+            f"+ {i} * CAST(('0x' || substr(m, 17, 10)) AS BIGINT)"
+        )
+        parts.append(f"list_min(list_transform({md5s_expr}, m -> {km}))")
     return "[" + ", ".join(parts) + "]"
 
 

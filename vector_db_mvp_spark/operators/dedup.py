@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     h64,
-    minhash_signature,
     shingles,
     simhash_from_hashes,
     token_hashes,
@@ -51,8 +50,45 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     shingling/hashing expression runs on a single core while the rest idle
     (measured: 8 s single-task shingling at sf0.1 on local[32]). The shuffle
     moves only (id, text) — cheap — and the same move is what a 1000-executor
-    cluster needs anyway to spread row-group-skewed inputs."""
-    return df.repartition(F.col(id_col))
+    cluster needs anyway to spread row-group-skewed inputs.
+
+    The partition count is EXPLICIT: ``repartition(col)`` without a count is
+    an AQE-coalescible exchange, and because the shuffled (id, text) bytes
+    are far below the advisory partition size, AQE merges it back to ONE
+    partition — resurrecting exactly the single-task shingling this shuffle
+    exists to prevent (the 3.3 s vs 8.8 s bench flap: whether AQE coalesced
+    depended on session state). A user-specified count is never coalesced.
+    Sized to the cluster's total cores: text work is CPU-bound, not
+    bytes-bound, so the advisory byte target is the wrong heuristic."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
+def _spread_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _t: array<string>) token arrays, spread and CHECKPOINTED.
+
+    This is the structural barrier every shingle consumer builds on. Two
+    distinct pathologies required it (both measured as multi-second
+    single-task stalls at sf0.1 and as the 3.3 s vs 8.8 s bench flap):
+
+    1. predicate pushdown: any filter derived above (an explicit
+       size(_sh) > 0, or the size>0 AND isnotnull filter Catalyst INFERS
+       from explode()) re-inlines the full tokenize+shingle expression
+       below the spread exchange, running it twice on the one pre-shuffle
+       input task;
+    2. lazy .cache() is order-sensitive (whether the boundary holds depends
+       on what the session analyzed first) and Dataset.unpersist() degrades
+       unrelated cached plans (see build_dedup_state).
+
+    An EAGER localCheckpoint of the token arrays is immune to both: the
+    materialized RDD is a hard pushdown barrier, tokens are the smallest
+    frame worth keeping (≈ text bytes; shingle strings are ~5x), and all
+    CPU-heavy work above it runs at full parallelism."""
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -68,20 +104,32 @@ def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def _shingled(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """(_id, _sh: array<string>) — tokens materialized in their OWN projection
-    first: inlined into shingles(), the tokenizing regex re-runs inside the
-    per-shingle slice lambda (measured 6x slower at sf0.1)."""
-    return df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
-    ).select("_id", shingles(F.col("_t"), n).alias("_sh"))
-
-
-def _distinct_shingles(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index postings."""
+def _shingle_digests(toks: DataFrame, n: int) -> DataFrame:
+    """(_id, m) DISTINCT per-shingle md5 digests from a
+    :func:`_spread_tokens` frame — the minhash pipeline's canonical
+    intermediate, in EXPLODED (not array) form: signatures derive as
+    groupBy-min aggregates and the Jaccard-verify postings are these very
+    rows, so exactly one cryptographic hash runs per shingle. Exploded
+    matters for speed: md5 applied to a plain column runs in whole-stage
+    codegen, while the same md5 inside a transform() lambda is interpreted
+    per element (measured ~8x slower at sf0.1). Documents with zero
+    shingles simply emit no rows (the old size(_sh) > 0 filter). The
+    explode-inferred size/isnotnull filter stops at the token checkpoint:
+    it re-evaluates the shingle transform once more, but 32-way parallel
+    over materialized tokens — not on the single pre-shuffle input task."""
     return (
-        _shingled(df, n, text_col, id_col)
-        .select("_id", F.explode("_sh").alias("s"))
+        toks.select("_id", F.explode(shingles(F.col("_t"), n)).alias("s"))
+        .select("_id", F.md5("s").alias("m"))
+        .distinct()
+    )
+
+
+def _distinct_shingles(toks: DataFrame, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index postings — from a
+    :func:`_spread_tokens` frame (the barrier that keeps the explode-
+    inferred filter off the pre-shuffle input task)."""
+    return (
+        toks.select("_id", F.explode(shingles(F.col("_t"), n)).alias("s"))
         .distinct()
     )
 
@@ -103,7 +151,7 @@ def ngram_jaccard_pairs(
     FULL set sizes even when pruning candidates, so pruning only affects
     recall of candidate generation, never the reported score.
     """
-    post = _distinct_shingles(_spread(df, id_col), n, text_col, id_col).cache()
+    post = _distinct_shingles(_spread_tokens(df, text_col, id_col), n).cache()
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_post = post
     if max_doc_freq is not None:
@@ -150,14 +198,13 @@ def minhash_lsh_pairs(
     output pairs are exact — LSH affects recall only.
     """
     assert num_hashes % bands == 0
-    # cache: the shingle set feeds BOTH the signature/banding path and the
-    # exact-Jaccard verify path — without it shingling runs twice.
-    # Filter AFTER the cache boundary: pushed down, the size(_sh) predicate
-    # re-inlines the whole shingle expression below the exchange and runs it
-    # on the single pre-shuffle input task (measured 8.8 s vs 3 s at sf0.1).
-    toks = _shingled(_spread(df, id_col), n, text_col, id_col).cache()
-    toks = toks.filter(F.size("_sh") > 0)
-    band_rows = _band_rows(toks, num_hashes, bands)
+    # The token checkpoint inside _spread_tokens is the only materialization
+    # barrier; the digest postings above it feed BOTH the signature/banding
+    # path and the exact-Jaccard verify path, deduplicated at execution time
+    # by ReuseExchange (the distinct's shuffle is byte-identical in every
+    # branch of the single final plan).
+    post = _shingle_digests(_spread_tokens(df, text_col, id_col), n)
+    band_rows = _band_rows(post, num_hashes, bands)
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     cands = (
         a.join(
@@ -169,32 +216,53 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
-    # exact-Jaccard verify on candidates only
-    post = toks.select("_id", F.explode("_sh").alias("s")).distinct()
-    return _jaccard_verify(cands, post, tau)
+    # exact-Jaccard verify on candidates only (digest equality == shingle
+    # equality on both engines, so counts match the string-based verify)
+    return _jaccard_verify(cands, post.withColumnRenamed("m", "s"), tau)
 
 
-def _band_rows(toks: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(_id, band, bh) banded-signature rows from (_id, _sh) shingle sets.
+def _km_hash_cols(m, num_hashes: int) -> list:
+    """The Kirsch–Mitzenmacher k-hash family h_i = h1 + i*h2 over a digest
+    COLUMN (functions/text.py documents the construction and its overflow
+    bounds; this is the codegen-friendly column twin of the array-lambda
+    form there)."""
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 17, 10), 16, 10).cast("long")
+    return [h1 + F.lit(i) * h2 for i in range(num_hashes)]
 
-    Signatures depend only on the document's own shingles (fixed salted-md5
-    hash family), so band rows are corpus-independent — the property the
-    incremental path (operators/incremental.py) relies on: bands computed
-    for a new batch are bit-identical to what a full recompute would emit.
+
+def _band_rows(post: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bh) banded-signature rows from (_id, m) digest postings.
+
+    Signature slots are min-aggregates over each document's digests — one
+    hash-aggregate with map-side partial combine, fully inside whole-stage
+    codegen (the array-transform formulation ran interpreted). Minhash over
+    the DISTINCT digest set equals minhash over the multiset (min ignores
+    duplicates), so postings serve as the single source for both signatures
+    and Jaccard verification.
+
+    Signatures depend only on the document's own shingles (fixed
+    Kirsch–Mitzenmacher family over per-shingle md5s), so band rows are
+    corpus-independent — the property the incremental path
+    (operators/incremental.py) relies on: bands computed for a new batch are
+    bit-identical to what a full recompute would emit.
     """
     r = num_hashes // bands
-    # cache: sig feeds both sides of the band self-join through an explode —
-    # uncached, the minhash transforms recompute per side and per band.
-    sig = toks.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("sig")
-    ).cache()
+    sig = post.groupBy("_id").agg(
+        *[
+            F.min(h).alias(f"_s{i}")
+            for i, h in enumerate(_km_hash_cols(F.col("m"), num_hashes))
+        ]
+    )
     return sig.select(
         "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j] for j in range(r)])).alias("bh"),
+                    F.md5(
+                        F.concat_ws(",", *[F.col(f"_s{b * r + j}") for j in range(r)])
+                    ).alias("bh"),
                 )
                 for b in range(bands)
             ])
@@ -241,14 +309,16 @@ def simhash_pairs(
     shares at least one unchanged byte, so the band join has full recall for
     the default threshold (requires max_hamming < 4)."""
     assert max_hamming < 4, "byte-banding recall guarantee needs hamming < bands"
-    # Two projections (hash once, then 32 bit-votes) + cache: sh feeds both
-    # sides of the band self-join through an explode — inlined/uncached the
-    # md5 hashing reruns up to 8x (2 sides x 4 bands).
+    # Two projections (hash once, then 32 bit-votes) + eager localCheckpoint:
+    # sh feeds both sides of the band self-join through an explode —
+    # unmaterialized, the md5 hashing reruns up to 8x (2 sides x 4 bands);
+    # a lazy .cache() here is order-sensitive the same way the minhash
+    # boundary was (see _spread_tokens). The frame is one long per doc.
     sh = (
         _spread(df, id_col)
         .select(F.col(id_col).alias("_id"), token_hashes(tokens(F.col(text_col))).alias("_h"))
         .select("_id", simhash_from_hashes(F.col("_h")).alias("sh"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     band_rows = sh.select(
         "_id", "sh",

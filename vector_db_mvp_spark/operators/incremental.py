@@ -6,8 +6,9 @@ run; this module makes the per-batch cost O(batch + candidates):
 
 - **build** (once, then per-batch append): persist the corpus's dedup state
   — banded signature rows (doc, band, band_hash) and shingle postings
-  (doc, shingle) — as parquet. MinHash signatures depend only on each
-  document's own shingles (fixed salted-md5 hash family), so state rows
+  (doc, shingle digest) — as parquet. MinHash signatures depend only on
+  each document's own shingles (fixed Kirsch–Mitzenmacher family over one
+  md5 digest per shingle — functions/text.py), so state rows
   never go stale when other documents arrive; a batch is ingested by
   appending its rows, no rewrite.
 - **query** (per batch): shingle/band ONLY the new documents, join their
@@ -42,7 +43,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _band_rows, _jaccard_verify, _shingled, _spread
+from .dedup import _band_rows, _jaccard_verify, _shingle_digests, _spread_tokens
 
 
 def dedup_state_path(
@@ -53,7 +54,9 @@ def dedup_state_path(
         "SPARK_GRAFT_INDEX_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
     )
-    key = hashlib.md5(f"{corpus_key}|{n}|{num_hashes}|{bands}".encode()).hexdigest()[:16]
+    # "km1" versions the hash family (Kirsch–Mitzenmacher over per-shingle
+    # md5s): state persisted under an older family must never be reused.
+    key = hashlib.md5(f"{corpus_key}|{n}|{num_hashes}|{bands}|km1".encode()).hexdigest()[:16]
     return os.path.join(root, f"dedupstate-{key}")
 
 
@@ -82,16 +85,17 @@ def build_dedup_state(
     # must not degrade every subsequent query in the session. The eager
     # barrier also shares the shingle pass across the two writes below and
     # blocks predicate re-inlining just like the cache boundary did.
-    toks = _shingled(_spread(docs, id_col), n, text_col, id_col).localCheckpoint(
-        eager=True
-    )
-    toks = toks.filter(F.size("_sh") > 0)
-    _band_rows(toks, num_hashes, bands).write.mode(mode).parquet(
+    # second (post-level) checkpoint on top of the token barrier: the two
+    # writes below are separate actions, so without it the shingle+digest
+    # pass would run once per write.
+    post = _shingle_digests(
+        _spread_tokens(docs, text_col, id_col), n
+    ).localCheckpoint(eager=True)
+    _band_rows(post, num_hashes, bands).write.mode(mode).parquet(
         os.path.join(state_path, "bands")
     )
     (
-        toks.select("_id", F.explode("_sh").alias("s"))
-        .distinct()
+        post.withColumnRenamed("m", "s")
         .write.mode(mode)
         .parquet(os.path.join(state_path, "postings"))
     )
@@ -150,10 +154,12 @@ def _incremental_pairs(
     bucketed-table path, where SMJ rides the bucket layout with no state-
     side exchange (broadcast would win at fixture scale but not at 100 TB,
     where the batch's band table can exceed the broadcast threshold)."""
-    toks = _shingled(_spread(new_docs, id_col), n, text_col, id_col).cache()
-    toks = toks.filter(F.size("_sh") > 0)
-    new_bands = _band_rows(toks, num_hashes, bands).cache()
-    new_post = toks.select("_id", F.explode("_sh").alias("s")).distinct()
+    # The token barrier inside _spread_tokens blocks predicate re-inlining
+    # (see operators/dedup.py); the digest pass above it is consumed via the
+    # caches below, so no second checkpoint is needed on the query path.
+    batch_post = _shingle_digests(_spread_tokens(new_docs, text_col, id_col), n)
+    new_bands = _band_rows(batch_post, num_hashes, bands).cache()
+    new_post = batch_post.withColumnRenamed("m", "s")
 
     # Candidates come from two joins kept SEPARATE on purpose: unioning the
     # batch bands into the state frame first would erase the state table's
@@ -272,13 +278,12 @@ def publish_dedup_state_table(
     # localCheckpoint for the same reason as build_dedup_state: a one-time
     # publish must not leave CacheManager entries or (via unpersist) degrade
     # unrelated cached plans for the rest of the session.
-    toks = _shingled(_spread(docs, id_col), n, text_col, id_col).localCheckpoint(
-        eager=True
-    )
-    toks = toks.filter(F.size("_sh") > 0)
+    post = _shingle_digests(
+        _spread_tokens(docs, text_col, id_col), n
+    ).localCheckpoint(eager=True)
     bands_t, post_t = f"{table_prefix}_bands", f"{table_prefix}_post"
     (
-        _band_rows(toks, num_hashes, bands)
+        _band_rows(post, num_hashes, bands)
         .write.bucketBy(buckets, "band", "bh")
         .sortBy("band", "bh")
         .option("path", _os.path.join(warehouse_dir, bands_t))
@@ -286,8 +291,7 @@ def publish_dedup_state_table(
         .saveAsTable(bands_t)
     )
     (
-        toks.select("_id", F.explode("_sh").alias("s"))
-        .distinct()
+        post.withColumnRenamed("m", "s")
         .write.bucketBy(buckets, "_id")
         .option("path", _os.path.join(warehouse_dir, post_t))
         .mode("overwrite")

@@ -17,7 +17,7 @@ from ..functions.text import (
     SQL_TOKENS,
     sql_h64,
     sql_marker_hits,
-    sql_minhash_signature,
+    sql_minhash_signature_from_md5s,
     sql_shingles,
     sql_simhash,
 )
@@ -85,7 +85,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_minhash(n: int, num_hashes: int, bands: int, tau: float) -> str:
     r = num_hashes // bands
     sh = sql_shingles("t", n)
-    sig = sql_minhash_signature("sh", num_hashes)
+    sig = sql_minhash_signature_from_md5s("shm", num_hashes)
     band_structs = ", ".join(
         "{'band': %d, 'bh': md5(%s)}"
         % (b, " || ',' || ".join(f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r)))
@@ -94,14 +94,15 @@ def _sql_minhash(n: int, num_hashes: int, bands: int, tau: float) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 shs AS (SELECT doc_id, {sh} AS sh FROM toks),
-shs2 AS (SELECT * FROM shs WHERE len(sh) > 0),
+shs2 AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm
+         FROM shs WHERE len(sh) > 0),
 sigs AS (SELECT doc_id, {sig} AS sig FROM shs2),
 bandrows AS (SELECT doc_id, u.b.band AS band, u.b.bh AS bh
              FROM sigs, UNNEST([{band_structs}]) AS u(b)),
 cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bandrows a JOIN bandrows b
             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-post AS (SELECT DISTINCT doc_id, u.s AS s FROM shs2, UNNEST(sh) AS u(s)),
+post AS (SELECT DISTINCT doc_id, u.s AS s FROM shs2, UNNEST(shm) AS u(s)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM post GROUP BY 1),
 common AS (SELECT c.id1, c.id2, COUNT(*) AS common
            FROM cands c
