@@ -51,6 +51,7 @@ HEADLINE = [
     "incremental_dedup",
     "ann_projected_topk",
     "temperature_mix",
+    "topk_cosine_pq",
 ]
 
 

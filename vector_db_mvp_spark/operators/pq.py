@@ -76,6 +76,22 @@ def fit_pq(
     return codebooks
 
 
+def fixed_codebooks(
+    dim: int, m: int, ksub: int, *, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic seeded Gaussian codebooks (no data dependence) — the
+    oracle-reproducible counterpart of :func:`fit_pq`. Centroids are drawn
+    N(0, 1/dim) so their norms match unit-vector subvector norms (~1/sqrt(m)).
+    KMeans-fit codebooks give better recall and are exercised in
+    tests/test_pq.py; these exist so a SQL oracle can replicate encode + ADC
+    from literal constants (same pattern as functions/lsh.py
+    generate_planes)."""
+    assert dim % m == 0
+    rng = np.random.RandomState(seed)
+    cb = rng.standard_normal((m, ksub, dim // m)) / np.sqrt(dim)
+    return [[list(map(float, c)) for c in sub] for sub in cb]
+
+
 def encode_pq(
     df: DataFrame,
     codebooks: Sequence[Sequence[Sequence[float]]],

@@ -961,20 +961,24 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 
 
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: customers with above-average balance and NO orders,
-    counted per nation. The global average is a 1-row broadcast (scalar
-    subquery decorrelated by construction); the no-orders check is a
-    left-anti join; the final agg is tiny."""
+    """TPC-H Q22 shape: customers with above-average balance and no RECENT
+    orders (none since 1998 — the fixture gives essentially every customer
+    at least one lifetime order, so an all-time anti join is empty by
+    construction and would verify nothing). The global average is a 1-row
+    broadcast (scalar subquery decorrelated by construction); the
+    no-recent-orders check is a left-anti join against the date-filtered
+    orders scan (filter pushed to parquet); the final agg is tiny."""
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("_avg")
     )
     rich = (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
     )
     return (
         rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
@@ -994,7 +998,9 @@ SELECT n_name, COUNT(*) AS n_customers,
 FROM customer, avg_bal
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > avg_bal.a
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
 GROUP BY n_name
 ORDER BY n_name
 """

@@ -144,6 +144,100 @@ _LSH_T, _LSH_P = 4, 8
 _PLANES = generate_planes(_LSH_DIM, _LSH_T, _LSH_P, seed=42)
 
 
+# --------------------------------------------------------------------------
+# Product quantization (operators/pq.py — the memory-bound ANN path)
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_KSUB = 8, 16
+_PQ_CANDIDATES = 100
+
+
+def _pq_codebooks():
+    from ..operators.pq import fixed_codebooks
+
+    return fixed_codebooks(_LSH_DIM, _PQ_M, _PQ_KSUB, seed=42)
+
+
+def q_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 PQ variant: encode to m one-byte codes (Arrow-batched ingest
+    path), native ADC scan (driver-folded <query, centroid> table, m array
+    lookups + adds per row in codegen), TakeOrderedAndProject candidate cut,
+    exact-cosine re-rank to top-10. Codebooks are fixed seeded constants
+    (operators/pq.py fixed_codebooks) so the DuckDB oracle replicates
+    encode + ADC + re-rank from literals; KMeans-fit codebooks (fit_pq) are
+    recall-tested in tests/test_pq.py."""
+    from ..operators.pq import encode_pq, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    encoded = encode_pq(emb.filter(F.col("embedding").isNotNull()), _pq_codebooks())
+    return pq_topk(
+        encoded, _pq_codebooks(), qv, 10,
+        candidates=_PQ_CANDIDATES, score_decimals=6,
+    ).select("vec_id", "label", "score")
+
+
+def _sql_topk_cosine_pq(k: int, query_vec_id: int = 0) -> str:
+    """Oracle: same pipeline in SQL. Unit-normalize, per-subspace argmin
+    against the literal centroids (list_position of list_min = first-min,
+    matching np.argmin), ADC from the query's own dot table, candidate cut,
+    exact-cosine re-rank. cnorm2 literals are computed with the same numpy
+    ops encode_pq uses, so the distance constants agree bit-for-bit."""
+    import numpy as np
+
+    cb = np.asarray(_pq_codebooks(), dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    cnorm2 = (cb**2).sum(axis=2)
+
+    code_cols = []
+    for j in range(m):
+        off = j * dsub
+        dists = ", ".join(
+            f"{cnorm2[j][c]!r} - 2*("
+            + " + ".join(f"ue[{off + t + 1}]*{cb[j][c][t]!r}" for t in range(dsub))
+            + ")"
+            for c in range(ksub)
+        )
+        code_cols.append(
+            f"CAST(list_position([{dists}], list_min([{dists}])) - 1 AS INT) AS code_{j}"
+        )
+    adc_tables = ", ".join(
+        "["
+        + ", ".join(
+            "(" + " + ".join(f"qu[{j * dsub + t + 1}]*{cb[j][c][t]!r}" for t in range(dsub)) + ")"
+            for c in range(ksub)
+        )
+        + f"] AS t{j}"
+        for j in range(m)
+    )
+    adc_sum = " + ".join(f"qt.t{j}[c.code_{j} + 1]" for j in range(m))
+    cos = _DUCK_COS.format(a="cand.embedding", b="q2._qv")
+    return f"""
+WITH qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS qd
+              FROM embeddings WHERE vec_id = {query_vec_id}),
+qu_ AS (SELECT CASE WHEN sqrt(list_sum(list_transform(qd, x -> x*x))) = 0 THEN qd
+                    ELSE list_transform(qd, x -> x / sqrt(list_sum(list_transform(qd, y -> y*y))))
+               END AS qu FROM qraw),
+qt AS (SELECT {adc_tables} FROM qu_),
+e AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS ed
+      FROM embeddings WHERE embedding IS NOT NULL),
+un AS (SELECT vec_id, label, embedding,
+              CASE WHEN sqrt(list_sum(list_transform(ed, x -> x*x))) = 0 THEN ed
+                   ELSE list_transform(ed, x -> x / sqrt(list_sum(list_transform(ed, y -> y*y))))
+              END AS ue
+       FROM e),
+c AS (SELECT vec_id, label, embedding, {", ".join(code_cols)} FROM un),
+adc AS (SELECT c.vec_id, c.label, c.embedding, round({adc_sum}, 9) AS _adc
+        FROM c CROSS JOIN qt),
+cand AS (SELECT * FROM adc ORDER BY _adc DESC, vec_id ASC LIMIT {_PQ_CANDIDATES})
+SELECT cand.vec_id, cand.label, round({cos}, 6) AS score
+FROM cand CROSS JOIN (SELECT embedding AS _qv FROM embeddings
+                      WHERE vec_id = {query_vec_id}) q2
+ORDER BY score DESC, cand.vec_id ASC
+LIMIT {k}
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: LSH bucket-prune (union of per-table candidate sets) then exact
     cosine re-rank, top-10. Uses the oracle-exact native hashing path for
@@ -469,6 +563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
     "topk_cosine_quantized": q_topk_cosine_quantized,
+    "topk_cosine_pq": q_topk_cosine_pq,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_served": q_lsh_topk_served,
     "ann_batch_topk": q_ann_batch_topk,
@@ -487,6 +582,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
     "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
+    "topk_cosine_pq": _sql_topk_cosine_pq(10),
     "lsh_topk": _sql_lsh_topk(10),
     "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
