@@ -105,13 +105,27 @@ def main() -> None:
         force=True,
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # Median of RUNS interleaved full passes: single-shot numbers swung
+    # +/-2.5x between rounds on identical code (BENCH_r02 vs r03), so a
+    # regression smaller than that was invisible. Interleaving (pass 1 of
+    # every query, then pass 2, ...) keeps one query's GC/JIT debt from
+    # landing entirely on its own later passes.
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(RUNS):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {k: round(median(v), 4) for k, v in samples.items()}
+    spread = {k: round(max(v) - min(v), 4) for k, v in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -120,6 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: v for k, v in timings.items()},
+                "spread": spread,
+                "runs": RUNS,
                 "sf": sf,
             }
         )

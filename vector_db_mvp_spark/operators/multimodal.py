@@ -94,29 +94,56 @@ def _fake_decode(kind: str, payload: bytes) -> dict:
             "duration_ms": 1000 + h[3] * 91}
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def _pil_image_loader():
+    """Resolve the real image decoder at WORKER runtime: a callable
+    payload-bytes -> metadata dict when PIL is importable there, else None.
+    Resolution must happen inside the mapInPandas closure — workers are
+    separate Python processes, so driver-side imports (or monkeypatches)
+    never reach them."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def load(payload: bytes) -> dict:
+        im = Image.open(io.BytesIO(payload))
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "n_frames": int(getattr(im, "n_frames", 1)),
+            "sample_rate": None,
+            "duration_ms": None,
+        }
+
+    return load
+
+
+def decode_media(df: DataFrame, *, image_loader=None) -> DataFrame:
     """mapInPandas decode: Arrow-batched bytes -> typed metadata rows.
 
-    Real decoders are attempted per batch behind an import guard; the
-    container ships none, so the deterministic stub runs.
-    """
+    Image rows go through the real decoder when one is available (PIL,
+    resolved per worker), DEGRADING per row to the deterministic stub when
+    the payload doesn't decode — never failing the operator. The container
+    ships no codecs, so CI and the DuckDB oracle exercise the stub;
+    ``image_loader`` injects a decoder explicitly (tests ship a fake one
+    inside the serialized closure, the worker-safe equivalent of
+    monkeypatching PIL)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real codec path (absent in this container)
-            import PIL.Image  # noqa: F401
-            real = True
-        except ImportError:
-            real = False
+        load_image = image_loader if image_loader is not None else _pil_image_loader()
         for pdf in batches:
             out = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if payload is None:
                     meta = {"width": None, "height": None, "n_frames": None,
                             "sample_rate": None, "duration_ms": None}
-                elif real and kind == "image":
-                    raise NotImplementedError(
-                        "real codec path: wire PIL.Image.open(BytesIO(payload)) here"
-                    )
+                elif load_image is not None and kind == "image":
+                    try:
+                        meta = load_image(bytes(payload))
+                    except Exception:  # undecodable bytes -> stub, not failure
+                        meta = _fake_decode(kind, bytes(payload))
                 else:
                     meta = _fake_decode(kind, bytes(payload))
                 out.append({"media_id": media_id, "kind": kind, **meta})
@@ -192,27 +219,51 @@ def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
     return hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
 
 
-def resize_media(df: DataFrame, *, width: int = 64, height: int = 64) -> DataFrame:
+def _pil_image_resizer(width: int, height: int):
+    """Resolve the real resizer at WORKER runtime (see _pil_image_loader):
+    payload-bytes -> resized PNG bytes, or None when PIL is absent."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def resize(payload: bytes) -> bytes:
+        im = Image.open(io.BytesIO(payload)).resize((width, height))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    return resize
+
+
+def resize_media(
+    df: DataFrame, *, width: int = 64, height: int = 64, image_resizer=None
+) -> DataFrame:
     """mapInPandas resize for visual media (image/video): binary in, binary
     out, same Arrow batch plumbing as decode. Non-visual rows (audio) pass
     through with a null payload — resize is undefined for them, and emitting
-    the row keeps the operator a 1:1 map (no silent drops)."""
+    the row keeps the operator a 1:1 map (no silent drops). Image rows use
+    the real resizer when available (PIL, resolved per worker), degrading
+    per row to the deterministic stub on undecodable bytes;
+    ``image_resizer`` injects one explicitly (worker-safe test hook)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real codec path (absent in this container)
-            import PIL.Image  # noqa: F401
-            real = True
-        except ImportError:
-            real = False
+        resize_image = (
+            image_resizer if image_resizer is not None
+            else _pil_image_resizer(width, height)
+        )
         for pdf in batches:
             out = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if payload is None or kind not in ("image", "video"):
                     resized = None
-                elif real:
-                    raise NotImplementedError(
-                        "real codec path: wire PIL.Image.open(...).resize((w, h)) here"
-                    )
+                elif resize_image is not None and kind == "image":
+                    try:
+                        resized = resize_image(bytes(payload))
+                    except Exception:  # undecodable bytes -> stub, not failure
+                        resized = _stub_resize(bytes(payload), width, height)
                 else:
                     resized = _stub_resize(bytes(payload), width, height)
                 out.append(
