@@ -162,3 +162,18 @@ def test_minhash_shingling_behind_structural_boundary(spark, sf_dir):
     plan = plan_of(spark, "dedup_minhash_lsh", sf_dir)
     assert "split(trim(lower(" not in plan  # tokenize ran at checkpoint time
     assert "ExistingRDD" in plan  # consumers scan the checkpointed shingles
+
+
+def test_spread_tokens_keeps_explicit_parallelism(spark, sf_dir):
+    """_spread uses an EXPLICIT partition count: repartition(col) without one
+    is an AQE-coalescible exchange, and with the small shuffled bytes AQE
+    merged it back to ONE partition — serializing all shingle/hash CPU work
+    (the other half of the bench flap). A user-specified count is never
+    coalesced; this pins the materialized token checkpoint's partitioning."""
+    from vector_db_mvp_spark.operators.dedup import _spread_tokens
+    from vector_db_mvp_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spread_tokens(docs, "text", "doc_id")
+    expected = spark.sparkContext.defaultParallelism
+    assert toks.rdd.getNumPartitions() == expected
