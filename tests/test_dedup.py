@@ -103,3 +103,48 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert set(approx) <= set(exact)
     for k, v in approx.items():
         assert abs(v - exact[k]) < 1e-9
+
+
+def test_simhash_exploded_agg_matches_expression_form(spark, sf_dir):
+    """The operator computes simhash as exploded groupBy bit-vote sums (for
+    whole-stage codegen); functions/text.py keeps the array-expression form
+    that the DuckDB oracle (sql_simhash) mirrors. They must agree code-for-
+    code — this is the bridge that keeps the oracle honest."""
+    from vector_db_mvp_spark.functions.text import (
+        SIMHASH_BITS,
+        h64,
+        simhash_from_hashes,
+        token_hashes,
+    )
+    from vector_db_mvp_spark.operators.dedup import _spread_tokens
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    expr_form = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id",
+            simhash_from_hashes(token_hashes(tokens(F.col("text")))).alias("sh"),
+        ).collect()
+    }
+    tok_hashes = (
+        _spread_tokens(docs, "text", "doc_id")
+        .select("_id", F.explode("_t").alias("_tok"))
+        .select("_id", h64(F.col("_tok")).alias("_h"))
+    )
+    votes = tok_hashes.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    code = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_v{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        code = term if code is None else code + term
+    agg_form = {r["_id"]: r["sh"] for r in votes.select("_id", code.alias("sh")).collect()}
+    assert agg_form == expr_form

@@ -33,8 +33,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     h64,
     shingles,
-    simhash_from_hashes,
-    token_hashes,
     tokens,
 )
 from ..functions.vector import cosine_similarity
@@ -309,17 +307,39 @@ def simhash_pairs(
     shares at least one unchanged byte, so the band join has full recall for
     the default threshold (requires max_hamming < 4)."""
     assert max_hamming < 4, "byte-banding recall guarantee needs hamming < bands"
-    # Two projections (hash once, then 32 bit-votes) + eager localCheckpoint:
-    # sh feeds both sides of the band self-join through an explode —
-    # unmaterialized, the md5 hashing reruns up to 8x (2 sides x 4 bands);
-    # a lazy .cache() here is order-sensitive the same way the minhash
-    # boundary was (see _spread_tokens). The frame is one long per doc.
-    sh = (
-        _spread(df, id_col)
-        .select(F.col(id_col).alias("_id"), token_hashes(tokens(F.col(text_col))).alias("_h"))
-        .select("_id", simhash_from_hashes(F.col("_h")).alias("sh"))
-        .localCheckpoint(eager=True)
+    from ..functions.text import SIMHASH_BITS
+
+    # Exploded codegen form (see _shingle_digests for the pattern and
+    # measurements): one md5 per TOKEN on a plain column inside whole-stage
+    # codegen — the array-lambda twin (token_hashes/simhash_from_hashes,
+    # kept as the expression-level API) runs interpreted per element. Bit
+    # votes are commutative integer sums, so groupBy-agg over exploded
+    # token-hash rows reproduces the array fold exactly (multiset
+    # preserved: explode keeps duplicates, and tokens() never yields an
+    # empty array — split() of any string has >= 1 element). The eager
+    # localCheckpoint is the shared barrier: sh feeds both sides of the
+    # band self-join, and a lazy .cache() is order-sensitive.
+    tok_hashes = (
+        _spread_tokens(df, text_col, id_col)
+        .select("_id", F.explode("_t").alias("_tok"))
+        .select("_id", h64(F.col("_tok")).alias("_h"))
     )
+    votes = tok_hashes.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    code = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_v{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        code = term if code is None else code + term
+    sh = votes.select("_id", code.alias("sh")).localCheckpoint(eager=True)
     band_rows = sh.select(
         "_id", "sh",
         F.explode(
