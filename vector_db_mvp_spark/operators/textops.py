@@ -355,12 +355,22 @@ def top_ngrams(
 def fingerprints(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact fingerprint (md5 of normalized text) + content minhash
     fingerprint (min token-hash — a 1-hash minhash, stable under
-    reordering-free edits)."""
+    reordering-free edits).
+
+    The min token hash goes explode → codegen md5 → groupBy-min: hashing
+    inside a transform() lambda runs interpreted per element (see
+    operators/dedup.py measurements), while the aggregate form keeps md5 in
+    whole-stage codegen and map-side combine shrinks the shuffle to one
+    partial-min row per document."""
     from ..functions.text import h64
 
-    t = tokens(F.col(text_col))
+    tok_min = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .select(F.col(id_col), h64(F.col("_tok")).alias("_h"))
+        .groupBy(id_col)
+        .agg(F.min("_h").alias("min_token_hash"))
+    )
     return df.select(
         F.col(id_col),
         F.md5(NORM_TEXT(F.col(text_col))).alias("fingerprint"),
-        F.array_min(F.transform(t, lambda tok: h64(tok))).alias("min_token_hash"),
-    )
+    ).join(tok_min, id_col, "left")
