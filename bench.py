@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_projected_topk",
     "temperature_mix",
     "topk_cosine_pq",
+    "ann_ivfpq_topk",
 ]
 
 

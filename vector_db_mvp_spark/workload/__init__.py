@@ -50,8 +50,9 @@ _CHECK_FIRST = [
     "curation_report", "media_metadata", "media_decode", "media_features",
     "media_resize", "media_frames",
     # changed or added in round 4 (minhash family rework; Q22 constants; PQ)
-    "topk_cosine_pq", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_clusters", "idle_rich_customers",
+    "topk_cosine_pq", "ann_ivfpq_topk", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "idle_rich_customers",
     # core vector/ANN + representative relational (keep under 50 with above)
     "topk_cosine_brute", "topk_cosine_filtered", "lsh_topk", "lsh_topk_served",
     "ann_ivf_topk", "ann_ivf_served", "ann_batch_topk", "lsh_batch_topk",

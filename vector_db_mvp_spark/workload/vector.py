@@ -177,12 +177,12 @@ def q_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "score")
 
 
-def _sql_topk_cosine_pq(k: int, query_vec_id: int = 0) -> str:
-    """Oracle: same pipeline in SQL. Unit-normalize, per-subspace argmin
-    against the literal centroids (list_position of list_min = first-min,
-    matching np.argmin), ADC from the query's own dot table, candidate cut,
-    exact-cosine re-rank. cnorm2 literals are computed with the same numpy
-    ops encode_pq uses, so the distance constants agree bit-for-bit."""
+def _pq_sql_parts() -> tuple[str, str, str]:
+    """The three SQL fragments every PQ oracle shares: per-subspace encode
+    columns (argmin against the literal centroids — list_position of
+    list_min = first-min, matching np.argmin), the query's ADC dot tables,
+    and the ADC sum. cnorm2 literals are computed with the same numpy ops
+    encode_pq uses, so the distance constants agree bit-for-bit."""
     import numpy as np
 
     cb = np.asarray(_pq_codebooks(), dtype=np.float64)
@@ -211,6 +211,131 @@ def _sql_topk_cosine_pq(k: int, query_vec_id: int = 0) -> str:
         for j in range(m)
     )
     adc_sum = " + ".join(f"qt.t{j}[c.code_{j} + 1]" for j in range(m))
+    return ", ".join(code_cols), adc_tables, adc_sum
+
+
+_IVFPQ_C, _IVFPQ_NPROBE = 8, 4
+
+
+def _ivfpq_centroids() -> list[list[float]]:
+    """Fixed seeded coarse centroids for the IVF-PQ oracle query (seed
+    distinct from the PQ codebooks'). Production IVF fits centroids with
+    MLlib KMeans (operators/ivf.py build_ivf_index); fixed ones exist so
+    the SQL oracle can replicate the coarse assignment from literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    c = rng.standard_normal((_IVFPQ_C, _LSH_DIM)) / np.sqrt(_LSH_DIM)
+    return [[float(x) for x in row] for row in c]
+
+
+def _ivfpq_unit_centroids() -> list[list[float]]:
+    import numpy as np
+
+    c = np.asarray(_ivfpq_centroids(), dtype=np.float64)
+    return [
+        [float(x) for x in row / np.linalg.norm(row)] for row in c
+    ]
+
+
+def _assign_cluster_expr() -> "F.Column":
+    """cluster_id = argmax_c dot(embedding, unit_centroid_c) — cosine
+    ranking without normalizing the row (scaling by 1/||x|| is monotone).
+    First-max tie-break via array_position, mirrored by list_position in
+    the oracle. Dots are sequential left-to-right folds against literal
+    unit-centroid arrays (functions/vector.py dot), matching the oracle's
+    explicit term-by-term sums bit-for-bit — and keeping the expression
+    small enough for codegen (64 inline products per centroid blew the
+    Janino method limit and forced interpreted fallback)."""
+    from ..functions.vector import dot as vdot
+
+    uc = _ivfpq_unit_centroids()
+    scores = [
+        vdot(F.col("embedding"), F.array(*[F.lit(x) for x in uc[c]]))
+        for c in range(_IVFPQ_C)
+    ]
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/pq.py ivfpq_topk): the FAISS-standard composition
+    as one oracle-checked query — coarse-assign rows to fixed centroids,
+    probe the nprobe best clusters for the query (driver-side, C is tiny),
+    ADC-rank the PQ byte codes inside the probed clusters only, candidate
+    cut, exact-cosine re-rank. At 100 TB the assignment is the partition
+    key (partitionBy(cluster_id) — PartitionFilters prune the scan); here
+    it is a column filter over the same predicate."""
+    from ..operators.pq import encode_pq, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    assigned = emb.filter(F.col("embedding").isNotNull()).withColumn(
+        "cluster_id", _assign_cluster_expr()
+    )
+    encoded = encode_pq(assigned, _pq_codebooks())
+    return ivfpq_topk(
+        encoded, _ivfpq_centroids(), _pq_codebooks(), qv, 10,
+        nprobe=_IVFPQ_NPROBE, candidates=_PQ_CANDIDATES, score_decimals=6,
+    ).select("vec_id", "label", "score")
+
+
+def _sql_ann_ivfpq_topk(k: int, query_vec_id: int = 0) -> str:
+    """Oracle: identical pipeline in SQL. Coarse assignment and probe
+    ranking use the same literal (unit) centroids; everything PQ-side is
+    shared with the topk_cosine_pq oracle via _pq_sql_parts."""
+    uc = _ivfpq_unit_centroids()
+    code_cols, adc_tables, adc_sum = _pq_sql_parts()
+
+    def dot(vec_expr: str, c: int) -> str:
+        return " + ".join(
+            f"{vec_expr}[{t + 1}]*{uc[c][t]!r}" for t in range(_LSH_DIM)
+        )
+
+    assign_scores = ", ".join(f"({dot('ed', c)})" for c in range(_IVFPQ_C))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {c} AS cid, ({dot('qd', c)}) AS s FROM qraw"
+        for c in range(_IVFPQ_C)
+    )
+    cos = _DUCK_COS.format(a="cand.embedding", b="q2._qv")
+    return f"""
+WITH qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS qd
+              FROM embeddings WHERE vec_id = {query_vec_id}),
+qu_ AS (SELECT qd, CASE WHEN sqrt(list_sum(list_transform(qd, x -> x*x))) = 0 THEN qd
+                        ELSE list_transform(qd, x -> x / sqrt(list_sum(list_transform(qd, y -> y*y))))
+                   END AS qu FROM qraw),
+qt AS (SELECT {adc_tables} FROM qu_),
+probe AS (SELECT cid FROM ({probe_rows})
+          ORDER BY s DESC, cid ASC LIMIT {_IVFPQ_NPROBE}),
+e AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS ed
+      FROM embeddings WHERE embedding IS NOT NULL),
+assigned AS (SELECT vec_id, label, embedding, ed,
+                    CAST(list_position([{assign_scores}],
+                                       list_max([{assign_scores}])) - 1 AS INT)
+                      AS cluster_id
+             FROM e),
+pruned AS (SELECT a.* FROM assigned a JOIN probe p ON a.cluster_id = p.cid),
+un AS (SELECT vec_id, label, embedding,
+              CASE WHEN sqrt(list_sum(list_transform(ed, x -> x*x))) = 0 THEN ed
+                   ELSE list_transform(ed, x -> x / sqrt(list_sum(list_transform(ed, y -> y*y))))
+              END AS ue
+       FROM pruned),
+c AS (SELECT vec_id, label, embedding, {code_cols} FROM un),
+adc AS (SELECT c.vec_id, c.label, c.embedding, round({adc_sum}, 9) AS _adc
+        FROM c CROSS JOIN qt),
+cand AS (SELECT * FROM adc ORDER BY _adc DESC, vec_id ASC LIMIT {_PQ_CANDIDATES})
+SELECT cand.vec_id, cand.label, round({cos}, 6) AS score
+FROM cand CROSS JOIN (SELECT embedding AS _qv FROM embeddings
+                      WHERE vec_id = {query_vec_id}) q2
+ORDER BY score DESC, cand.vec_id ASC
+LIMIT {k}
+"""
+
+
+def _sql_topk_cosine_pq(k: int, query_vec_id: int = 0) -> str:
+    """Oracle: same pipeline in SQL — unit-normalize, encode, ADC from the
+    query's own dot table, candidate cut, exact-cosine re-rank."""
+    code_cols, adc_tables, adc_sum = _pq_sql_parts()
     cos = _DUCK_COS.format(a="cand.embedding", b="q2._qv")
     return f"""
 WITH qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS qd
@@ -226,7 +351,7 @@ un AS (SELECT vec_id, label, embedding,
                    ELSE list_transform(ed, x -> x / sqrt(list_sum(list_transform(ed, y -> y*y))))
               END AS ue
        FROM e),
-c AS (SELECT vec_id, label, embedding, {", ".join(code_cols)} FROM un),
+c AS (SELECT vec_id, label, embedding, {code_cols} FROM un),
 adc AS (SELECT c.vec_id, c.label, c.embedding, round({adc_sum}, 9) AS _adc
         FROM c CROSS JOIN qt),
 cand AS (SELECT * FROM adc ORDER BY _adc DESC, vec_id ASC LIMIT {_PQ_CANDIDATES})
@@ -564,6 +689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_k100": q_topk_cosine_k100,
     "topk_cosine_quantized": q_topk_cosine_quantized,
     "topk_cosine_pq": q_topk_cosine_pq,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_served": q_lsh_topk_served,
     "ann_batch_topk": q_ann_batch_topk,
@@ -583,6 +709,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_k100": _sql_topk_cosine(100),
     "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
     "topk_cosine_pq": _sql_topk_cosine_pq(10),
+    "ann_ivfpq_topk": _sql_ann_ivfpq_topk(10),
     "lsh_topk": _sql_lsh_topk(10),
     "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
