@@ -53,6 +53,7 @@ HEADLINE = [
     "temperature_mix",
     "topk_cosine_pq",
     "ann_ivfpq_topk",
+    "dedup_simhash",
 ]
 
 

@@ -47,3 +47,27 @@ def test_dedup_clusters_keeper_rule(spark):
     assert rows[5]["cluster_id"] == 2
     assert rows[2]["is_keeper"] and not rows[3]["is_keeper"]
     assert rows[1]["is_keeper"] and rows[4]["is_keeper"]  # singletons keep
+
+
+def test_driver_union_find_matches_distributed_loop(spark, sf_dir):
+    """The small-graph fast path (driver union-find) must produce exactly
+    the labels of the distributed HashMin loop (driver_threshold=0 forces
+    it) over the real near-dup pair graph, singletons included."""
+    from vector_db_mvp_spark.operators.cluster import dedup_clusters
+    from vector_db_mvp_spark.operators.dedup import minhash_lsh_pairs
+    from vector_db_mvp_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=5, num_hashes=16, bands=4, tau=0.4)
+    fast = {
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(docs, pairs, num_partitions=4).collect()
+    }
+    loop = {
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(
+            docs, pairs, num_partitions=4, driver_threshold=0
+        ).collect()
+    }
+    assert fast == loop
+    assert len(fast) == docs.count()
