@@ -337,14 +337,28 @@ def tfidf_keywords(
 
 
 def top_ngrams(
-    df: DataFrame, *, text_col: str = "text", n: int = 2, k: int = 50
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 50,
 ) -> DataFrame:
     """Corpus-wide top-k most frequent word n-grams. Explode → hash agg
     (map-side partial combine) → global top-k, which Spark executes as
     TakeOrderedAndProject (per-partition heaps, driver merge of k rows —
-    no full sort at any scale). Ties broken lexically for determinism."""
+    no full sort at any scale). Ties broken lexically for determinism.
+
+    Built over the spread token barrier (operators/dedup.py
+    _spread_tokens): exploding shingles straight off the scan runs the
+    shingle expression — plus Catalyst's explode-inferred size filter —
+    on the input's (often single) pre-shuffle split; the barrier keeps it
+    32-way (measured 3.5 s -> 0.6 s at sf0.1)."""
+    from .dedup import _spread_tokens
+
     return (
-        df.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("ngram"))
+        _spread_tokens(df, text_col, id_col)
+        .select(F.explode(shingles(F.col("_t"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
