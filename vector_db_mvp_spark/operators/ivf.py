@@ -90,6 +90,60 @@ def read_ivf_layout(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return spark.read.parquet(path), centroids
 
 
+def assign_cluster_expr(
+    centroids: Sequence[Sequence[float]], *, embedding_col: str = "embedding"
+) -> F.Column:
+    """Nearest-centroid id as ONE native column: argmin over
+    ||unit(x) - c||^2 = ||c||^2 - 2*unit(x)·c (the same Euclidean-on-unit-
+    sphere rule MLlib KMeans.transform applies at build time, so appended
+    rows land in the cluster a full rebuild would give them). Dots are
+    sequential folds against literal centroid arrays — small enough for
+    codegen (see workload/vector.py: inlined per-dim products blow the
+    Janino method limit). First-min tie-break via array_position."""
+    from ..functions.vector import dot, unit_normalize
+
+    cn2 = [float(np.dot(np.asarray(c, dtype=np.float64), np.asarray(c, dtype=np.float64)))
+           for c in centroids]
+    xu = unit_normalize(F.col(embedding_col))
+    dists = [
+        F.lit(cn2[j]) - F.lit(2.0) * dot(xu, F.array(*[F.lit(float(x)) for x in c]))
+        for j, c in enumerate(centroids)
+    ]
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def append_to_ivf_layout(
+    new_rows: DataFrame,
+    path: str,
+    *,
+    embedding_col: str = "embedding",
+) -> None:
+    """O(batch) ingestion into a served IVF layout: assign the new vectors
+    to the EXISTING centroids (native expression, no model object, no
+    refit) and append their parquet files into the matching cluster_id
+    directories. The mirror of the entity store's O(delta) generation
+    appends — at 100 TB you re-fit centroids on a schedule, not per batch;
+    between refits every batch lands with one map-only job. Queries see
+    appended rows immediately (partition pruning is directory-based).
+
+    Contract: ``new_rows`` ids must not already exist in the layout
+    (append-only ingestion invariant, same as the dedup state)."""
+    _, centroids = _read_centroids(path)
+    assigned = new_rows.filter(F.col(embedding_col).isNotNull()).withColumn(
+        "cluster_id", assign_cluster_expr(centroids, embedding_col=embedding_col)
+    )
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(path)
+
+
+def _read_centroids(path: str) -> tuple[str, list[list[float]]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        return path, json.load(f)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],
