@@ -113,3 +113,43 @@ def test_served_ivf_matches_brute_and_caches(spark, sf_dir, corpus_path, index_r
     assert [
         (r["vec_id"], r["score"]) for r in served.collect()
     ] == [(r["vec_id"], r["score"]) for r in brute.collect()]
+
+
+def test_append_to_served_index_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """O(batch) LSH-index ingestion: append hashes only the batch, yet the
+    merged artifact is row-for-row (ids AND codes) identical to rebuilding
+    over the full corpus — bucket codes are corpus-independent."""
+    import pyspark.sql.functions as F
+
+    from vector_db_mvp_spark.operators.served import (
+        append_to_served_index,
+        build_served_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "idx")
+
+    base_path = str(tmp_path / "base.parquet")
+    base.write.parquet(base_path)
+    path = build_served_index(spark, base_path, _PLANES, root=root)
+    append_to_served_index(spark, batch, base_path, _PLANES, root=root)
+
+    merged = {
+        (r["vec_id"], tuple(r["lsh_codes"]))
+        for r in spark.read.parquet(path).select("vec_id", "lsh_codes").collect()
+    }
+    full_path = str(tmp_path / "full.parquet")
+    emb.write.parquet(full_path)
+    rebuilt_path = build_served_index(spark, full_path, _PLANES, root=root)
+    rebuilt = {
+        (r["vec_id"], tuple(r["lsh_codes"]))
+        for r in spark.read.parquet(rebuilt_path).select("vec_id", "lsh_codes").collect()
+    }
+    assert merged == rebuilt
+
+    # appending to a non-existent artifact is an explicit error, not a
+    # silent partial index
+    with pytest.raises(FileNotFoundError):
+        append_to_served_index(spark, batch, str(tmp_path / "nope.parquet"), _PLANES, root=root)

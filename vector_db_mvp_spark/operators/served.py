@@ -92,6 +92,36 @@ def build_served_index(
     return path
 
 
+def append_to_served_index(
+    spark: SparkSession,
+    new_rows,
+    corpus_path: str,
+    planes: list[list[list[float]]],
+    *,
+    embedding_col: str = "embedding",
+    root: str | None = None,
+) -> str:
+    """O(batch) ingestion into an existing LSH serving artifact: hash ONLY
+    the new vectors (same Arrow matmul path as the build — codes are
+    corpus-independent, so appended rows are bit-identical to a rebuild)
+    and append their parquet files. The LSH mirror of
+    operators/ivf.py append_to_ivf_layout; between corpus versions every
+    batch lands with one map-only job and queries see it immediately.
+
+    Contract: ``new_rows`` ids must not already exist in the artifact
+    (append-only ingestion invariant)."""
+    path = served_index_path(corpus_path, planes, root=root)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        raise FileNotFoundError(f"no served index at {path}; build first")
+    indexed = with_bucket_codes(
+        new_rows.filter(F.col(embedding_col).isNotNull()),
+        planes,
+        embedding_col=embedding_col,
+    )
+    indexed.write.mode("append").parquet(path)
+    return path
+
+
 def build_served_ivf(
     spark: SparkSession,
     corpus_path: str,
