@@ -153,3 +153,57 @@ def test_append_to_served_index_matches_full_rebuild(spark, sf_dir, tmp_path):
     # silent partial index
     with pytest.raises(FileNotFoundError):
         append_to_served_index(spark, batch, str(tmp_path / "nope.parquet"), _PLANES, root=root)
+
+
+def test_served_pq_matches_inquery_and_appends(spark, sf_dir, tmp_path):
+    """PQ serving artifact: served results == the in-query pq pipeline with
+    the same codebooks; O(batch) append == full rebuild row-for-row (codes
+    are corpus-independent given the codebooks); missing artifact raises."""
+    import pyspark.sql.functions as F
+
+    from vector_db_mvp_spark.operators.pq import encode_pq, fixed_codebooks, pq_topk
+    from vector_db_mvp_spark.operators.served import (
+        append_to_served_pq,
+        build_served_pq,
+        pq_topk_served,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    dim = len(emb.take(1)[0]["embedding"])
+    cb = fixed_codebooks(dim, 8, 16, seed=42)
+    qv = _qv(spark, sf_dir)
+    root = str(tmp_path / "pqroot")
+
+    corpus_path = str(tmp_path / "corpus.parquet")
+    emb.write.parquet(corpus_path)
+    path = build_served_pq(spark, corpus_path, cb, root=root)
+    served = {
+        (r["vec_id"], r["score"])
+        for r in pq_topk_served(spark, path, qv, 10, score_decimals=6).collect()
+    }
+    live = {
+        (r["vec_id"], r["score"])
+        for r in pq_topk(encode_pq(emb, cb), cb, qv, 10, score_decimals=6).collect()
+    }
+    assert served == live
+
+    # append path: build from 75%, append 25%, compare code sets to rebuild
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    base_path = str(tmp_path / "base.parquet")
+    base.write.parquet(base_path)
+    p2 = build_served_pq(spark, base_path, cb, root=root)
+    append_to_served_pq(spark, batch, p2)
+    merged = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(p2).select("vec_id", "pq_code").collect()
+    }
+    rebuilt = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in encode_pq(emb, cb).select("vec_id", "pq_code").collect()
+    }
+    assert merged == rebuilt
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        append_to_served_pq(spark, batch, str(tmp_path / "nope"))

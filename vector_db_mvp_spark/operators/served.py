@@ -158,6 +158,108 @@ def build_served_ivf(
     return path
 
 
+def build_served_pq(
+    spark: SparkSession,
+    corpus_path: str,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    *,
+    embedding_col: str = "embedding",
+    root: str | None = None,
+    force: bool = False,
+) -> str:
+    """Persist the corpus with precomputed PQ byte codes (operators/pq.py
+    encode_pq) + a codebooks sidecar — the third serving artifact next to
+    the LSH codes table and the IVF layout. Encoding (the Arrow/BLAS pass)
+    is paid once per (corpus, codebooks); queries then ADC-scan m-byte
+    codes with zero Python. Codebooks come from the caller (fit_pq on a
+    sample, or fixed_codebooks for oracle parity) because the fit policy —
+    refit cadence, sample size — is a pipeline decision, not a serving one.
+    """
+    import json
+
+    cb_key = hashlib.md5(repr(codebooks).encode()).hexdigest()[:16]
+    root = root or os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(corpus_path)}|pq|{cb_key}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(root, f"pqidx-{key}")
+    # sidecar written last via atomic rename marks a complete build
+    if not force and os.path.isfile(os.path.join(path, "_codebooks.json")):
+        return path
+    from .pq import encode_pq
+
+    corpus = spark.read.parquet(corpus_path).filter(F.col(embedding_col).isNotNull())
+    encode_pq(corpus, codebooks, embedding_col=embedding_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    tmp = os.path.join(path, "_codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump([[list(map(float, c)) for c in sub] for sub in codebooks], f)
+    os.replace(tmp, os.path.join(path, "_codebooks.json"))
+    return path
+
+
+def append_to_served_pq(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    *,
+    embedding_col: str = "embedding",
+) -> str:
+    """O(batch) ingestion into a PQ serving artifact: encode ONLY the new
+    vectors against the persisted codebooks (codes are corpus-independent
+    given the codebooks, so appended rows are bit-identical to a rebuild)
+    and append their parquet files. Same contract as the LSH/IVF appends:
+    ids must not already exist in the artifact."""
+    import json
+
+    sidecar = os.path.join(path, "_codebooks.json")
+    if not os.path.isfile(sidecar):
+        raise FileNotFoundError(f"no served PQ artifact at {path}; build first")
+    with open(sidecar) as f:
+        codebooks = json.load(f)
+    from .pq import encode_pq
+
+    encode_pq(
+        new_rows.filter(F.col(embedding_col).isNotNull()),
+        codebooks,
+        embedding_col=embedding_col,
+    ).write.mode("append").parquet(path)
+    return path
+
+
+def pq_topk_served(
+    spark: SparkSession,
+    path: str,
+    query_vector: Sequence[float],
+    k: int,
+    *,
+    candidates: int = 100,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """`pq_topk` semantics served from the persisted artifact: identical
+    ADC ranking and exact re-rank, but the encode pass was paid at
+    build/append time — the query is a pure native scan over m-byte codes
+    plus a candidates-sized exact re-rank."""
+    import json
+
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        codebooks = json.load(f)
+    from .pq import pq_topk
+
+    encoded = spark.read.parquet(path)
+    return pq_topk(
+        encoded, codebooks, [float(x) for x in query_vector], k,
+        candidates=candidates, embedding_col=embedding_col,
+        id_col=id_col, score_decimals=score_decimals,
+    )
+
+
 def lsh_topk_served(
     spark: SparkSession,
     corpus_path: str,
