@@ -280,6 +280,25 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "score")
 
 
+def q_topk_cosine_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``topk_cosine_pq`` served from the persisted PQ artifact
+    (operators/served.py build_served_pq): identical ADC ranking and exact
+    re-rank — same oracle — but the encode pass was paid at build time, so
+    the query is a native scan over m-byte codes. The build is cached per
+    (corpus, codebooks), the 100 TB serve-many shape."""
+    import os
+
+    from ..operators.served import build_served_pq, pq_topk_served
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    corpus_path = os.path.join(sf_dir, "embeddings.parquet")
+    path = build_served_pq(spark, corpus_path, _pq_codebooks())
+    return pq_topk_served(
+        spark, path, qv, 10, candidates=_PQ_CANDIDATES, score_decimals=6
+    ).select("vec_id", "label", "score")
+
+
 def _sql_ann_ivfpq_topk(k: int, query_vec_id: int = 0) -> str:
     """Oracle: identical pipeline in SQL. Coarse assignment and probe
     ranking use the same literal (unit) centroids; everything PQ-side is
@@ -689,6 +708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_k100": q_topk_cosine_k100,
     "topk_cosine_quantized": q_topk_cosine_quantized,
     "topk_cosine_pq": q_topk_cosine_pq,
+    "topk_cosine_pq_served": q_topk_cosine_pq_served,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_served": q_lsh_topk_served,
@@ -709,6 +729,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_k100": _sql_topk_cosine(100),
     "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
     "topk_cosine_pq": _sql_topk_cosine_pq(10),
+    "topk_cosine_pq_served": _sql_topk_cosine_pq(10),  # same contract, served artifact
     "ann_ivfpq_topk": _sql_ann_ivfpq_topk(10),
     "lsh_topk": _sql_lsh_topk(10),
     "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
