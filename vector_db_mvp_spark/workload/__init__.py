@@ -49,16 +49,18 @@ _CHECK_FIRST = [
     "temperature_mix", "chunk_documents", "decontaminate_train",
     "curation_report", "media_metadata", "media_decode", "media_features",
     "media_resize", "media_frames",
-    # changed or added in round 4 (minhash family rework; Q22 constants; PQ)
-    "topk_cosine_pq", "ann_ivfpq_topk", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "idle_rich_customers",
-    # core vector/ANN + representative relational (keep under 50 with above)
+    # changed or added in round 4 (minhash family rework; Q22 constants;
+    # PQ / IVF-PQ / served PQ; five new TPC-H shapes Q8/Q12/Q15/Q18/Q21)
+    "topk_cosine_pq", "topk_cosine_pq_served", "ann_ivfpq_topk",
+    "nation_market_share", "top_supplier_revenue", "large_quantity_orders",
+    "late_shipment_priorities", "sole_late_suppliers",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "idle_rich_customers",
+    # core vector/ANN representatives (keep total at 50 with the above;
+    # everything displaced past 50 was hash-green in r03 and is unchanged)
     "topk_cosine_brute", "topk_cosine_filtered", "lsh_topk", "lsh_topk_served",
     "ann_ivf_topk", "ann_ivf_served", "ann_batch_topk", "lsh_batch_topk",
-    "ann_projected_topk", "embedding_projection", "label_centroids",
-    "dedup_exact", "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "pricing_summary", "region_nation_revenue", "asof_purchase_view",
+    "ann_projected_topk", "dedup_exact",
 ]
 
 _missing = [n for n in _CHECK_FIRST if n not in QUERIES]

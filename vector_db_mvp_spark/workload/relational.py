@@ -1006,6 +1006,259 @@ ORDER BY n_name
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ASIA-region PROMO-part revenue
+    per order year. Seven-table star: every dimension chain (part, supplier
+    -> nation, customer -> nation -> region) broadcasts; orders is the one
+    shuffled join; the share is a conditional-sum / sum over one grouped
+    aggregate (no second pass over the fact)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_r = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_r), orders.o_custkey == cust_r.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _revenue().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum(F.col("volume")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_NATION_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(SUM(CASE WHEN sn.n_name = 'NATION_2' THEN {_SQL_REV}
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM({_SQL_REV}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue
+    — the classic view + join-on-scalar-max. The per-supplier revenue agg
+    is one partial-combined shuffle; the 1-row max broadcasts back onto it
+    (scalar subquery, no second fact scan); supplier broadcasts for the
+    final name join. Revenue compared in exact decimal so 'equals max' is
+    not a float equality."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("_total_dec")
+    )
+    mx = rev.agg(F.max("_total_dec").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_total_dec") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "supplier_no",
+            F.col("s_name").alias("supplier_name"),
+            F.col("_total_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("supplier_no")
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_SQL_REV}) AS total_dec
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT supplier_no, s_name AS supplier_name,
+       CAST(total_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+ORDER BY supplier_no
+"""
+
+
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed 250 total units —
+    group-HAVING on the fact, then the qualifying keys (a tiny set by
+    construction) broadcast back as a semi filter; customer broadcasts.
+    Never a second full-fact aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("customer_name"),
+            "o_orderkey",
+            F.col("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("order_total"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.desc("order_total"), "o_orderkey")
+    )
+
+
+SQL_LARGE_QUANTITY_ORDERS = """
+SELECT c_name AS customer_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS order_total,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY order_total DESC, o_orderkey
+"""
+
+
+def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixture has no l_shipmode/receiptdate,
+    so 'late' is shipdate > orderdate + 365 days and grouping is by ship
+    year): conditional counts of high- vs low-priority orders among late
+    shipments. One orders join (orders side broadcast-eligible dims not
+    needed), one grouped conditional aggregation, partial-combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365)
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITIES = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+GROUP BY 1 ORDER BY ship_year
+"""
+
+
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'late' is shipdate > orderdate + 365 days
+    — the fixture has no commit/receipt dates): suppliers who were the ONLY
+    late supplier in a multi-supplier order. The exists / not-exists pair
+    becomes two aggregates over one per-order supplier summary (distinct
+    suppliers, distinct LATE suppliers) — one fact shuffle keyed by order,
+    no correlated re-scans; supplier/nation broadcast for the name."""
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365)).alias("_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole_late = (
+        lo.filter(F.col("_late"))
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("s_name").alias("supplier_name"), "numwait")
+        .orderBy(F.desc("numwait"), "supplier_name")
+        .limit(20)
+    )
+
+
+SQL_SOLE_LATE_SUPPLIERS = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY 1
+),
+sole AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order USING (l_orderkey)
+  WHERE lo.late AND n_supp > 1 AND n_late_supp = 1
+)
+SELECT s_name AS supplier_name, COUNT(*) AS numwait
+FROM sole JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, supplier_name
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "distinct_agg": q_distinct_agg,
@@ -1037,6 +1290,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_share": q_promo_revenue_share,
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
+    "nation_market_share": q_nation_market_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "large_quantity_orders": q_large_quantity_orders,
+    "late_shipment_priorities": q_late_shipment_priorities,
+    "sole_late_suppliers": q_sole_late_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1070,4 +1328,9 @@ ORACLE_SQL: dict[str, str] = {
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "disjunctive_part_revenue": SQL_DISJUNCTIVE_PART_REVENUE,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+    "nation_market_share": SQL_NATION_MARKET_SHARE,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
+    "late_shipment_priorities": SQL_LATE_SHIPMENT_PRIORITIES,
+    "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
 }
