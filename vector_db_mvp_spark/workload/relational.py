@@ -1259,6 +1259,136 @@ LIMIT 20
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate with a range + set + bound
+    predicate, no joins. Physical: parquet scan with ALL THREE predicates
+    pushed to the reader (shipdate range, discount bounds, quantity bound)
+    -> partial sum -> one-row exchange. At 100 TB this is the query shape
+    where predicate pushdown + column pruning do all the work: the scan
+    reads 4 of 11 columns and row groups outside the date range are skipped
+    on parquet min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(5,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the fixture has no partsupp table, so the
+    part-supplier relationship is derived from shipped lineitems): distinct
+    suppliers per (brand, type, size) bucket, excluding one brand and one
+    type family. Physical: broadcast part dim into the fact scan (filters
+    applied broadcast-side), then a two-phase distinct agg — partial
+    distinct on (group, suppkey), exchange on the group key, final count.
+    The exclusion predicates prune the broadcast BEFORE the join, so the
+    fact scan only keeps matching partkeys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp.availqty, so 'has excess
+    stock' becomes 'shipped more than a quantity threshold'): suppliers who
+    shipped > 150 total quantity of gear-family parts during 1996, with
+    their nation. The nested exists-chain of the original collapses into
+    one aggregate-then-semi-join pipeline: broadcast the name-filtered part
+    dim, aggregate fact rows per supplier (one shuffle, map-side partial),
+    filter on the sum — the classic HAVING-as-semi-join shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        shipped.join(F.broadcast(supp), shipped.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            "total_qty",
+        )
+        .orderBy("supplier_name")
+    )
+
+
+SQL_BULK_PART_SUPPLIERS = """
+WITH shipped AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1
+  HAVING total_qty > 150
+)
+SELECT s_name AS supplier_name, n_name AS nation_name, total_qty
+FROM shipped
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY supplier_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "distinct_agg": q_distinct_agg,
@@ -1295,6 +1425,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_quantity_orders": q_large_quantity_orders,
     "late_shipment_priorities": q_late_shipment_priorities,
     "sole_late_suppliers": q_sole_late_suppliers,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "part_supplier_counts": q_part_supplier_counts,
+    "bulk_part_suppliers": q_bulk_part_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1333,4 +1466,7 @@ ORACLE_SQL: dict[str, str] = {
     "large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
     "late_shipment_priorities": SQL_LATE_SHIPMENT_PRIORITIES,
     "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
+    "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
+    "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
+    "bulk_part_suppliers": SQL_BULK_PART_SUPPLIERS,
 }
