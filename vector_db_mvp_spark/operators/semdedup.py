@@ -1,0 +1,130 @@
+"""Semantic deduplication (SemDeDup) — embedding-space near-dup pruning by
+cluster-then-compare (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540).
+
+The all-pairs cosine join (operators/dedup.py embedding_neardup_pairs) is
+O(N²) and only exists for oracle parity. SemDeDup makes the same decision
+sub-quadratically: cluster embeddings to C centroids, compare pairs ONLY
+within a cluster, and inside each duplicate neighborhood keep the single
+most central row (highest cosine to its centroid — ties broken by lowest
+id). A row is dropped iff some same-cluster row within ``tau`` cosine
+dominates it; the kept set is exactly the domination-maxima, matching the
+paper's keep-one-per-neighborhood semantics without a transitive-closure
+pass.
+
+Physical plan: one nearest-centroid assignment expression per row (native
+sequential-fold dots against literal unit centroids — the same codegen-safe
+shape as workload/vector.py's IVF-PQ coarse assignment), one shuffle keyed
+by ``cluster_id``, then a within-partition self-join. Work is O(sum c_i²)
+instead of O(N²).
+
+Scale notes (100 TB):
+- C is the knob: clusters average N/C rows, so quadratic-within-cluster
+  cost is N²/C for balanced clusters. The paper uses C ~ sqrt(N); fit
+  centroids with seeded MLlib KMeans (operators/ivf.py build_ivf_index) on
+  a sample and pass them in — this operator is centroid-agnostic.
+- A skewed (giant) cluster re-creates the quadratic blowup; cap it by
+  raising C or sub-splitting hot clusters with a second-level assignment —
+  the operator takes whatever partition key you produce.
+- The domination rule needs no global state: every decision reads only
+  same-cluster rows, so the plan stays one exchange + one sort-merge/hash
+  self-join, no iteration, no driver collect.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unit_rows(centroids: Sequence[Sequence[float]]) -> list[list[float]]:
+    """Unit-normalize centroid rows (zero rows kept as-is)."""
+    import numpy as np
+
+    out = []
+    for row in np.asarray(centroids, dtype=np.float64):
+        n = float(np.linalg.norm(row))
+        out.append([float(x) for x in (row / n if n else row)])
+    return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    *,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(id, cluster_id, centrality, is_kept) for every non-null-embedding
+    row. ``centrality`` = cosine(row, assigned centroid); a row is kept iff
+    no same-cluster row with cosine >= ``tau`` to it has strictly higher
+    (centrality, -id) priority."""
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import l2_norm
+
+    uc = unit_rows(centroids)
+    scores = F.array(
+        *[vdot(F.col("_e"), F.array(*[F.lit(x) for x in c])) for c in uc]
+    )
+    rows = (
+        df.filter(F.col(embedding_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(embedding_col).alias("_e"),
+            l2_norm(F.col(embedding_col)).alias("_n"),
+        )
+        .withColumn("_s", scores)
+        .select(
+            "_id",
+            "_e",
+            "_n",
+            (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+            F.round(
+                F.when(F.col("_n") == 0.0, F.lit(0.0)).otherwise(
+                    F.array_max(F.col("_s")) / F.col("_n")
+                ),
+                score_decimals,
+            ).alias("centrality"),
+        )
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    pair_cos = F.round(
+        F.when(
+            (F.col("a._n") == 0.0) | (F.col("b._n") == 0.0), F.lit(0.0)
+        ).otherwise(
+            vdot(F.col("a._e"), F.col("b._e")) / (F.col("a._n") * F.col("b._n"))
+        ),
+        score_decimals,
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a._id") != F.col("b._id"))
+            & (
+                (F.col("b.centrality") > F.col("a.centrality"))
+                | (
+                    (F.col("b.centrality") == F.col("a.centrality"))
+                    & (F.col("b._id") < F.col("a._id"))
+                )
+            ),
+        )
+        .filter(pair_cos >= tau)
+        .select(F.col("a._id").alias("_id"))
+        .distinct()
+    )
+    return (
+        rows.join(dominated.withColumn("_dropped", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster_id",
+            "centrality",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -583,6 +583,70 @@ WHERE sentence <> '' ORDER BY doc_id, sentence_idx
 # Registry
 # --------------------------------------------------------------------------
 
+def _semdedup_centroids(k: int = 8, dim: int = 64, seed: int = 11) -> list[list[float]]:
+    """Fixed seeded centroids for the SemDeDup oracle query (production
+    fits them with MLlib KMeans on a sample — operators/semdedup.py scale
+    notes; fixed ones exist so the SQL oracle can replicate the nearest-
+    centroid assignment from literals, same pattern as the IVF-PQ coarse
+    centroids in workload/vector.py)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((k, dim)) / np.sqrt(dim)
+    return [[float(x) for x in row] for row in c]
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): cluster-then-compare semantic
+    dedup — intra-cluster cosine neighborhoods keep only their most
+    central row. Sub-quadratic scale path for the embedding near-dup
+    decision the O(N²) `dedup_embedding_cosine` makes exactly."""
+    from ..operators.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), _semdedup_centroids(), tau=0.4
+    ).orderBy("vec_id")
+
+
+def _sql_semantic_dedup(tau: float = 0.4) -> str:
+    from ..operators.semdedup import unit_rows
+
+    uc = unit_rows(_semdedup_centroids())
+    dim = len(uc[0])
+
+    def dotc(vec: str, c: int) -> str:
+        return " + ".join(f"{vec}[{t + 1}]*{uc[c][t]!r}" for t in range(dim))
+
+    scores = ", ".join(f"({dotc('ed', c)})" for c in range(len(uc)))
+    pair = (
+        "CASE WHEN a.n = 0 OR b.n = 0 THEN 0.0 "
+        "ELSE list_sum(list_transform(list_zip(a.ed, b.ed), p -> p[1] * p[2]))"
+        " / (a.n * b.n) END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+           FROM embeddings WHERE embedding IS NOT NULL),
+sc AS (SELECT vec_id, ed,
+              sqrt(list_sum(list_transform(ed, x -> x * x))) AS n,
+              [{scores}] AS s
+       FROM e),
+asg AS (SELECT vec_id, ed, n,
+               CAST(list_position(s, list_max(s)) - 1 AS INT) AS cluster_id,
+               round(CASE WHEN n = 0 THEN 0.0 ELSE list_max(s) / n END, 6)
+                 AS centrality
+        FROM sc),
+dropped AS (SELECT DISTINCT a.vec_id
+            FROM asg a JOIN asg b
+              ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+             AND (b.centrality > a.centrality
+                  OR (b.centrality = a.centrality AND b.vec_id < a.vec_id))
+            WHERE round({pair}, 6) >= {tau})
+SELECT a.vec_id, a.cluster_id, a.centrality, (d.vec_id IS NULL) AS is_kept
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -591,6 +655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "corpus_curation": q_corpus_curation,
     "token_stats": q_token_stats,
     "token_counts_bpe": q_token_counts_bpe,
@@ -613,6 +678,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "semantic_dedup": _sql_semantic_dedup(),
     "corpus_curation": _sql_corpus_curation(),
     "token_stats": SQL_TOKEN_STATS,
     "token_counts_bpe": _sql_token_counts_bpe(),
