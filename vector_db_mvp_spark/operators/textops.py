@@ -388,3 +388,189 @@ def fingerprints(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col),
         F.md5(NORM_TEXT(F.col(text_col))).alias("fingerprint"),
     ).join(tok_min, id_col, "left")
+
+
+def lm_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model scoring (CCNet-style quality signal; Wenzek et
+    al., "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020 — the perplexity-filter recipe with the KenLM model
+    replaced by a corpus-fit add-alpha bigram model so the whole pipeline
+    stays native and oracle-checkable).
+
+    Model: P(w2|w1) = (c(w1,w2) + alpha) / (h(w1) + alpha*V) where c is the
+    corpus bigram count, h(w1) the history count (bigrams starting at w1)
+    and V the corpus vocabulary size. Per doc: mean negative log-prob over
+    its bigrams and the perplexity exp(mean_nll). Docs with < 2 tokens get
+    n_bigrams = 0 and NULL scores.
+
+    Determinism: each bigram's nll is rounded to 9 decimals and accumulated
+    as DECIMAL(28,9) — float summation order across partitions would make
+    the doc score run-dependent; the decimal sum is exact and therefore
+    partitioning-independent (same convention as the relational money sums).
+
+    Physical plan: bigrams are exploded ONCE over the spread token barrier
+    and eagerly checkpointed — the counts aggregations and the per-doc score
+    join all read that materialized frame instead of re-tokenizing. Counts
+    join back on (w1,w2) / (w1): corpus-level count tables are vocab-sized
+    (not broadcastable at 100 TB), so these are shuffle joins; the h(w1)
+    key is Zipf-skewed — AQE skew-join handles it, or pre-salt with
+    operators/skew.py for holistic aggs. V is computed driver-side (one
+    scalar) and folded into the expression as a literal."""
+    from .dedup import _spread_tokens
+
+    toks = _spread_tokens(df, text_col, id_col)
+    bg = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            F.col("_id"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("w1"),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        )
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        toks.select(F.explode("_t").alias("_w")).agg(F.countDistinct("_w")).first()[0]
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    hc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_h"))
+    p = (F.col("_c") + F.lit(alpha)) / (F.col("_h") + F.lit(alpha * vocab))
+    per = (
+        bg.join(bc, ["w1", "w2"])
+        .join(hc, ["w1"])
+        .select(
+            "_id", F.round(-F.log(p), 9).cast("decimal(28,9)").alias("_q")
+        )
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_q").alias("_s"))
+        .withColumn(
+            "mean_nll",
+            F.round(F.col("_s").cast("double") / F.col("n_bigrams"), 6),
+        )
+        .withColumn("ppl", F.round(F.exp(F.col("mean_nll")), 6))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_nll",
+            "ppl",
+        )
+    )
+
+
+def dup_span_metrics(
+    df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span coverage per document — the substring-level dedup
+    signal (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022, ExactSubstr): how much of each document is covered by
+    token n-grams that also occur in some OTHER document.
+
+    Suffix arrays don't distribute; the standard Spark-shaped equivalent is
+    positional n-gram postings: (doc, pos, hash(n-gram)) rows, a corpus
+    aggregation marking hashes seen in >= 2 distinct docs, and per-doc
+    interval-union of the duplicated [pos, pos+n) windows via one window
+    function (gaps-and-islands with a running max end — integer math, so
+    the coverage count is exact and engine-independent).
+
+    Outputs per doc: n_tokens, n_ngrams, dup_ngrams, dup_ngram_frac,
+    covered_tokens (interval union), covered_frac. Docs shorter than n
+    tokens have 0 ngrams and NULL fractions.
+
+    Scale notes (100 TB): postings shuffle on the 8-byte hash (never the
+    string); the duplicated-hash set is produced by a map-side-combined
+    countDistinct and joined back on the same key — two shuffles total plus
+    one window keyed by doc. Stop-gram skew (boilerplate n-grams in
+    millions of docs) concentrates the join key: AQE skew-join splits it,
+    and the per-doc window stays balanced because its key is the doc."""
+    from ..functions.text import h64, shingles, tokens
+    from .dedup import _spread_tokens
+
+    toks = _spread_tokens(df, text_col, id_col)
+    pos = (
+        toks.select(
+            F.col("_id"),
+            F.posexplode(shingles(F.col("_t"), n)).alias("_pos", "_s"),
+        )
+        .select("_id", "_pos", h64(F.col("_s")).alias("_h"))
+        .localCheckpoint(eager=True)
+    )
+    dup_h = (
+        pos.groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    marked = pos.join(dup_h.withColumn("_dup", F.lit(True)), "_h", "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dup_rows = (
+        marked.filter(F.col("_dup"))
+        .withColumn("_prev_end", F.max(F.col("_pos") + n).over(w))
+        .withColumn(
+            "_contrib",
+            F.greatest(
+                F.lit(0),
+                F.col("_pos")
+                + n
+                - F.greatest(F.col("_pos"), F.coalesce(F.col("_prev_end"), F.lit(0))),
+            ),
+        )
+    )
+    per_dup = dup_rows.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("dup_ngrams"),
+        F.sum("_contrib").alias("covered_tokens"),
+    )
+    # token length for EVERY doc (docs shorter than n never reach `pos`)
+    per_len = toks.select(F.col("_id"), F.size("_t").alias("n_tokens"))
+    per_doc = marked.groupBy("_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    return (
+        per_len.withColumnRenamed("_id", id_col)
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .join(per_dup.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.when(
+                F.coalesce(F.col("n_ngrams"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dup_ngrams", F.lit(0))
+                    / F.col("n_ngrams").cast("double"),
+                    6,
+                ),
+            ).alias("dup_ngram_frac"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("covered_tokens"), F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("covered_frac"),
+        )
+    )

@@ -56,13 +56,13 @@ _CHECK_FIRST = [
     "late_shipment_priorities", "sole_late_suppliers",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "idle_rich_customers",
-    # added this round: TPC-H Q6/Q16/Q20 shapes + SemDeDup
+    # added this round: TPC-H Q6/Q16/Q20 shapes + SemDeDup + bigram-LM
+    # perplexity + ExactSubstr duplicated-span coverage
     "forecast_revenue_change", "part_supplier_counts", "bulk_part_suppliers",
-    "semantic_dedup",
+    "semantic_dedup", "lm_perplexity", "duplicated_spans",
     # core vector/ANN representatives (keep total at 50 with the above;
     # everything displaced past 50 was hash-green in r03 and is unchanged)
     "topk_cosine_brute", "topk_cosine_filtered", "lsh_topk", "lsh_topk_served",
-    "ann_ivf_topk", "ann_ivf_served",
 ]
 
 _missing = [n for n in _CHECK_FIRST if n not in QUERIES]

@@ -583,6 +583,90 @@ WHERE sentence <> '' ORDER BY doc_id, sentence_idx
 # Registry
 # --------------------------------------------------------------------------
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span coverage per doc
+    (operators/textops.py dup_span_metrics)."""
+    from ..operators.textops import dup_span_metrics
+
+    return dup_span_metrics(load_table(spark, sf_dir, "documents"), n=8).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_duplicated_spans(n: int = 8) -> str:
+    h = sql_h64(f"array_to_string(t[i:i+{n - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+lens AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+pos AS (SELECT doc_id, i - 1 AS pos, {h} AS h
+        FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)),
+duph AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                        FROM pos GROUP BY 1) WHERE nd >= 2),
+marked AS (SELECT p.doc_id, p.pos, (d.h IS NOT NULL) AS dup
+           FROM pos p LEFT JOIN duph d ON p.h = d.h),
+perdoc AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM marked GROUP BY 1),
+duprows AS (SELECT doc_id, pos,
+                   max(pos + {n}) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM marked WHERE dup),
+contrib AS (SELECT doc_id, COUNT(*) AS dup_ngrams,
+                   SUM(greatest(0, pos + {n} - greatest(pos, COALESCE(prev_end, 0))))
+                     AS covered
+            FROM duprows GROUP BY 1)
+SELECT l.doc_id, l.n_tokens,
+       COALESCE(p.n_ngrams, 0) AS n_ngrams,
+       CAST(COALESCE(c.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+            THEN round(COALESCE(c.dup_ngrams, 0)::DOUBLE / p.n_ngrams, 6) END
+         AS dup_ngram_frac,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN l.n_tokens > 0
+            THEN round(COALESCE(c.covered, 0)::DOUBLE / l.n_tokens, 6) END
+         AS covered_frac
+FROM lens l
+LEFT JOIN perdoc p ON l.doc_id = p.doc_id
+LEFT JOIN contrib c ON l.doc_id = c.doc_id
+ORDER BY l.doc_id
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit add-alpha bigram LM perplexity per document
+    (operators/textops.py lm_score) — the CCNet-style quality signal."""
+    from ..operators.textops import lm_score
+
+    return lm_score(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sql_lm_perplexity(alpha: float = 0.5) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       FROM toks, UNNEST(range(1, len(t))) AS u(i)
+       WHERE len(t) >= 2),
+vocab AS (SELECT COUNT(DISTINCT u.w) AS v FROM toks, UNNEST(t) AS u(w)),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+hc AS (SELECT w1, COUNT(*) AS h FROM bg GROUP BY 1),
+nll AS (SELECT bg.doc_id,
+               CAST(round(-ln((bc.c + {alpha}) / (hc.h + {alpha} * vocab.v)), 9)
+                    AS DECIMAL(28,9)) AS q
+        FROM bg
+        JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+        JOIN hc ON bg.w1 = hc.w1
+        CROSS JOIN vocab),
+per AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(q) AS s FROM nll GROUP BY 1),
+scored AS (SELECT doc_id, n_bigrams,
+                  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS mean_nll
+           FROM per)
+SELECT d.doc_id,
+       COALESCE(scored.n_bigrams, 0) AS n_bigrams,
+       scored.mean_nll,
+       round(exp(scored.mean_nll), 6) AS ppl
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _semdedup_centroids(k: int = 8, dim: int = 64, seed: int = 11) -> list[list[float]]:
     """Fixed seeded centroids for the SemDeDup oracle query (production
     fits them with MLlib KMeans on a sample — operators/semdedup.py scale
@@ -656,6 +740,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "lm_perplexity": q_lm_perplexity,
+    "duplicated_spans": q_duplicated_spans,
     "corpus_curation": q_corpus_curation,
     "token_stats": q_token_stats,
     "token_counts_bpe": q_token_counts_bpe,
@@ -679,6 +765,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
     "dedup_clusters": _sql_dedup_clusters(),
     "semantic_dedup": _sql_semantic_dedup(),
+    "lm_perplexity": _sql_lm_perplexity(),
+    "duplicated_spans": _sql_duplicated_spans(),
     "corpus_curation": _sql_corpus_curation(),
     "token_stats": SQL_TOKEN_STATS,
     "token_counts_bpe": _sql_token_counts_bpe(),
