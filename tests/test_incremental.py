@@ -79,8 +79,29 @@ def test_bucketed_state_same_pairs_no_state_side_exchange(spark, sf_dir, tmp_pat
 
         # plan: the batch-vs-state join sort-merges and the state-side
         # branch (Sort -> Filter -> FileScan of the bucketed table) has NO
-        # exchange — the bucket layout provides the partitioning
-        plan = out._jdf.queryExecution().sparkPlan().toString()
+        # exchange — the bucket layout provides the partitioning. The full
+        # pipeline checkpoints the candidate frame (truncating its plan
+        # from `out`), so the shape is asserted on candidate_band_join —
+        # the exact sub-plan _incremental_pairs executes.
+        from vector_db_mvp_spark.operators.dedup import (
+            _band_rows,
+            _shingle_digests,
+            _spread_tokens,
+        )
+        from vector_db_mvp_spark.operators.incremental import candidate_band_join
+
+        batch_bands = _band_rows(
+            _shingle_digests(_spread_tokens(batch, "text", "doc_id"), CFG["n"]),
+            CFG["num_hashes"],
+            CFG["bands"],
+        )
+        cand = candidate_band_join(
+            batch_bands, spark.table(f"{prefix}_bands"), merge_hint=True
+        )
+        # executedPlan, not sparkPlan: EnsureRequirements (which inserts
+        # the Sort/Exchange nodes being asserted) runs in the executed-plan
+        # preparation phase.
+        plan = cand._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         k = plan.index(f"{prefix}_bands")
         state_branch = plan[plan[:k].rindex("Sort [band") : k]

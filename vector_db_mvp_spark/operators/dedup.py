@@ -149,7 +149,12 @@ def ngram_jaccard_pairs(
     FULL set sizes even when pruning candidates, so pruning only affects
     recall of candidate generation, never the reported score.
     """
-    post = _distinct_shingles(_spread_tokens(df, text_col, id_col), n).cache()
+    # eager localCheckpoint, not .cache(): same reuse (sizes + both join
+    # sides), but no permanent CacheManager entry per invocation (see
+    # operators/incremental.py _incremental_pairs).
+    post = _distinct_shingles(
+        _spread_tokens(df, text_col, id_col), n
+    ).localCheckpoint(eager=True)
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_post = post
     if max_doc_freq is not None:
@@ -397,7 +402,7 @@ def embedding_neardup_pairs(
             l2_norm(F.col(embedding_col)).alias("_n"),
         )
         .repartition(F.col("_id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     a, b = rows.alias("a"), rows.alias("b")
     cos = F.when(

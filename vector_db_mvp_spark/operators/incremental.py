@@ -136,36 +136,21 @@ def incremental_minhash_pairs(
     )
 
 
-def _incremental_pairs(
-    state_bands: DataFrame,
-    state_post: DataFrame,
-    new_docs: DataFrame,
-    *,
-    n: int,
-    num_hashes: int,
-    bands: int,
-    tau: float,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    merge_hint: bool = False,
+def candidate_band_join(
+    new_bands: DataFrame, state_bands: DataFrame, *, merge_hint: bool = False
 ) -> DataFrame:
-    """Core batch-vs-state pipeline over already-loaded state frames.
-    ``merge_hint`` forces sort-merge for the candidate join — set by the
-    bucketed-table path, where SMJ rides the bucket layout with no state-
-    side exchange (broadcast would win at fixture scale but not at 100 TB,
-    where the batch's band table can exceed the broadcast threshold)."""
-    # The token barrier inside _spread_tokens blocks predicate re-inlining
-    # (see operators/dedup.py); the digest pass above it is consumed via the
-    # caches below, so no second checkpoint is needed on the query path.
-    batch_post = _shingle_digests(_spread_tokens(new_docs, text_col, id_col), n)
-    new_bands = _band_rows(batch_post, num_hashes, bands).cache()
-    new_post = batch_post.withColumnRenamed("m", "s")
+    """Candidate pairs (id1 < id2) from shared band hashes: batch-vs-state
+    plus batch-vs-batch, unioned distinct.
 
-    # Candidates come from two joins kept SEPARATE on purpose: unioning the
-    # batch bands into the state frame first would erase the state table's
-    # bucket-derived partitioning and force both sides to shuffle. Split,
-    # the state side of the batch-vs-state join keeps its layout (zero
-    # exchange when bucketed), and the batch self-join is O(batch) anyway.
+    The two joins are kept SEPARATE on purpose: unioning the batch bands
+    into the state frame first would erase the state table's bucket-derived
+    partitioning and force both sides to shuffle. Split, the state side of
+    the batch-vs-state join keeps its layout (zero exchange when bucketed
+    — plan-asserted in tests/test_incremental.py on this function), and the
+    batch self-join is O(batch) anyway. ``merge_hint`` forces sort-merge —
+    set by the bucketed-table path; broadcast would win at fixture scale
+    but not at 100 TB, where the batch's band table can exceed the
+    broadcast threshold."""
     state_side = state_bands.hint("merge") if merge_hint else state_bands
     a, b = new_bands.alias("a"), state_side.alias("b")
     cand_state = a.join(
@@ -184,13 +169,51 @@ def _incremental_pairs(
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col("a._id") < F.col("b._id")),
     ).select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+    return cand_state.unionByName(cand_new).distinct()
+
+
+def _incremental_pairs(
+    state_bands: DataFrame,
+    state_post: DataFrame,
+    new_docs: DataFrame,
+    *,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    tau: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_hint: bool = False,
+) -> DataFrame:
+    """Core batch-vs-state pipeline over already-loaded state frames;
+    candidate generation is :func:`candidate_band_join` (see its docstring
+    for the join-shape rationale and the ``merge_hint`` contract)."""
+    # The token barrier inside _spread_tokens blocks predicate re-inlining
+    # (see operators/dedup.py); the digest pass above it is consumed via the
+    # caches below, so no second checkpoint is needed on the query path.
+    batch_post = _shingle_digests(_spread_tokens(new_docs, text_col, id_col), n)
+    # scratch frames are EAGER localCheckpoints, not .cache(): a cached plan
+    # stays registered in the session CacheManager until an explicit
+    # unpersist (which Spark 4.1 makes hazardous — see build_dedup_state),
+    # so a serve-many session leaks one cache entry per query invocation
+    # (measured: +4 cached RDDs per call, unbounded growth). Checkpoint
+    # blocks are dropped by the ContextCleaner as soon as the query's
+    # DataFrames go out of scope.
+    new_bands = _band_rows(batch_post, num_hashes, bands).localCheckpoint(eager=True)
+    new_post = batch_post.withColumnRenamed("m", "s")
+
     cands = (
-        cand_state.unionByName(cand_new)
-        .distinct()
-        # cache: cands feeds the verify join AND the candidate-id semi
-        # filter (which itself feeds both posting sides) — uncached, the
-        # band joins re-execute once per consumer (measured 2x wall time).
-        .cache()
+        candidate_band_join(new_bands, state_bands, merge_hint=merge_hint)
+        # localCheckpoint, not .cache(): cands feeds the verify join AND the
+        # candidate-id semi filter (without persistence the band joins
+        # re-execute once per consumer — measured 2x wall time), and unlike
+        # .cache() the blocks are dropped when the query's frames go out of
+        # scope instead of leaking a CacheManager entry per invocation
+        # (measured: +4 cached RDDs per call, unbounded CacheManager
+        # growth in a serve-many session). The checkpoint truncates the
+        # candidate-join plan from the returned frame; the SMJ/no-exchange
+        # shape is asserted on :func:`candidate_band_join` directly.
+        .localCheckpoint(eager=True)
     )
 
     # verify against postings of candidate documents only: the IN-filter on
@@ -201,12 +224,13 @@ def _incremental_pairs(
         .union(cands.select(F.col("id2").alias("_id")))
         .distinct()
     )
-    # cache: the filtered postings (candidate docs only — small) are read by
-    # both sides of the common-shingle join and by the set-size aggregation.
+    # materialized: the filtered postings (candidate docs only — small) are
+    # read by both sides of the common-shingle join and by the set-size
+    # aggregation.
     post = (
         state_post.unionByName(new_post)
         .join(cand_ids, "_id", "left_semi")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     return _jaccard_verify(cands, post, tau)
 
