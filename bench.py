@@ -54,6 +54,10 @@ HEADLINE = [
     "topk_cosine_pq",
     "ann_ivfpq_topk",
     "dedup_simhash",
+    "semantic_dedup",
+    "lm_perplexity",
+    "duplicated_spans",
+    "forecast_revenue_change",
 ]
 
 

@@ -92,8 +92,26 @@ def semantic_dedup(
                 score_decimals,
             ).alias("centrality"),
         )
+        # materialize once: the assignment expression (C dots per row) is
+        # read by BOTH sides of the domination self-join and by the final
+        # is_kept join — inlined, it evaluates three times per row.
+        # Together with the explicit repartition below: 5.9 s -> 2.8 s at
+        # sf0.1. localCheckpoint, not cache: see operators/incremental.py
+        # (CacheManager leak per invocation).
+        .localCheckpoint(eager=True)
     )
-    a, b = rows.alias("a"), rows.alias("b")
+    # User-specified repartition with an EXPLICIT count: the shuffled bytes
+    # are tiny (id, vec, norm per row), so the join's own planner exchange
+    # would be AQE-coalesced to ONE partition, serializing the quadratic
+    # pair work on a single core (measured: every pair stage ran (0+1)/1;
+    # same pathology as operators/dedup.py _spread). A user repartition is
+    # never coalesced, and since both self-join sides share it, the join
+    # reuses the one exchange. Parallelism is bounded by the number of
+    # clusters C — the knob that also bounds the quadratic work; at scale
+    # C >> cores, locally C=8 of 32.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    part = rows.repartition(n_part, "cluster_id")
+    a, b = part.alias("a"), part.alias("b")
     pair_cos = F.round(
         F.when(
             (F.col("a._n") == 0.0) | (F.col("b._n") == 0.0), F.lit(0.0)
