@@ -702,8 +702,63 @@ FROM b GROUP BY label, pos ORDER BY label, pos
 # Registry
 # --------------------------------------------------------------------------
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/mmr.py): distributed top-50
+    candidate generation, then the greedy diversity selection down to 10 —
+    the canonical X2 reranker, oracle-checked by unrolling the greedy."""
+    from ..operators.mmr import mmr_rerank
+
+    joined = _with_query_vector(spark, sf_dir)
+    cand = topk_cosine(joined, F.col("_qv"), 50, score_decimals=6).select(
+        "vec_id", "label", "embedding", "score"
+    )
+    return mmr_rerank(cand, 10, lam=0.7).orderBy("mmr_rank")
+
+
+def _sql_mmr_topk(
+    k: int = 10, c: int = 50, lam: float = 0.7, query_vec_id: int = 0
+) -> str:
+    """Oracle: the k greedy MMR steps unrolled as chained CTEs — each step
+    picks argmax of lam*score - (1-lam)*max(sim to selected) over the
+    not-yet-selected candidates, ties to lowest id, exactly mirroring
+    operators/mmr.py mmr_select."""
+    cos_q = _DUCK_COS.format(a="e.embedding", b="q._qv")
+    lam_s, pen_s = repr(lam), repr(1 - lam)
+    parts = [
+        f"""q AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id}),
+cand AS MATERIALIZED (SELECT e.vec_id, e.label, e.embedding, round({cos_q}, 6) AS score
+         FROM embeddings e CROSS JOIN q
+         WHERE e.embedding IS NOT NULL
+         ORDER BY score DESC, e.vec_id ASC LIMIT {c}),
+sel0 AS MATERIALIZED (SELECT vec_id, label, embedding, score, 0 AS mmr_rank,
+                round({lam_s} * score, 6) AS mmr_score
+         FROM cand ORDER BY round({lam_s} * score, 6) DESC, vec_id LIMIT 1),
+all0 AS MATERIALIZED (SELECT * FROM sel0)"""
+    ]
+    pair = _DUCK_COS.format(a="r.embedding", b="s.embedding")
+    for r in range(1, k):
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT r.vec_id, r.label, r.embedding, r.score, {r} AS mmr_rank,
+         round({lam_s} * r.score
+               - {pen_s} * (SELECT MAX(round({pair}, 6)) FROM all{r - 1} s), 6)
+           AS mmr_score
+  FROM cand r
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM all{r - 1})
+  ORDER BY mmr_score DESC, r.vec_id LIMIT 1),
+all{r} AS MATERIALIZED (SELECT * FROM all{r - 1} UNION ALL SELECT * FROM sel{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, label, score, mmr_rank, mmr_score"
+        f"\nFROM all{k - 1} ORDER BY mmr_rank"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
+    "mmr_topk": q_mmr_topk,
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
     "topk_cosine_quantized": q_topk_cosine_quantized,
@@ -725,6 +780,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_batch_topk": _sql_ann_batch_topk(),
     "lsh_batch_topk": _sql_lsh_batch_topk(),
     "topk_cosine_brute": _sql_topk_cosine(10),
+    "mmr_topk": _sql_mmr_topk(),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
     "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
