@@ -252,7 +252,9 @@ def pq_topk_served(
         codebooks = json.load(f)
     from .pq import pq_topk
 
-    encoded = spark.read.parquet(path)
+    encoded = apply_tombstones(
+        spark, spark.read.parquet(path), path, id_col=id_col
+    )
     return pq_topk(
         encoded, codebooks, [float(x) for x in query_vector], k,
         candidates=candidates, embedding_col=embedding_col,
@@ -278,7 +280,9 @@ def lsh_topk_served(
     path = build_served_index(
         spark, corpus_path, planes, embedding_col=embedding_col, root=root
     )
-    idx = spark.read.parquet(path)
+    idx = apply_tombstones(
+        spark, spark.read.parquet(path), path, id_col=id_col
+    )
     qv = [float(x) for x in query_vector]
     qc = bucket_codes_native(qv, planes)
     cands = lsh_candidates(idx, qc).drop("lsh_codes")
@@ -287,3 +291,85 @@ def lsh_topk_served(
         embedding_col=embedding_col, id_col=id_col,
         score_decimals=score_decimals,
     )
+
+
+# --------------------------------------------------------------------------
+# Tombstone deletes: O(batch) removal from any serving artifact
+# --------------------------------------------------------------------------
+
+def tombstone_delete(
+    spark: SparkSession,
+    path: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+) -> str:
+    """Delete rows from a serving artifact WITHOUT rewriting it: append the
+    ids as tombstone markers under ``<path>/_tombstones``. O(batch) — one
+    tiny parquet append regardless of corpus size; the serve paths
+    anti-join the marker set (broadcast — tombstones are small relative to
+    the corpus by construction; :func:`compact_served_artifact` keeps that
+    true). Deleting an id not present in the artifact is a harmless no-op,
+    and re-deleting is idempotent (markers are distinct-ed at read time).
+
+    ``ids`` is a DataFrame with ``id_col`` or an iterable of ints.
+    """
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    ids.select(id_col).write.mode("append").parquet(
+        os.path.join(path, "_tombstones")
+    )
+    return path
+
+
+def apply_tombstones(
+    spark: SparkSession, rows: DataFrame, path: str, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Filter a serving-artifact frame down to live rows (broadcast
+    anti-join on the tombstone ids; no-op when none exist)."""
+    td = os.path.join(path, "_tombstones")
+    if not os.path.isdir(td):
+        return rows
+    tombs = spark.read.parquet(td).select(id_col).distinct()
+    return rows.join(F.broadcast(tombs), id_col, "left_anti")
+
+
+def compact_served_artifact(
+    spark: SparkSession,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    min_tombstones: int = 1,
+) -> bool:
+    """Fold accumulated tombstones into the artifact: rewrite live rows,
+    drop the marker set. Publish-then-swap (same discipline as
+    operators/incremental.py compact_dedup_state): the compacted layout is
+    written beside the live one, sidecar files are carried over, and the
+    directories are swapped only after the write succeeds — a reader
+    mid-swap sees old or new state, never a mix. Returns True if a rewrite
+    happened. Run it when the tombstone set approaches the broadcast
+    budget; until then deletes stay O(batch)."""
+    import shutil
+
+    td = os.path.join(path, "_tombstones")
+    if not os.path.isdir(td):
+        return False
+    n_tombs = spark.read.parquet(td).select(id_col).distinct().count()
+    if n_tombs < min_tombstones:
+        return False
+    tmp = path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    live = apply_tombstones(
+        spark, spark.read.parquet(path), path, id_col=id_col
+    )
+    live.write.mode("overwrite").parquet(tmp)
+    # carry sidecars (codebooks/centroids) into the new layout
+    for f in os.listdir(path):
+        if f.endswith(".json"):
+            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+    old = path + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
