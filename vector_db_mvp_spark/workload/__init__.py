@@ -60,9 +60,10 @@ _CHECK_FIRST = [
     # perplexity + ExactSubstr duplicated-span coverage
     "forecast_revenue_change", "part_supplier_counts", "bulk_part_suppliers",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
+    "topk_cosine_binary",
     # core vector/ANN representatives (keep total at 50 with the above;
     # everything displaced past 50 was hash-green in r03 and is unchanged)
-    "topk_cosine_brute", "topk_cosine_filtered", "lsh_topk",
+    "topk_cosine_brute", "topk_cosine_filtered",
 ]
 
 _missing = [n for n in _CHECK_FIRST if n not in QUERIES]

@@ -702,6 +702,59 @@ FROM b GROUP BY label, pos ORDER BY label, pos
 # Registry
 # --------------------------------------------------------------------------
 
+def q_topk_cosine_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-bit quantization ANN (operators/binary.py): Hamming-rank
+    32x-compressed codes, candidate cut, exact-cosine re-rank."""
+    from ..operators.binary import binary_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    return binary_topk(emb, qv, 10, dim=_LSH_DIM, candidates=100).select(
+        "vec_id", "label", "score"
+    )
+
+
+def _sql_topk_cosine_binary(
+    k: int = 10, c: int = 100, dim: int = 64, query_vec_id: int = 0
+) -> str:
+    """Oracle: pack + Hamming + re-rank replicated from literals (32-bit
+    words — bit 63 of a single packed word would overflow signed shifts
+    differently across engines)."""
+
+    def word(lo: int, hi: int, vec: str) -> str:
+        return (
+            f"list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> CASE WHEN {vec}[i + 1] > 0 "
+            f"THEN (1::BIGINT << (i % 32)) ELSE 0 END))"
+        )
+
+    n_words = (dim + 31) // 32
+    words = [word(w * 32, min((w + 1) * 32, dim), "embedding") for w in range(n_words)]
+    qwords = [word(w * 32, min((w + 1) * 32, dim), "_qv") for w in range(n_words)]
+    ham = " + ".join(
+        f"bit_count(xor(cw.w{i}, qw.qw{i}))" for i in range(n_words)
+    )
+    cos = _DUCK_COS.format(a="cand.embedding", b="q2._qv")
+    w_cols = ", ".join(f"{w} AS w{i}" for i, w in enumerate(words))
+    qw_cols = ", ".join(f"{w} AS qw{i}" for i, w in enumerate(qwords))
+    return f"""
+WITH qw AS MATERIALIZED (
+  SELECT {qw_cols}
+  FROM (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id})),
+cw AS (SELECT vec_id, label, embedding, {w_cols}
+       FROM embeddings WHERE embedding IS NOT NULL),
+cand AS MATERIALIZED (
+  SELECT cw.vec_id, cw.label, cw.embedding, {ham} AS hamming
+  FROM cw CROSS JOIN qw
+  ORDER BY hamming ASC, cw.vec_id ASC LIMIT {c})
+SELECT cand.vec_id, cand.label, round({cos}, 6) AS score
+FROM cand CROSS JOIN (SELECT embedding AS _qv FROM embeddings
+                      WHERE vec_id = {query_vec_id}) q2
+ORDER BY score DESC, cand.vec_id ASC
+LIMIT {k}
+"""
+
+
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (operators/mmr.py): distributed top-50
     candidate generation, then the greedy diversity selection down to 10 —
@@ -759,6 +812,7 @@ all{r} AS MATERIALIZED (SELECT * FROM all{r - 1} UNION ALL SELECT * FROM sel{r})
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
     "mmr_topk": q_mmr_topk,
+    "topk_cosine_binary": q_topk_cosine_binary,
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
     "topk_cosine_quantized": q_topk_cosine_quantized,
@@ -781,6 +835,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_batch_topk": _sql_lsh_batch_topk(),
     "topk_cosine_brute": _sql_topk_cosine(10),
     "mmr_topk": _sql_mmr_topk(),
+    "topk_cosine_binary": _sql_topk_cosine_binary(),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
     "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
