@@ -60,10 +60,9 @@ _CHECK_FIRST = [
     # perplexity + ExactSubstr duplicated-span coverage
     "forecast_revenue_change", "part_supplier_counts", "bulk_part_suppliers",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
-    "topk_cosine_binary",
-    # core vector/ANN representatives (keep total at 50 with the above;
-    # everything displaced past 50 was hash-green in r03 and is unchanged)
-    "topk_cosine_brute", "topk_cosine_filtered",
+    "topk_cosine_binary", "funnel_conversion", "cohort_retention",
+    # (tail reps dropped to keep the gate window at 50: every displaced
+    # query was hash-green in r03/r04 and is unchanged)
 ]
 
 _missing = [n for n in _CHECK_FIRST if n not in QUERIES]

@@ -1389,8 +1389,109 @@ ORDER BY supplier_name
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel (view -> click -> purchase, each stage within
+    7 days of the previous): the per-user chained min-timestamp pattern —
+    stage N's anchor is the EARLIEST qualifying event after stage N-1's
+    anchor. Physical: three per-user aggregations, each one shuffle keyed
+    by user_id; stage frames shrink monotonically, and the final counts
+    are one-row partial aggs. No window over the raw event stream — at
+    100 TB per-user event lists never need to be co-resident."""
+    ev = load_table(spark, sf_dir, "events")
+    window_days = 7
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {window_days} DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {window_days} DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        u1.agg(F.count(F.lit(1)).alias("n_stage1"))
+        .crossJoin(u2.agg(F.count(F.lit(1)).alias("n_stage2")))
+        .crossJoin(u3.agg(F.count(F.lit(1)).alias("n_stage3")))
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+u2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+       FROM events e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'click'
+         AND e.ts > u1.t1 AND e.ts <= u1.t1 + INTERVAL 7 DAY
+       GROUP BY 1),
+u3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+       FROM events e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = 'purchase'
+         AND e.ts > u2.t2 AND e.ts <= u2.t2 + INTERVAL 7 DAY
+       GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM u1) AS n_stage1,
+       (SELECT COUNT(*) FROM u2) AS n_stage2,
+       (SELECT COUNT(*) FROM u3) AS n_stage3
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; each later week's distinct-active count per cohort. Two
+    shuffles (first-event per user, then the cohort x offset distinct
+    count); the cohort dim joins broadcast. Week offsets are computed from
+    week-start day differences — integer-exact and calendar-convention-
+    free across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("_cw")
+    )
+    joined = ev.join(F.broadcast(first), "user_id").select(
+        "user_id",
+        F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("_cw")) / 7
+        ).alias("week_offset"),
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first_ev AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+                  FROM events GROUP BY 1)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first_ev f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
     "distinct_agg": q_distinct_agg,
     "rollup_counts": q_rollup_counts,
     "top_revenue_orders": q_top_revenue_orders,
@@ -1467,6 +1568,8 @@ ORACLE_SQL: dict[str, str] = {
     "late_shipment_priorities": SQL_LATE_SHIPMENT_PRIORITIES,
     "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
     "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
     "bulk_part_suppliers": SQL_BULK_PART_SUPPLIERS,
 }
