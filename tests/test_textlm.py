@@ -102,3 +102,50 @@ class TestLmScore:
         rare = " ".join(f"t{i}" for i in range(40))
         got = _by_id(lm_score(_docs(spark, [(1, rep), (2, rare)])))
         assert got[1]["mean_nll"] < got[2]["mean_nll"]
+
+
+class TestDsirWeights:
+    def test_target_lookalikes_score_higher(self, spark):
+        from vector_db_mvp_spark.operators.textops import dsir_weights
+
+        # target distribution is dominated by 'alpha beta'; doc 1 matches
+        # it, doc 2 is disjoint vocabulary -> w(doc1) > w(doc2)
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta alpha beta"),
+                (2, "gamma delta gamma delta"),
+                (3, "alpha beta alpha beta"),  # the 'target' member
+            ],
+            "doc_id long, text string",
+        )
+        target = docs.filter("doc_id = 3")
+        got = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_weights(docs, target, buckets=64).collect()
+        }
+        assert got[1] > got[2]
+        assert got[1] == got[3]  # identical text, identical weight
+
+    def test_weight_is_sum_of_token_log_ratios(self, spark):
+        import math
+
+        from vector_db_mvp_spark.operators.textops import dsir_weights
+
+        docs = spark.createDataFrame(
+            [(1, "x x y"), (2, "x y")], "doc_id long, text string"
+        )
+        target = docs.filter("doc_id = 2")
+        B, a = 64, 0.5
+        # raw: x->3, y->2 (5 tokens); target: x->1, y->1 (2 tokens)
+        def q(ct, cr):
+            return round(
+                math.log((ct + a) / (2 + a * B)) - math.log((cr + a) / (5 + a * B)),
+                9,
+            )
+
+        got = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_weights(docs, target, buckets=B).collect()
+        }
+        assert got[1] == pytest.approx(2 * q(1, 3) + q(1, 2), abs=1e-9)
+        assert got[2] == pytest.approx(q(1, 3) + q(1, 2), abs=1e-9)

@@ -574,3 +574,92 @@ def dup_span_metrics(
             ).alias("covered_frac"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023): hashed-unigram bag-of-words features, add-alpha categorical
+    distributions fit on the TARGET corpus vs the RAW corpus, and per-doc
+    log importance weight
+
+        log w(doc) = sum_tokens log( p_target[bucket] / p_raw[bucket] ).
+
+    High-weight documents look like the target distribution; downstream
+    selection keeps the top mass (pair with operators/sampling.py /
+    operators/mixing.py for the resampling step).
+
+    Determinism: the per-bucket log-ratio is rounded to 9 decimals and the
+    per-doc sum accumulates count x ratio in DECIMAL — exact integer-scaled
+    arithmetic, so the weight is partitioning-independent (same convention
+    as lm_score). Token -> bucket uses the portable 60-bit md5 hash
+    (functions/text.py h64) mod ``buckets``.
+
+    Scale notes (100 TB): the bucket table is ``buckets`` rows — broadcast
+    by construction, so the per-doc scoring join never shuffles the corpus
+    side; the two distribution fits are map-side-combined counts. The raw
+    totals are driver-side scalars folded into the expression (one count
+    each, control-plane)."""
+    from ..functions.text import h64, tokens
+    from .dedup import _spread_tokens
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            _spread_tokens(df, text_col, id_col)
+            .select(F.col("_id"), F.explode("_t").alias("_tok"))
+            .select(F.col("_id"), F.pmod(h64(F.col("_tok")), F.lit(buckets)).alias("_b"))
+        )
+
+    raw_toks = bucketed(docs).localCheckpoint(eager=True)
+    tgt_toks = bucketed(target)
+    n_raw = raw_toks.count()
+    n_tgt = tgt_toks.count()
+    raw_counts = raw_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt_counts = tgt_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    denom_t = float(n_tgt + alpha * buckets)
+    denom_r = float(n_raw + alpha * buckets)
+    ratio = F.round(
+        F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
+        - F.log((F.col("_cr") + F.lit(alpha)) / F.lit(denom_r)),
+        9,
+    ).cast("decimal(20,9)")
+    bucket_table = (
+        raw_counts.join(tgt_counts, "_b", "left").select("_b", ratio.alias("_q"))
+    )
+    per_doc = (
+        raw_toks.groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(bucket_table), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            # the count is cast NARROW before the multiply: bigint (20,0) x
+            # (20,9) needs precision 41 > 38, and Spark's precision-loss
+            # rule keeps digits by TRUNCATING THE SCALE to 6 — silently
+            # rounding every product (measured 4e-7 doc-level drift vs the
+            # scale-9-preserving oracle). (10,0) x (20,9) fits at scale 9.
+            F.sum(F.col("_c").cast("decimal(10,0)") * F.col("_q")).alias("_s"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            # NO round-6 here: the decimal sum is an exact multiple of 1e-9
+            # (integer counts x 9-decimal ratios), so round(x, 6) hits exact
+            # ties where Spark's shortest-string rounding and a multiply-
+            # based round disagree by 1e-6; the raw decimal->double cast is
+            # identical in both engines.
+            F.col("_s").cast("double").alias("log_weight"),
+        )
+    )

@@ -667,6 +667,43 @@ ORDER BY d.doc_id
 """
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/textops.py dsir_weights):
+    target = the English subset, raw = the full corpus."""
+    from ..operators.textops import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en")).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_importance_weights(buckets: int = 1024, alpha: float = 0.5) -> str:
+    h = sql_h64("u.w")
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+raw AS (SELECT doc_id, lang, ({h}) % {buckets} AS b
+        FROM toks, UNNEST(t) AS u(w)),
+nr AS (SELECT COUNT(*) AS n FROM raw),
+nt AS (SELECT COUNT(*) AS n FROM raw WHERE lang = 'en'),
+rc AS (SELECT b, COUNT(*) AS cr FROM raw GROUP BY 1),
+tc AS (SELECT b, COUNT(*) AS ct FROM raw WHERE lang = 'en' GROUP BY 1),
+bt AS (SELECT rc.b,
+              CAST(round(ln((COALESCE(tc.ct, 0) + {alpha}) / (nt.n + {alpha} * {buckets}))
+                         - ln((rc.cr + {alpha}) / (nr.n + {alpha} * {buckets})), 9)
+                   AS DECIMAL(20,9)) AS q
+       FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN nt CROSS JOIN nr),
+pd AS (SELECT doc_id, b, COUNT(*) AS c FROM raw GROUP BY 1, 2),
+agg AS (SELECT pd.doc_id, SUM(pd.c) AS n_tokens, SUM(pd.c * bt.q) AS s
+        FROM pd JOIN bt ON pd.b = bt.b GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(agg.s AS DOUBLE) AS log_weight
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _semdedup_centroids(k: int = 8, dim: int = 64, seed: int = 11) -> list[list[float]]:
     """Fixed seeded centroids for the SemDeDup oracle query (production
     fits them with MLlib KMeans on a sample — operators/semdedup.py scale
@@ -742,6 +779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "lm_perplexity": q_lm_perplexity,
     "duplicated_spans": q_duplicated_spans,
+    "importance_weights": q_importance_weights,
     "corpus_curation": q_corpus_curation,
     "token_stats": q_token_stats,
     "token_counts_bpe": q_token_counts_bpe,
@@ -767,6 +805,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup": _sql_semantic_dedup(),
     "lm_perplexity": _sql_lm_perplexity(),
     "duplicated_spans": _sql_duplicated_spans(),
+    "importance_weights": _sql_importance_weights(),
     "corpus_curation": _sql_corpus_curation(),
     "token_stats": SQL_TOKEN_STATS,
     "token_counts_bpe": _sql_token_counts_bpe(),
