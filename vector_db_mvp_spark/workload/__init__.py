@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     "forecast_revenue_change", "part_supplier_counts", "bulk_part_suppliers",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
+    "ann_grouped_topk",
     # (tail reps dropped to keep the gate window at 50: every displaced
     # query was hash-green in r03/r04 and is unchanged)
 ]

@@ -755,6 +755,47 @@ LIMIT {k}
 """
 
 
+def q_ann_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP top-k: the 3 nearest rows to the query within every label
+    — one scan, one window keyed by the group (partial agg-free, the
+    per-group heap lives in the window sort). The 'diverse results per
+    category' serving shape; contrast with global top-k's
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    joined = _with_query_vector(spark, sf_dir)
+    from ..functions.vector import cosine_similarity
+
+    scored = joined.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("embedding"), F.col("_qv")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("label", "rank")
+    )
+
+
+def _sql_ann_grouped_topk(k: int = 3, query_vec_id: int = 0) -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
+    return f"""
+WITH q AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id}),
+scored AS (SELECT e.vec_id, e.label, round({cos}, 6) AS score
+           FROM embeddings e CROSS JOIN q WHERE e.embedding IS NOT NULL),
+ranked AS (SELECT vec_id, label, score,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT vec_id, label, score, rank FROM ranked
+WHERE rank <= {k} ORDER BY label, rank
+"""
+
+
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (operators/mmr.py): distributed top-50
     candidate generation, then the greedy diversity selection down to 10 —
@@ -813,6 +854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
     "mmr_topk": q_mmr_topk,
     "topk_cosine_binary": q_topk_cosine_binary,
+    "ann_grouped_topk": q_ann_grouped_topk,
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
     "topk_cosine_quantized": q_topk_cosine_quantized,
@@ -836,6 +878,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_brute": _sql_topk_cosine(10),
     "mmr_topk": _sql_mmr_topk(),
     "topk_cosine_binary": _sql_topk_cosine_binary(),
+    "ann_grouped_topk": _sql_ann_grouped_topk(),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
     "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
