@@ -1488,7 +1488,217 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H shapes round 4b: the last three classic shapes (Q2 / Q9 / Q11), all
+# adapted to the fixture's partsupp-free schema by deriving the
+# part-supplier cost relationship from shipped lineitems.
+# --------------------------------------------------------------------------
+
+
+def _unit_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp surrogate: per (partkey, suppkey) the minimum observed unit
+    price over all shipments, rounded to 6 decimals so Spark and DuckDB
+    compare/aggregate identical values. One shuffle on the composite key
+    with map-side partial MIN — at 100 TB this is the cheapest possible
+    derivation of a supplier-cost table (no joins, fact scan only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+
+
+_SQL_UNIT_COSTS = """
+SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+       ROUND(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: supplier cost derived from lineitem unit
+    prices): for every size-15 LARGE part, the EUROPE supplier(s) offering
+    the minimum unit cost. The correlated MIN subquery of the original
+    becomes a per-part window MIN over the region-filtered cost table —
+    one shuffle on partkey; part and supplier dims broadcast into the
+    derived cost table, and the dim filters prune before the window."""
+    from pyspark.sql.window import Window
+
+    costs = _unit_costs(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = costs.join(F.broadcast(part), costs.partkey == part.p_partkey).join(
+        F.broadcast(euro_supp), costs.suppkey == euro_supp.s_suppkey
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("partkey").alias("p_partkey"), "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH costs AS ({_SQL_UNIT_COSTS}),
+euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT c.partkey, c.unit_cost, e.s_acctbal, e.s_name, e.n_name
+  FROM costs c
+  JOIN part p ON c.partkey = p.p_partkey
+  JOIN euro e ON c.suppkey = e.s_suppkey
+  WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+)
+SELECT s_acctbal, s_name, n_name, partkey AS p_partkey, unit_cost
+FROM (
+  SELECT *, MIN(unit_cost) OVER (PARTITION BY partkey) AS min_cost FROM cand
+)
+WHERE unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: supply cost proxied as 60% of
+    p_retailprice): profit on gear-family parts by supplier nation and
+    order year. Physical: fact scan joins the broadcast name-filtered part
+    dim (pruning partkeys map-side), broadcast supplier->nation chain, and
+    the orders table for the year — the one true shuffle is orders⋈lineitem
+    on orderkey; the group-by is a small (nation, year) grid aggregated
+    with exact decimal math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(5,2)")
+        - (F.col("p_retailprice").cast("decimal(18,2)") * F.lit(0.6).cast("decimal(3,1)"))
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_PRODUCT_TYPE_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(5,2))
+                - (CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,1)))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: stock value derived from shipped
+    quantity x unit cost): parts whose total value shipped by NATION_7
+    suppliers exceeds 0.1% of that nation's total. The scalar subquery is
+    a 1-row broadcast crossJoin (same decorrelation as Q22); the per-part
+    and the global aggregations share one shuffled intermediate."""
+    costs = _unit_costs(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    value = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .join(
+            costs,
+            (li.l_partkey == costs.partkey) & (li.l_suppkey == costs.suppkey),
+        )
+        .select(
+            "partkey",
+            (
+                F.col("l_quantity").cast("decimal(18,2)")
+                * F.col("unit_cost").cast("decimal(18,6)")
+            ).alias("_v"),
+        )
+    )
+    per_part = value.groupBy("partkey").agg(F.sum("_v").alias("_value"))
+    total = per_part.agg((F.sum("_value") * F.lit(0.001).cast("decimal(4,3)")).alias("_thr"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_thr"))
+        .select(
+            F.col("partkey").alias("p_partkey"),
+            F.col("_value").cast("double").alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
+
+
+SQL_IMPORTANT_PART_STOCK = f"""
+WITH costs AS ({_SQL_UNIT_COSTS}),
+nat_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+),
+val AS (
+  SELECT c.partkey,
+         CAST(l_quantity AS DECIMAL(18,2)) * CAST(unit_cost AS DECIMAL(18,6)) AS v
+  FROM lineitem l
+  JOIN nat_supp ns ON l.l_suppkey = ns.s_suppkey
+  JOIN costs c ON l.l_partkey = c.partkey AND l.l_suppkey = c.suppkey
+),
+per_part AS (SELECT partkey, SUM(v) AS value FROM val GROUP BY 1),
+thr AS (SELECT SUM(value) * CAST(0.001 AS DECIMAL(4,3)) AS t FROM per_part)
+SELECT partkey AS p_partkey, CAST(value AS DOUBLE) AS stock_value
+FROM per_part CROSS JOIN thr
+WHERE value > t
+ORDER BY stock_value DESC, p_partkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "min_cost_supplier": q_min_cost_supplier,
+    "product_type_profit": q_product_type_profit,
+    "important_part_stock": q_important_part_stock,
     "pricing_summary": q_pricing_summary,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -1532,6 +1742,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "product_type_profit": SQL_PRODUCT_TYPE_PROFIT,
+    "important_part_stock": SQL_IMPORTANT_PART_STOCK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "distinct_agg": SQL_DISTINCT_AGG,
     "rollup_counts": SQL_ROLLUP_COUNTS,

@@ -768,7 +768,36 @@ ORDER BY a.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "join", "hash", "stream"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 4-term query (operators/bm25.py): term filter
+    pushed below the shuffle, broadcast df/corpus stats, TakeOrderedAndProject
+    top-k. Complements the reference's vector-only retrieval surface
+    (search_service.py) with the lexical half of a hybrid stack."""
+    from ..operators.bm25 import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, 20)
+
+
+def _sql_bm25_search() -> str:
+    from ..operators.bm25 import sql_bm25_scores
+
+    scores = sql_bm25_scores(_BM25_TERMS, toks_expr=_TOKS)
+    return f"""
+WITH scored AS ({scores})
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_search": q_bm25_search,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -795,6 +824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "bm25_search": _sql_bm25_search(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _sql_jaccard(5, 0.4),
     "dedup_minhash_lsh": _sql_minhash(5, 16, 4, 0.4),

@@ -850,8 +850,71 @@ all{r} AS MATERIALIZED (SELECT * FROM all{r - 1} UNION ALL SELECT * FROM sel{r})
     )
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword list + cosine vector list, RRF-fused
+# --------------------------------------------------------------------------
+
+_HYBRID_TERMS = ["vector", "join", "hash", "stream"]
+_HYBRID_CAND = 50  # per-list candidate depth
+_HYBRID_K = 10
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/bm25.py): top-50 BM25 candidates over
+    ``documents.text`` and top-50 cosine candidates over ``embeddings``
+    (query = vec_id 0), fused by reciprocal-rank fusion (c=60), final
+    top-10. Each retrieval arm keeps its scalable plan (term-filtered
+    pre-shuffle BM25, TakeOrderedAndProject cosine); the rank windows and
+    the fusion join only ever touch the two 50-row candidate lists."""
+    from ..operators.bm25 import bm25_topk, rrf_fuse, with_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, _HYBRID_TERMS, _HYBRID_CAND)
+    bm_ranked = with_rank(bm, [F.col("score").desc(), F.col("doc_id").asc()])
+
+    joined = _with_query_vector(spark, sf_dir)
+    vec = topk_cosine(joined, "_qv", _HYBRID_CAND, score_decimals=6).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    vec_ranked = with_rank(vec, [F.col("score").desc(), F.col("doc_id").asc()])
+    return rrf_fuse(bm_ranked, vec_ranked, id_col="doc_id", k=_HYBRID_K)
+
+
+def _sql_hybrid_rrf() -> str:
+    from ..functions.text import SQL_TOKENS
+    from ..operators.bm25 import sql_bm25_scores
+
+    bm_scores = sql_bm25_scores(_HYBRID_TERMS, toks_expr=SQL_TOKENS.format(text="text"))
+    cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
+    return f"""
+WITH bm AS ({bm_scores}),
+bmr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm QUALIFY rank <= {_HYBRID_CAND}
+),
+q AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id, ROUND({cos}, 6) AS score
+  FROM embeddings e CROSS JOIN q WHERE e.embedding IS NOT NULL
+),
+vr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM vec QUALIFY rank <= {_HYBRID_CAND}
+),
+fused AS (
+  SELECT doc_id,
+         ROUND(COALESCE(1.0 / (60.0 + b.rank), 0.0)
+               + COALESCE(1.0 / (60.0 + v.rank), 0.0), 6) AS rrf_score
+  FROM bmr b FULL OUTER JOIN vr v USING (doc_id)
+)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {_HYBRID_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
+    "hybrid_rrf": q_hybrid_rrf,
     "mmr_topk": q_mmr_topk,
     "topk_cosine_binary": q_topk_cosine_binary,
     "ann_grouped_topk": q_ann_grouped_topk,
@@ -876,6 +939,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_batch_topk": _sql_ann_batch_topk(),
     "lsh_batch_topk": _sql_lsh_batch_topk(),
     "topk_cosine_brute": _sql_topk_cosine(10),
+    "hybrid_rrf": _sql_hybrid_rrf(),
     "mmr_topk": _sql_mmr_topk(),
     "topk_cosine_binary": _sql_topk_cosine_binary(),
     "ann_grouped_topk": _sql_ann_grouped_topk(),
