@@ -58,6 +58,9 @@ HEADLINE = [
     "lm_perplexity",
     "duplicated_spans",
     "forecast_revenue_change",
+    "bm25_search",
+    "hybrid_rrf",
+    "min_cost_supplier",
 ]
 
 

@@ -1,0 +1,205 @@
+"""From-scratch Lloyd's k-means over an embedding column, exactly
+reproducible in SQL (unlike MLlib's KMeans, whose sampling/init is JVM-
+internal — operators/ivf.py uses MLlib where reproducibility is NOT needed
+and full-probe oracles cover correctness; this operator exists for the
+pipelines that need the assignment itself to be verifiable).
+
+Algorithm (all constants deterministic):
+* init: the k rows with the smallest ids are the starting centroids
+  (components rounded to 6 decimals);
+* assign: nearest centroid by squared L2 distance (double math, sequential
+  fold, distance rounded to 6; ties -> lowest cluster id);
+* update: per-dimension mean, computed EXACTLY — components rounded to 6,
+  summed as decimal(28,6) (order-independent), divided as double, rounded
+  to 6 — so Spark and DuckDB produce bit-identical centroids each round;
+* empty clusters keep their previous centroid.
+
+Scale design (100 TB): centroids are k x d doubles — driver-side state,
+like MLlib. Assignment is ONE projection with the centroid table folded
+into a Catalyst expression (k sequential-fold distances per row — the
+operators/pq.py ADC pattern): no join, no shuffle, whole-stage codegen
+beside the parquet scan. The update step is posexplode -> groupBy
+(cluster, dim) with map-side partial aggregation: the shuffle carries
+k x d partial sums per map task, not rows. Driver collects k x d means
+per iteration (control plane, O(k·d)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _round6(x: float) -> float:
+    return float(round(x, 6))
+
+
+def _dist_sq(v: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid: sequential fold in double
+    (mirrors DuckDB list_sum(list_transform(list_zip(...)))), rounded 6."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(v.cast("array<double>"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist) for every non-null-embedding row; cluster is the
+    0-based index of the nearest centroid, ties to the lowest index."""
+    dists = F.array(*[_dist_sq(F.col(vec_col), c) for c in centroids])
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("_d", dists)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(F.col("_d")).alias("dist"),
+        )
+    )
+
+
+def _update_centroids(
+    assigned: DataFrame,
+    prev: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Exact per-dimension means: posexplode -> decimal partial sums ->
+    k x d rows to the driver. Empty clusters keep their previous centroid."""
+    rows = (
+        assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "_x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.round(F.col("_x").cast("double"), 6).cast("decimal(28,6)"))
+            .alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "cluster",
+            "pos",
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("_m"),
+        )
+        .collect()
+    )
+    nxt = [list(c) for c in prev]
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, {})[r.pos] = r._m
+    for cid, dims in by_cluster.items():
+        nxt[cid] = [dims[p] for p in sorted(dims)]
+    return nxt
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds and return the final assignment
+    ``(id_col, cluster, dist)`` (dist = squared L2, rounded to 6)."""
+    base = df.filter(F.col(vec_col).isNotNull())
+    seed_rows = (
+        base.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [[_round6(float(x)) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = assign_clusters(base, centroids, id_col=id_col, vec_col=vec_col)
+        centroids = _update_centroids(assigned, centroids, vec_col=vec_col)
+    return assign_clusters(base, centroids, id_col=id_col, vec_col=vec_col).select(
+        id_col, "cluster", "dist"
+    )
+
+
+def sql_kmeans_assignments(
+    k: int,
+    iters: int,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB unrolled-iteration mirror of :func:`kmeans_assignments` —
+    identical init, distance math, decimal-exact means, rounding, and tie
+    rules, so assignments hash-match bit-for-bit."""
+    dist = (
+        "ROUND(list_sum(list_transform(list_zip(b.v, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    parts = [
+        f"""base AS (
+  SELECT {id_col} AS vid, list_transform(CAST({vec_col} AS DOUBLE[]),
+                                         x -> ROUND(x, 6)) AS v0,
+         CAST({vec_col} AS DOUBLE[]) AS v
+  FROM {table} WHERE {vec_col} IS NOT NULL
+)""",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid ASC) - 1 AS INT) AS cluster,
+         v0 AS c
+  FROM base QUALIFY cluster < {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+  SELECT vid, cluster FROM (
+    SELECT b.vid, c.cluster, {dist} AS d
+    FROM base b CROSS JOIN {prev} c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vid
+                               ORDER BY d ASC, cluster ASC) = 1
+)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT cluster,
+         list(m ORDER BY pos) AS c
+  FROM (
+    SELECT cluster, pos,
+           ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS m
+    FROM (
+      SELECT a.cluster, unnest(b.v) AS x,
+             generate_subscripts(b.v, 1) AS pos
+      FROM a{i} a JOIN base b USING (vid)
+    )
+    GROUP BY cluster, pos
+  )
+  GROUP BY cluster
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.cluster, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN m{i} m USING (cluster)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+final AS (
+  SELECT vid, cluster, d FROM (
+    SELECT b.vid, c.cluster, {dist} AS d
+    FROM base b CROSS JOIN c{iters} c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vid
+                               ORDER BY d ASC, cluster ASC) = 1
+)
+SELECT vid AS {id_col}, cluster, d AS dist FROM final"""
+    )

@@ -58,8 +58,9 @@ _CHECK_FIRST = [
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
     "ann_grouped_topk", "importance_weights", "bm25_search", "hybrid_rrf",
     "min_cost_supplier", "product_type_profit", "important_part_stock",
+    "kmeans_clusters",
     # --- changed in round 4, last green on the pre-change code ---
-    "dedup_minhash_lsh", "idle_rich_customers",
+    "idle_rich_customers",
     # (everything displaced past position 50 — including the rest of the
     # reworked minhash family — was hash-green in r02/r03 and is
     # re-verified at sf0.001 by every pytest run and at sf0.01 by

@@ -912,9 +912,28 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {_HYBRID_K}
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd rounds of k=8 k-means over the embedding table
+    (operators/kmeans.py): assignment is one codegen projection with the
+    centroid table folded in (no join/shuffle), the update is a
+    posexplode partial-agg shuffle of k x d sums, and the oracle replays
+    the identical decimal-exact iterations in unrolled SQL."""
+    from ..operators.kmeans import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, 8, 3).orderBy("vec_id")
+
+
+def _sql_kmeans_clusters() -> str:
+    from ..operators.kmeans import sql_kmeans_assignments
+
+    return sql_kmeans_assignments(8, 3) + "\nORDER BY vec_id"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
     "hybrid_rrf": q_hybrid_rrf,
+    "kmeans_clusters": q_kmeans_clusters,
     "mmr_topk": q_mmr_topk,
     "topk_cosine_binary": q_topk_cosine_binary,
     "ann_grouped_topk": q_ann_grouped_topk,
@@ -940,6 +959,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_batch_topk": _sql_lsh_batch_topk(),
     "topk_cosine_brute": _sql_topk_cosine(10),
     "hybrid_rrf": _sql_hybrid_rrf(),
+    "kmeans_clusters": _sql_kmeans_clusters(),
     "mmr_topk": _sql_mmr_topk(),
     "topk_cosine_binary": _sql_topk_cosine_binary(),
     "ann_grouped_topk": _sql_ann_grouped_topk(),
