@@ -1,0 +1,45 @@
+"""Fixed-iteration PageRank (operators/pagerank.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_mvp_spark.operators.pagerank import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_ranks_sum_to_one(spark):
+    """Stochastic conservation: with no dangling nodes the ranks stay a
+    probability distribution (up to the per-round rounding)."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    total = pagerank(e, 3).agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    ranks = {r.node: r.rank for r in pagerank(e, 5).collect()}
+    assert ranks["a"] == ranks["b"] == ranks["c"] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_hub_outranks_spokes(spark):
+    """Star graph (symmetrized): the hub collects rank from every spoke."""
+    pairs = []
+    for s in ("x", "y", "z", "w"):
+        pairs += [("hub", s), (s, "hub")]
+    ranks = {r.node: r.rank for r in pagerank(_edges(spark, pairs), 3).collect()}
+    assert ranks["hub"] > max(ranks[s] for s in ("x", "y", "z", "w"))
+
+
+def test_duplicate_edges_collapse(spark):
+    """The edge list is distinct()-ed: repeating an edge must not change
+    the result."""
+    once = pagerank(_edges(spark, [("a", "b"), ("b", "a")]), 2).collect()
+    twice = pagerank(
+        _edges(spark, [("a", "b"), ("a", "b"), ("b", "a")]), 2
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))

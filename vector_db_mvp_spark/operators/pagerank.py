@@ -1,0 +1,104 @@
+"""Fixed-iteration PageRank as a pure DataFrame program, exactly
+reproducible in SQL (unrolled CTEs) — the iterative-graph companion to
+operators/cluster.py's connected components.
+
+Semantics: classic damped PageRank over a symmetrized edge list,
+``rank' = (1-d)/N + d * Σ_in rank/out_degree``, run for a fixed number of
+rounds from a uniform start. All floating steps are pinned for cross-engine
+bit-parity: per-edge contributions are rounded to 12 decimals and summed as
+decimal(38,12) (order-independent), the damped update is a fixed-order
+double expression rounded to 12.
+
+Scale design (100 TB of edges):
+* The edge list is built once; out-degrees are one map-side-combined
+  aggregation broadcast-joined back (degree table is |V|-sized; for huge V
+  it becomes a shuffle join keyed on src — both sides already partitioned
+  by src from the distinct()).
+* Each round is exactly one shuffle: contributions aggregate on dst with
+  partial aggregation; the rank frame re-partitions on the same key, so
+  successive rounds reuse the exchange layout.
+* Ranks are ``localCheckpoint``-ed each round — constant-depth lineage, the
+  same escape hatch operators/cluster.py uses for label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int,
+    *,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Run ``iters`` damped PageRank rounds over the (directed) edge list.
+    Returns ``(node, rank)`` for every node that appears in ``edges``.
+    Nodes must all have out-degree >= 1 (symmetrize the edge list first if
+    needed — dangling-node redistribution is deliberately out of scope)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # control plane: one int
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+
+    base = F.lit((1.0 - damping) / n)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("out_deg"), 12)
+                .cast("decimal(38,12)")
+                .alias("_c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(
+                F.round(
+                    base + F.lit(damping) * F.sum("_c").cast("double"), 12
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def sql_pagerank(
+    edges_cte: str,
+    iters: int,
+    *,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB unrolled mirror of :func:`pagerank`. ``edges_cte`` must be a
+    SELECT yielding (src, dst), already distinct + symmetrized."""
+    parts = [
+        f"e AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS out_deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT dst AS node,
+         ROUND((1.0 - {damping}) / ANY_VALUE(n.n)
+               + {damping} * CAST(SUM(c) AS DOUBLE), 12) AS rank
+  FROM (
+    SELECT e.dst,
+           CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(38,12)) AS c
+    FROM e JOIN deg d ON e.src = d.src
+           JOIN r{i - 1} r ON e.src = r.node
+  ) CROSS JOIN n
+  GROUP BY dst
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"

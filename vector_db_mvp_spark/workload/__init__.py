@@ -58,7 +58,7 @@ _CHECK_FIRST = [
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
     "ann_grouped_topk", "importance_weights", "bm25_search", "hybrid_rrf",
     "min_cost_supplier", "product_type_profit", "important_part_stock",
-    "kmeans_clusters",
+    "kmeans_clusters", "supplier_pagerank",
     # --- changed in round 4, last green on the pre-change code ---
     "idle_rich_customers",
     # (everything displaced past position 50 — including the rest of the

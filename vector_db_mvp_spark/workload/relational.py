@@ -1695,7 +1695,54 @@ ORDER BY stock_value DESC, p_partkey
 """
 
 
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round damped PageRank (operators/pagerank.py) over the symmetrized
+    customer<->supplier trade graph derived from orders ⋈ lineitem. The top
+    30 nodes by rank. One shuffle per round, decimal-exact contribution
+    sums; the oracle replays the identical unrolled iterations."""
+    from ..operators.pagerank import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    return (
+        pagerank(edges, 3)
+        .orderBy(F.desc("rank"), "node")
+        .limit(30)
+    )
+
+
+def _sql_supplier_pagerank() -> str:
+    from ..operators.pagerank import sql_pagerank
+
+    edges = """
+  WITH pairs AS (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                    's' || CAST(l_suppkey AS VARCHAR) AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  )
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+"""
+    return (
+        sql_pagerank(edges, 3)
+        + "\nORDER BY rank DESC, node ASC LIMIT 30"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "supplier_pagerank": q_supplier_pagerank,
     "min_cost_supplier": q_min_cost_supplier,
     "product_type_profit": q_product_type_profit,
     "important_part_stock": q_important_part_stock,
@@ -1742,6 +1789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "supplier_pagerank": _sql_supplier_pagerank(),
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "product_type_profit": SQL_PRODUCT_TYPE_PROFIT,
     "important_part_stock": SQL_IMPORTANT_PART_STOCK,
