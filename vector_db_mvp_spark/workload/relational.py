@@ -1741,8 +1741,107 @@ def _sql_supplier_pagerank() -> str:
     )
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: each user's event stream (users
+    0-9) bucketed to their own [first, last] hourly grid, missing hours
+    emitted with the last seen hourly value carried forward. The grid comes
+    from ``sequence()`` exploded per user (rows generated executor-side, no
+    driver loop); the fill is one ``last(ignorenulls)`` running window per
+    user — a single shuffle keyed by user_id covers the agg, the grid join,
+    and the window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.col("sum_value").isNull().alias("is_gap"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY 1)
+)
+SELECT g.user_id, g.hour,
+       h.sum_value IS NULL AS is_gap,
+       LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+ORDER BY g.user_id, g.hour
+"""
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 30 part pairs most often ordered
+    together. Distinct (order, part) first — the self-join is then
+    co-partitioned on orderkey (one shuffle feeds both sides) and quadratic
+    only WITHIN an order (baskets are bounded, ~7 lines), so the pair
+    explosion stays linear in orders at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(30)
+    )
+
+
+SQL_COPURCHASE_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 30
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
+    "events_gapfill": q_events_gapfill,
+    "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
     "product_type_profit": q_product_type_profit,
     "important_part_stock": q_important_part_stock,
@@ -1790,6 +1889,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "supplier_pagerank": _sql_supplier_pagerank(),
+    "events_gapfill": SQL_EVENTS_GAPFILL,
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "product_type_profit": SQL_PRODUCT_TYPE_PROFIT,
     "important_part_stock": SQL_IMPORTANT_PART_STOCK,
