@@ -177,3 +177,45 @@ def test_spread_tokens_keeps_explicit_parallelism(spark, sf_dir):
     toks = _spread_tokens(docs, "text", "doc_id")
     expected = spark.sparkContext.defaultParallelism
     assert toks.rdd.getNumPartitions() == expected
+
+
+def test_bm25_prunes_terms_and_heaps_topk(plans):
+    """BM25: the query-term prune must exist as a filter (map-side, before
+    the (doc,term) aggregate) and the final top-k must be a heap, not a
+    global sort. df/corpus-stats joins are broadcast — the tokenized fact
+    stream never shuffles for them."""
+    p = plans("bm25_search")
+    assert "array_contains" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """The k-means assign step folds the centroid table into one projection:
+    no join, no Exchange anywhere in its plan (operators/pq.py ADC
+    precedent). The update step may shuffle; the per-row scoring never."""
+    from vector_db_mvp_spark.operators.kmeans import assign_clusters
+    from vector_db_mvp_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = assign_clusters(emb, [[0.0] * 64, [1.0] * 64])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_copurchase_join_is_equi_not_nested_loop(plans):
+    """The basket self-join must bind on the orderkey equality (hash or
+    sort-merge by size) — never a nested-loop over all pairs — and the
+    final top-30 must be a heap."""
+    p = plans("copurchase_pairs")
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_gapfill_join_is_equi_not_nested_loop(plans):
+    p = plans("events_gapfill")
+    assert "NestedLoop" not in p and "Cartesian" not in p

@@ -1747,8 +1747,10 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted with the last seen hourly value carried forward. The grid comes
     from ``sequence()`` exploded per user (rows generated executor-side, no
     driver loop); the fill is one ``last(ignorenulls)`` running window per
-    user — a single shuffle keyed by user_id covers the agg, the grid join,
-    and the window."""
+    user. Shuffles: the hourly agg keys on (user, hour) with map-side
+    partials; everything after (grid agg, grid join, fill window) keys on
+    user_id over the already-aggregated hourly frame — orders of magnitude
+    smaller than the event scan at any corpus size."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
