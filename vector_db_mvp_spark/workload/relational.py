@@ -1840,8 +1840,64 @@ LIMIT 30
 """
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily metrics (operators/rollup_state.py):
+    state initialized from events before Jan 21, then two batches (Jan
+    21-25, Jan 26+) folded in — each an O(delta + groups) merge of partial
+    monoid state, never a corpus rescan; replayed batch ids are no-ops.
+    The oracle is the full recompute the state must equal exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.rollup_state import RollupState
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        "ts",
+    )
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    key = hashlib.md5(f"{sf_dir}|rollup-v1".encode()).hexdigest()[:16]
+    rs = RollupState(
+        spark,
+        os.path.join(root, f"rollupstate-{key}"),
+        ["event_type", "day"],
+        "value",
+    )
+    if not rs.exists():
+        rs.init(ev.filter(F.col("ts") < F.lit("2024-01-21").cast("timestamp")))
+    rs.apply_batch(
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-26").cast("timestamp"))
+        ),
+        "batch-jan21-25",
+    )
+    rs.apply_batch(
+        ev.filter(F.col("ts") >= F.lit("2024-01-26").cast("timestamp")),
+        "batch-jan26-end",
+    )
+    return rs.metrics().orderBy("event_type", "day")
+
+
+SQL_INCREMENTAL_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
+    "incremental_rollup": q_incremental_rollup,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -1891,6 +1947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "supplier_pagerank": _sql_supplier_pagerank(),
+    "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
