@@ -1895,9 +1895,155 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, day
 """
 
 
+def q_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection over hourly revenue per event type: hours
+    where the hourly value total sits >= 2.5 population-std-devs from that
+    type's mean. Moments come from exact decimal sums (Σx, Σx² as
+    decimals — order-independent), so mean/std/z are bit-identical
+    cross-engine; z is rounded before the threshold compare so the filter
+    can't flap on float eps. Physical: one (type, hour) partial-agg
+    shuffle, then a per-type moment agg (|types| rows) broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_s").cast("double").alias("_s1"),
+        F.sum(
+            (
+                F.col("_s").cast("decimal(18,2)") * F.col("_s").cast("decimal(18,2)")
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("_s2"),
+    )
+    z = (
+        hourly.join(F.broadcast(moments), "event_type")
+        .withColumn("_mean", F.col("_s1") / F.col("_n"))
+        .withColumn(
+            "_std",
+            F.sqrt(F.col("_s2") / F.col("_n") - F.col("_mean") * F.col("_mean")),
+        )
+        .withColumn(
+            "z_score",
+            F.round((F.col("_s").cast("double") - F.col("_mean")) / F.col("_std"), 6),
+        )
+    )
+    return (
+        z.filter(F.abs(F.col("z_score")) >= 2.5)
+        .select(
+            "event_type",
+            "hour",
+            F.col("_s").cast("double").alias("hour_value"),
+            "z_score",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_ANOMALOUS_HOURS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(s) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(s AS DECIMAL(18,2)) * CAST(s AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, hour, CAST(s AS DOUBLE) AS hour_value, z_score
+FROM (
+  SELECT h.event_type, h.hour, h.s,
+         ROUND((CAST(h.s AS DOUBLE) - s1 / n)
+               / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z_score
+  FROM hourly h JOIN moments m USING (event_type)
+)
+WHERE abs(z_score) >= 2.5
+ORDER BY event_type, hour
+"""
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules a=>b over order baskets: support
+    (co-orders), confidence n_ab/n_a, lift n_ab*N/(n_a*n_b) — top 30 by
+    lift. Rules derive entirely from integer counts (pair join co-
+    partitioned on orderkey, part totals broadcast back), so the double
+    divisions are bit-deterministic; both a=>b and b=>a are emitted, as
+    confidence is directional."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = d.select("l_orderkey").distinct().count()  # control plane int
+    totals = d.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("part", "part_a")), "part_a"
+        )
+        .withColumnRenamed("n_part", "n_a")
+        .join(F.broadcast(totals.withColumnRenamed("part", "part_b")), "part_b")
+        .withColumnRenamed("n_part", "n_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("support") * F.lit(float(n_orders)))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(30)
+    )
+
+
+SQL_ASSOCIATION_RULES = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM d),
+totals AS (SELECT l_partkey AS part, COUNT(*) AS n_part FROM d GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT part_a, part_b, support,
+       ROUND(support / ta.n_part, 6) AS confidence,
+       ROUND((support * n.n_orders) / (ta.n_part * tb.n_part), 6) AS lift
+FROM pairs
+JOIN totals ta ON part_a = ta.part
+JOIN totals tb ON part_b = tb.part
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 30
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
+    "anomalous_hours": q_anomalous_hours,
+    "association_rules": q_association_rules,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -1948,6 +2094,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "supplier_pagerank": _sql_supplier_pagerank(),
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
+    "anomalous_hours": SQL_ANOMALOUS_HOURS,
+    "association_rules": SQL_ASSOCIATION_RULES,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
