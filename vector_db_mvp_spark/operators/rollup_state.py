@@ -95,10 +95,17 @@ class RollupState:
             "overwrite"
         ).parquet(self._state_dir())
 
+    def apply_marker_exists(self, batch_id: str) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def mark_applied(self, batch_id: str) -> None:
+        with open(self._marker(batch_id), "w", encoding="utf-8") as f:
+            f.write(batch_id)
+
     def apply_batch(self, batch: DataFrame, batch_id: str) -> bool:
         """Fold ``batch`` into state; returns False if ``batch_id`` was
         already applied (replay no-op)."""
-        if os.path.exists(self._marker(batch_id)):
+        if self.apply_marker_exists(batch_id):
             return False
         delta = aggregate_partial(batch, self.keys, self.value_col)
         merged = merge_states(self.read(), delta, self.keys)
@@ -108,8 +115,7 @@ class RollupState:
         os.rename(self._state_dir(), old)
         os.rename(tmp, self._state_dir())
         shutil.rmtree(old)
-        with open(self._marker(batch_id), "w", encoding="utf-8") as f:
-            f.write(batch_id)
+        self.mark_applied(batch_id)
         return True
 
     def metrics(self) -> DataFrame:
