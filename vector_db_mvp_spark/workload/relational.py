@@ -2039,11 +2039,34 @@ LIMIT 30
 """
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match (operators/fuzzyjoin.py): distinct part
+    names within Levenshtein distance 1, found by deletion-neighborhood
+    blocking (O(N·L) variant rows, never all-pairs) + exact JVM
+    ``levenshtein`` verify on candidates only. Oracle is the brute-force
+    all-pairs distance — proving the blocking loses nothing."""
+    from ..operators.fuzzyjoin import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs(part, text_col="p_name").orderBy("name_a", "name_b")
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
     "anomalous_hours": q_anomalous_hours,
     "association_rules": q_association_rules,
+    "fuzzy_part_names": q_fuzzy_part_names,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2096,6 +2119,7 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "anomalous_hours": SQL_ANOMALOUS_HOURS,
     "association_rules": SQL_ASSOCIATION_RULES,
+    "fuzzy_part_names": SQL_FUZZY_PART_NAMES,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
