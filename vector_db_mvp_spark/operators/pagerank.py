@@ -39,12 +39,23 @@ def pagerank(
     Returns ``(node, rank)`` for every node that appears in ``edges``.
     Nodes must all have out-degree >= 1 (symmetrize the edge list first if
     needed — dangling-node redistribution is deliberately out of scope)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # Materialize the (usually expensively-derived) edge list ONCE: every
+    # round joins against it, and without the barrier each round re-runs
+    # the whole upstream plan (e.g. the fact-table join that produced the
+    # edges). Eager localCheckpoint, not cache — see operators/semdedup.py
+    # (CacheManager leak per invocation).
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = e.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # control plane: one int
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
 
     base = F.lit((1.0 - damping) / n)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
