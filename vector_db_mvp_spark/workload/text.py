@@ -796,8 +796,35 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sample (operators/sampling.py): 100 docs
+    drawn with probability proportional to length — one codegen scan + heap
+    top-k, no shuffle, no RNG."""
+    from ..operators.sampling import weighted_sample
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=100,
+    ).select("doc_id", "source", "n_chars", "sample_key")
+
+
+def _sql_weighted_sample() -> str:
+    from ..operators.sampling import sql_weighted_sample
+
+    return sql_weighted_sample(
+        table="documents",
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=100,
+        select="doc_id, source, n_chars",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
+    "weighted_sample": q_weighted_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -825,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "bm25_search": _sql_bm25_search(),
+    "weighted_sample": _sql_weighted_sample(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _sql_jaccard(5, 0.4),
     "dedup_minhash_lsh": _sql_minhash(5, 16, 4, 0.4),
