@@ -61,6 +61,14 @@ HEADLINE = [
     "bm25_search",
     "hybrid_rrf",
     "min_cost_supplier",
+    "copurchase_pairs",
+    "association_rules",
+    "anomalous_hours",
+    "events_gapfill",
+    "fuzzy_part_names",
+    "weighted_sample",
+    "supplier_pagerank",
+    "kmeans_clusters",
 ]
 
 

@@ -912,6 +912,98 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {_HYBRID_K}
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the L2 distance
+    between the centroid of the 'early' corpus half (even vec_id) and the
+    'late' half (odd vec_id), plus both populations. The production check
+    that an embedding provider / upstream distribution hasn't shifted.
+    Physical: ONE posexplode pass with two conditional decimal sums per
+    (label, dim) — map-side combined — then a |labels|-row fold; no join
+    between the halves, the corpus is scanned once."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    is_early = (F.col("vec_id") % 2) == 0
+    per_dim = (
+        emb.select(
+            "label",
+            F.col("vec_id"),
+            F.posexplode("embedding").alias("pos", "_x"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.when(is_early, F.round(F.col("_x").cast("double"), 6)).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("_sa"),
+            F.sum(
+                F.when(~is_early, F.round(F.col("_x").cast("double"), 6)).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("_sb"),
+            F.count(F.when(is_early, 1)).alias("_na"),
+            F.count(F.when(~is_early, 1)).alias("_nb"),
+        )
+        .select(
+            "label",
+            "_na",
+            "_nb",
+            (
+                F.round(F.col("_sa").cast("double") / F.col("_na"), 6)
+                - F.round(F.col("_sb").cast("double") / F.col("_nb"), 6)
+            ).alias("_d"),
+        )
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("_na").alias("n_early"),
+            F.max("_nb").alias("n_late"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("_d") * F.col("_d"), 12).cast("decimal(38,12)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("centroid_drift"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_embedding_drift() -> str:
+    return """
+WITH base AS (
+  SELECT label, vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+per_dim AS (
+  SELECT label, pos,
+         SUM(CASE WHEN vec_id % 2 = 0
+                  THEN CAST(ROUND(x, 6) AS DECIMAL(28,6)) END) AS sa,
+         SUM(CASE WHEN vec_id % 2 <> 0
+                  THEN CAST(ROUND(x, 6) AS DECIMAL(28,6)) END) AS sb,
+         COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS na,
+         COUNT(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS nb
+  FROM base GROUP BY 1, 2
+),
+diffs AS (
+  SELECT label, na, nb,
+         ROUND(CAST(sa AS DOUBLE) / na, 6)
+           - ROUND(CAST(sb AS DOUBLE) / nb, 6) AS d
+  FROM per_dim
+)
+SELECT label, MAX(na) AS n_early, MAX(nb) AS n_late,
+       ROUND(sqrt(CAST(SUM(CAST(ROUND(d * d, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)), 6) AS centroid_drift
+FROM diffs GROUP BY label
+ORDER BY label
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd rounds of k=8 k-means over the embedding table
     (operators/kmeans.py): assignment is one codegen projection with the
@@ -934,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_brute": q_topk_cosine_brute,
     "hybrid_rrf": q_hybrid_rrf,
     "kmeans_clusters": q_kmeans_clusters,
+    "embedding_drift": q_embedding_drift,
     "mmr_topk": q_mmr_topk,
     "topk_cosine_binary": q_topk_cosine_binary,
     "ann_grouped_topk": q_ann_grouped_topk,
@@ -960,6 +1053,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_cosine_brute": _sql_topk_cosine(10),
     "hybrid_rrf": _sql_hybrid_rrf(),
     "kmeans_clusters": _sql_kmeans_clusters(),
+    "embedding_drift": _sql_embedding_drift(),
     "mmr_topk": _sql_mmr_topk(),
     "topk_cosine_binary": _sql_topk_cosine_binary(),
     "ann_grouped_topk": _sql_ann_grouped_topk(),
