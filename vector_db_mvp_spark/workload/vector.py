@@ -88,6 +88,22 @@ def q_topk_cosine_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_cosine_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 with k=1 (k grid from BASELINE.md bench spec)."""
+    joined = _with_query_vector(spark, sf_dir)
+    return topk_cosine(joined, F.col("_qv"), 1, score_decimals=6).select(
+        "vec_id", "label", "score"
+    )
+
+
+def q_topk_cosine_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 with k=5 — the reference's DEFAULT k (search_service.py:89)."""
+    joined = _with_query_vector(spark, sf_dir)
+    return topk_cosine(joined, F.col("_qv"), 5, score_decimals=6).select(
+        "vec_id", "label", "score"
+    )
+
+
 def q_topk_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 over int8-quantized embeddings (operators/quantize.py): quantize ->
     dequantize -> exact cosine -> top-10. Proves the 4x-storage-cut path
@@ -1032,6 +1048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_grouped_topk": q_ann_grouped_topk,
     "topk_cosine_filtered": q_topk_cosine_filtered,
     "topk_cosine_k100": q_topk_cosine_k100,
+    "topk_cosine_k1": q_topk_cosine_k1,
+    "topk_cosine_k5": q_topk_cosine_k5,
     "topk_cosine_quantized": q_topk_cosine_quantized,
     "topk_cosine_pq": q_topk_cosine_pq,
     "topk_cosine_pq_served": q_topk_cosine_pq_served,
@@ -1059,6 +1077,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_grouped_topk": _sql_ann_grouped_topk(),
     "topk_cosine_filtered": _sql_topk_cosine(10, where="e.label = 3"),
     "topk_cosine_k100": _sql_topk_cosine(100),
+    "topk_cosine_k1": _sql_topk_cosine(1),
+    "topk_cosine_k5": _sql_topk_cosine(5),
     "topk_cosine_quantized": _sql_topk_cosine_quantized(10),
     "topk_cosine_pq": _sql_topk_cosine_pq(10),
     "topk_cosine_pq_served": _sql_topk_cosine_pq(10),  # same contract, served artifact
