@@ -101,3 +101,30 @@ def test_scores_match_reference_formula(corpus):
     k1, b = 1.2, 0.75
     tfterm = (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 4.0 / avgdl))
     assert s[3] == pytest.approx(idf * tfterm, abs=1e-6)
+
+
+def test_batch_matches_single_query(corpus):
+    """bm25_topk_batch must reproduce bm25_topk exactly per query."""
+    from vector_db_mvp_spark.operators.bm25 import bm25_topk_batch
+
+    queries = {"qa": ["hash", "spark"], "qb": ["streams"]}
+    batch = bm25_topk_batch(corpus, queries, 3).collect()
+    for qid, terms in queries.items():
+        single = bm25_topk(corpus, terms, 3).collect()
+        got = [
+            (r.doc_id, r.score)
+            for r in sorted(
+                (r for r in batch if r.query_id == qid), key=lambda r: r.rank
+            )
+        ]
+        want = [(r.doc_id, r.score) for r in single]
+        assert got == want, qid
+
+
+def test_batch_rejects_empty(corpus):
+    from vector_db_mvp_spark.operators.bm25 import bm25_topk_batch
+
+    with pytest.raises(ValueError):
+        bm25_topk_batch(corpus, {}, 3)
+    with pytest.raises(ValueError):
+        bm25_topk_batch(corpus, {"q": []}, 3)

@@ -173,6 +173,147 @@ FROM contrib GROUP BY 1
 """
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """N keyword queries against one corpus scan (the batched twin of
+    :func:`bm25_topk`, mirroring operators/lsh.py's ``lsh_topk_batch``).
+
+    The corpus is tokenized ONCE; tf is aggregated once per (doc, term)
+    over the union of all query terms, then fanned out to queries by a
+    broadcast (query, term) join — the fact stream is never duplicated
+    per query. Per-query top-k is a rank window partitioned by query id
+    (the ann_batch_topk precedent: candidates per query are term-matched
+    docs, not the corpus).
+
+    Returns (query_id, {id_col}, score, rank), rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    if not queries or any(not t for t in queries.values()):
+        raise ValueError("queries must be a non-empty dict of non-empty term lists")
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t) for q, terms in queries.items() for t in set(terms)],
+        "query_id string, term string",
+    )
+    all_terms = sorted({t for terms in queries.values() for t in terms})
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").cast("double").alias("_dl")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    terms_arr = F.array(*[F.lit(t) for t in all_terms])
+    tf = (
+        toks.select(F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term"))
+        .filter(F.array_contains(terms_arr, F.col("term")))
+        .groupBy(id_col, "term", "_dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.round(
+                F.col("_idf")
+                * (F.col("_tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("_tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+                ),
+                12,
+            ).cast("decimal(28,12)"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.round(F.sum("_contrib").cast("double"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def sql_bm25_topk_batch(
+    queries: dict[str, list[str]],
+    k: int,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    toks_expr: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk_batch`."""
+    all_terms = sorted({t for terms in queries.values() for t in terms})
+    terms_list = ", ".join(f"'{t}'" for t in all_terms)
+    qrows = ", ".join(
+        f"('{q}', '{t}')" for q, terms in queries.items() for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (SELECT {id_col}, {toks_expr} AS t FROM {table}),
+base AS (SELECT {id_col}, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM base),
+qterms(query_id, term) AS (VALUES {qrows}),
+tf AS (
+  SELECT {id_col}, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT {id_col}, dl, unnest(t) AS term FROM base)
+  WHERE term IN ({terms_list})
+  GROUP BY 1, 2, 3
+),
+df_t AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT query_id, {id_col},
+         CAST(ROUND(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)),
+         12) AS DECIMAL(28,12)) AS c
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN df_t USING (term)
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, {id_col}, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, {id_col}, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, {id_col} ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def rrf_fuse(
     left: DataFrame,
     right: DataFrame,

@@ -796,6 +796,33 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+_BM25_BATCH = {
+    "q_storage": ["table", "scan", "row"],
+    "q_exec": ["join", "hash", "merge"],
+    "q_stream": ["stream", "window", "batch"],
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: 3 keyword queries in ONE corpus pass (tf aggregated
+    once over the union of terms, broadcast (query,term) fan-out, per-query
+    rank window — operators/bm25.py bm25_topk_batch)."""
+    from ..operators.bm25 import bm25_topk_batch
+
+    return bm25_topk_batch(
+        load_table(spark, sf_dir, "documents"), _BM25_BATCH, 10
+    ).orderBy("query_id", "rank")
+
+
+def _sql_bm25_batch() -> str:
+    from ..operators.bm25 import sql_bm25_topk_batch
+
+    return (
+        sql_bm25_topk_batch(_BM25_BATCH, 10, toks_expr=_TOKS)
+        + "\nORDER BY query_id, rank"
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A-ES weighted sample (operators/sampling.py): 100 docs
     drawn with probability proportional to length — one codegen scan + heap
@@ -824,6 +851,7 @@ def _sql_weighted_sample() -> str:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
+    "bm25_batch": q_bm25_batch,
     "weighted_sample": q_weighted_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -852,6 +880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "bm25_search": _sql_bm25_search(),
+    "bm25_batch": _sql_bm25_batch(),
     "weighted_sample": _sql_weighted_sample(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _sql_jaccard(5, 0.4),
