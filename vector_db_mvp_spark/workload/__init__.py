@@ -52,7 +52,7 @@ _CHECK_FIRST = [
     "topk_cosine_pq",
     "nation_market_share", "top_supplier_revenue",
     "late_shipment_priorities",
-    "part_supplier_counts", "bulk_part_suppliers",
+    "bulk_part_suppliers",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
     "ann_grouped_topk", "importance_weights", "bm25_search", "hybrid_rrf",
@@ -60,7 +60,7 @@ _CHECK_FIRST = [
     "kmeans_clusters", "supplier_pagerank", "events_gapfill",
     "copurchase_pairs", "incremental_rollup", "anomalous_hours",
     "association_rules", "fuzzy_part_names", "weighted_sample",
-    "embedding_drift", "bm25_batch",
+    "embedding_drift", "bm25_batch", "revenue_moving_avg",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
@@ -72,7 +72,8 @@ _CHECK_FIRST = [
     # sole_late_suppliers' late-shipment family is represented by
     # late_shipment_priorities)
     "topk_cosine_pq_served", "ann_ivfpq_topk", "sole_late_suppliers",
-    "large_quantity_orders", "forecast_revenue_change", "media_frames",
+    "large_quantity_orders", "forecast_revenue_change",
+    "part_supplier_counts", "media_frames",
     "media_resize", "decontaminate_train", "curation_report",
     "idle_rich_customers",
     # (everything displaced further back was hash-green in r02/r03 and is

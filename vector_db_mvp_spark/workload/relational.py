@@ -2061,12 +2061,65 @@ ORDER BY name_a, name_b
 """
 
 
+def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing average of daily order revenue — the RANGE-frame
+    window (time-valued frame bounds; rank and ROWS frames are covered by
+    top_orders_per_customer / customer_running_spend). The window runs
+    over the already-aggregated daily series (|days| rows — tiny at any
+    corpus scale; the heavy lifting is the one partial-agg shuffle that
+    built it), so the single-partition frame is a non-issue by
+    construction. 1996 only to keep the output bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(_dsum(F.col("o_totalprice")).alias("day_revenue"))
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "day_revenue",
+        F.round(
+            F.sum(F.col("day_revenue").cast("decimal(28,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("trailing_avg_7d"),
+    ).orderBy("day")
+
+
+SQL_REVENUE_MOVING_AVG = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+SELECT day, day_revenue,
+       ROUND(
+         CAST(SUM(CAST(day_revenue AS DECIMAL(28,2))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w, 6) AS trailing_avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                    AND CURRENT ROW)
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
     "anomalous_hours": q_anomalous_hours,
     "association_rules": q_association_rules,
     "fuzzy_part_names": q_fuzzy_part_names,
+    "revenue_moving_avg": q_revenue_moving_avg,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2120,6 +2173,7 @@ ORACLE_SQL: dict[str, str] = {
     "anomalous_hours": SQL_ANOMALOUS_HOURS,
     "association_rules": SQL_ASSOCIATION_RULES,
     "fuzzy_part_names": SQL_FUZZY_PART_NAMES,
+    "revenue_moving_avg": SQL_REVENUE_MOVING_AVG,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
