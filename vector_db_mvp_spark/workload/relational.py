@@ -2113,6 +2113,66 @@ ORDER BY day
 """
 
 
+_PIVOT_TYPES = ["view", "click", "purchase", "signup"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts spread into one column per event type.
+    The pivot value list is EXPLICIT — with it, Spark's pivot is one
+    partial-agg shuffle (no extra distinct-values pass over the corpus,
+    which an implicit pivot would add). Types absent on a day emit 0."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+        .select(
+            "day", *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES]
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def q_parts_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: the part dim's numeric attributes as (attr, value)
+    rows — ``DataFrame.unpivot`` (Spark >= 3.4), the long-form reshape
+    feature pipelines use before per-attribute aggregation. Zero shuffle:
+    melt is a generate-style projection."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "attr", "value")
+        .filter(F.col("p_partkey") < 200)
+        .orderBy("p_partkey", "attr")
+    )
+
+
+SQL_PARTS_MELT = """
+SELECT p_partkey, attr, value FROM (
+  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+)
+WHERE p_partkey < 200
+ORDER BY p_partkey, attr
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2120,6 +2180,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "association_rules": q_association_rules,
     "fuzzy_part_names": q_fuzzy_part_names,
     "revenue_moving_avg": q_revenue_moving_avg,
+    "events_pivot": q_events_pivot,
+    "parts_melt": q_parts_melt,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2174,6 +2236,8 @@ ORACLE_SQL: dict[str, str] = {
     "association_rules": SQL_ASSOCIATION_RULES,
     "fuzzy_part_names": SQL_FUZZY_PART_NAMES,
     "revenue_moving_avg": SQL_REVENUE_MOVING_AVG,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "parts_melt": SQL_PARTS_MELT,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
