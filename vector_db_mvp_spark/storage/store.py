@@ -109,6 +109,7 @@ class EntityStore:
         with open(tmp, "w") as f:
             f.write(json.dumps(mapping))
         os.replace(tmp, self._pointer("chunks"))  # atomic snapshot flip
+        self._log_commit("chunks", mapping)
 
     def _library_dirs(self, library_id: str) -> list[str]:
         return [g["dir"] for g in self._chunks_map().get(library_id, [])]
@@ -141,6 +142,68 @@ class EntityStore:
         os.replace(tmp, self._pointer(table))  # atomic snapshot flip
         # Old version dirs are kept so in-flight snapshot reads stay valid
         # (Delta semantics: files live until VACUUM); reclaim via vacuum().
+        self._log_commit(table, new_dir)
+
+    # ---- commit log / time travel ---------------------------------------
+    # Every pointer flip appends one JSON line to _log/<table>.jsonl —
+    # the Delta-transaction-log idea reduced to its core: an append-only
+    # ordered record of snapshot pointers. Snapshot v is readable for as
+    # long as its directories survive (i.e. until vacuum()), giving
+    # time-travel reads and auditable history with O(1) write overhead.
+
+    def _log_path(self, table: str) -> str:
+        return os.path.join(self.root, "_log", f"{table}.jsonl")
+
+    def _log_commit(self, table: str, snapshot) -> None:
+        os.makedirs(os.path.join(self.root, "_log"), exist_ok=True)
+        # Seq cache: one O(log-size) scan per table per process, O(1) after
+        # (the full-history scan is the part a production log would replace
+        # with Delta-style checkpoints).
+        cache = getattr(self, "_log_seq", None)
+        if cache is None:
+            cache = self._log_seq = {}
+        if table not in cache:
+            entries = self.history(table)
+            cache[table] = entries[-1]["v"] if entries else -1
+        seq = cache[table] = cache[table] + 1
+        with open(self._log_path(table), "a", encoding="utf-8") as f:
+            f.write(
+                json.dumps(
+                    {"v": seq, "snapshot": snapshot, "ts": _now().isoformat()}
+                )
+                + "\n"
+            )
+
+    def history(self, table: str) -> list[dict]:
+        """Ordered commit history for a table (empty if never written)."""
+        path = self._log_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def read_at(self, table: str, version: int) -> DataFrame:
+        """Snapshot read of commit ``version`` (``history(table)[i]["v"]``).
+        Raises KeyError for unknown versions and FileNotFoundError when the
+        snapshot's directories were reclaimed by ``vacuum()`` — the Delta
+        time-travel contract."""
+        entries = {e["v"]: e["snapshot"] for e in self.history(table)}
+        if version not in entries:
+            raise KeyError(f"{table} has no commit v{version}")
+        snap = entries[version]
+        if table == "chunks":
+            dirs = sorted(g["dir"] for gens in snap.values() for g in gens)
+            missing = [d for d in dirs if not os.path.exists(d)]
+            if missing:
+                raise FileNotFoundError(
+                    f"chunks v{version} was vacuumed: missing {missing[0]}"
+                )
+            if not dirs:
+                return self.spark.createDataFrame([], CHUNK_SCHEMA)
+            return self.spark.read.schema(CHUNK_SCHEMA).parquet(*dirs)
+        if not os.path.exists(snap):
+            raise FileNotFoundError(f"{table} v{version} was vacuumed: {snap}")
+        return self.spark.read.schema(_TABLES[table]).parquet(snap)
 
     # Generations sharing a size tier are merged once FANOUT of them pile up
     # (size-tiered LSM): a run of inserts costs O(1) each, compaction work is
