@@ -55,3 +55,16 @@ def test_vacuum_reclaims_old_snapshots(store):
         store.read_at("libraries", v_old).collect()
     # Current snapshot still reads fine.
     assert store.get_library(lib)["name"] == "renamed"
+
+
+def test_vacuum_retention_keeps_n_snapshots(store):
+    lib = store.create_library("a")
+    v1 = store.history("libraries")[-1]["v"]
+    store.update_library(lib, name="b")
+    v2 = store.history("libraries")[-1]["v"]
+    store.update_library(lib, name="c")
+    store.vacuum(retain_last=2)
+    # v2 (within retention) still reads; v1 (older) is gone.
+    assert [r.name for r in store.read_at("libraries", v2).collect()] == ["b"]
+    with pytest.raises(FileNotFoundError):
+        store.read_at("libraries", v1).collect()

@@ -281,13 +281,23 @@ class EntityStore:
             gens = [g for g in gens if g["dir"] not in victim_dirs]
             gens.insert(first, merged)
 
-    def vacuum(self) -> None:
-        """Drop all non-current table/library version directories."""
-        current = {self._read_pointer(t) for t in _DIM_TABLES}
-        current |= {g["dir"] for gens in self._chunks_map().values() for g in gens}
+    def vacuum(self, retain_last: int = 1) -> None:
+        """Drop version directories not referenced by the last
+        ``retain_last`` commits of each table (default 1 = current only).
+        ``retain_last > 1`` keeps that many time-travel snapshots readable
+        — the Delta ``VACUUM ... RETAIN`` contract in commit units."""
+        retain_last = max(1, retain_last)
+        keep: set[str] = set()
+        for t in _DIM_TABLES:
+            keep.add(self._read_pointer(t))
+            for e in self.history(t)[-retain_last:]:
+                keep.add(e["snapshot"])
+        keep |= {g["dir"] for gens in self._chunks_map().values() for g in gens}
+        for e in self.history("chunks")[-retain_last:]:
+            keep |= {g["dir"] for gens in e["snapshot"].values() for g in gens}
         for entry in os.listdir(self.root):
             path = os.path.join(self.root, entry)
-            if os.path.isdir(path) and ".v" in entry and path not in current:
+            if os.path.isdir(path) and ".v" in entry and path not in keep:
                 shutil.rmtree(path, ignore_errors=True)
 
     # ---- helpers --------------------------------------------------------
