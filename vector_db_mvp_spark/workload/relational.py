@@ -2173,6 +2173,56 @@ ORDER BY p_partkey, attr
 """
 
 
+
+
+def q_winsorized_prices(spark, sf_dir):
+    """Winsorization data cleaning: order totals clamped to the exact
+    [p05, p95] of their order-priority group before aggregation — the
+    outlier-robust mean pattern. The per-group quantile frame is |groups|
+    rows, broadcast back into the scan; clamp + mean run in one codegen
+    projection + one partial-agg shuffle. Quantiles are the same
+    exact-interpolation pair price_quantiles pins (percentile ==
+    quantile_cont, verified bit-exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile(price, F.lit(0.05)).alias("_lo"),
+        F.percentile(price, F.lit(0.95)).alias("_hi"),
+    )
+    clamped = orders.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        price.alias("_p"),
+        F.least(F.greatest(price, F.col("_lo")), F.col("_hi")).alias("_w"),
+    )
+    return (
+        clamped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg(F.round(F.col("_p"), 2).cast("decimal(18,2)")).cast("double"), 6).alias("raw_avg"),
+            F.round(F.avg(F.round(F.col("_w"), 6).cast("decimal(24,6)")).cast("double"), 6).alias("winsorized_avg"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_WINSORIZED_PRICES = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(AVG(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(18,2))) AS DOUBLE), 6) AS raw_avg,
+       ROUND(CAST(AVG(CAST(ROUND(
+         LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi), 6)
+         AS DECIMAL(24,6))) AS DOUBLE), 6) AS winsorized_avg
+FROM orders o JOIN bounds b USING (o_orderpriority)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2182,6 +2232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_moving_avg": q_revenue_moving_avg,
     "events_pivot": q_events_pivot,
     "parts_melt": q_parts_melt,
+    "winsorized_prices": q_winsorized_prices,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2238,6 +2289,7 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_moving_avg": SQL_REVENUE_MOVING_AVG,
     "events_pivot": SQL_EVENTS_PIVOT,
     "parts_melt": SQL_PARTS_MELT,
+    "winsorized_prices": SQL_WINSORIZED_PRICES,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
