@@ -43,3 +43,33 @@ def test_duplicate_edges_collapse(spark):
         _edges(spark, [("a", "b"), ("a", "b"), ("b", "a")]), 2
     ).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from vector_db_mvp_spark.operators.pagerank import triangle_participation
+
+    # K4 on {a,b,c,d}: 4 triangles, each node in exactly 3.
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_participation(e).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
+def test_triangle_orientation_dedups_reversed_edges(spark):
+    from vector_db_mvp_spark.operators.pagerank import triangle_participation
+
+    # Triangle given with mixed/duplicated orientations: still ONE triangle.
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    got = {r.node: r.n_triangles for r in triangle_participation(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_no_triangles_in_a_path(spark):
+    from vector_db_mvp_spark.operators.pagerank import triangle_participation
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    assert triangle_participation(e).count() == 0

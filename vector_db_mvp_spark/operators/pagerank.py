@@ -82,6 +82,74 @@ def pagerank(
     return ranks
 
 
+def triangle_participation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list.
+
+    Implementation is the degree-oriented wedge join: orient each edge from
+    the lower to the higher endpoint (here by node id — a deterministic
+    total order), join oriented edges on their source to form wedges
+    (u<v, u<w, v<w by construction when both edges leave u and v<w), and
+    close each wedge against the oriented edge set. Orientation means each
+    triangle is found exactly once and the wedge join fans out on
+    out-degree under the total order, not raw degree — the standard
+    shuffle-bounding trick (Suri & Vassilvitskii, WWW'11).
+
+    Returns (node, n_triangles) for every node in >=1 triangle.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    tri = wedges.join(
+        e,
+        (wedges.y == e.u) & (wedges.z == e.v),
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+def sql_triangle_participation(edges_cte: str) -> str:
+    """DuckDB mirror of :func:`triangle_participation`; ``edges_cte`` must
+    yield (src, dst)."""
+    return f"""
+WITH raw AS ({edges_cte}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+tri AS (
+  SELECT w1.u AS x, w1.v AS y, w2.v AS z
+  FROM e w1
+  JOIN e w2 ON w1.u = w2.u AND w1.v < w2.v
+  JOIN e c ON c.u = w1.v AND c.v = w2.v
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY 1
+"""
+
+
 def sql_pagerank(
     edges_cte: str,
     iters: int,

@@ -2223,6 +2223,56 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def q_part_triangles(spark, sf_dir):
+    """Per-part triangle participation in the co-purchase graph (edges =
+    part pairs co-ordered >= 2 times): degree-oriented wedge join
+    (operators/pagerank.py triangle_participation) — each triangle found
+    once, wedge fan-out bounded by ordered out-degree, never an all-triples
+    scan. Top 20 parts by triangle count."""
+    from ..operators.pagerank import triangle_participation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        triangle_participation(pairs)
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )
+
+
+def _sql_part_triangles():
+    from ..operators.pagerank import sql_triangle_participation
+
+    edges = """
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+    return (
+        sql_triangle_participation(edges)
+        + "\nORDER BY n_triangles DESC, node ASC LIMIT 20"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2233,6 +2283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot": q_events_pivot,
     "parts_melt": q_parts_melt,
     "winsorized_prices": q_winsorized_prices,
+    "part_triangles": q_part_triangles,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2290,6 +2341,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "parts_melt": SQL_PARTS_MELT,
     "winsorized_prices": SQL_WINSORIZED_PRICES,
+    "part_triangles": _sql_part_triangles(),
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
