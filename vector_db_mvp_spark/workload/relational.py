@@ -2273,6 +2273,49 @@ def _sql_part_triangles():
     )
 
 
+
+
+def q_parts_skyline(spark, sf_dir):
+    """2-D Pareto frontier (skyline): (retailprice, size) pairs not
+    dominated by any cheaper-and-smaller part. Two-phase scalable shape:
+    (1) per-price minimum size — one partial-agg shuffle over the corpus;
+    (2) strict running-min filter over the |distinct prices|-row frame
+    (every skyline point is necessarily the min-size at its price, so
+    phase 2 never touches raw rows). The phase-2 window is single-
+    partition by construction but runs on aggregated data."""
+    part = load_table(spark, sf_dir, "part")
+    per_price = (
+        part.groupBy(F.col("p_retailprice").cast("double").alias("price"))
+        .agg(F.min("p_size").alias("min_size"))
+    )
+    w = Window.orderBy(F.col("price").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_price.withColumn("_m", F.min("min_size").over(w))
+        .filter(F.col("_m").isNull() | (F.col("min_size") < F.col("_m")))
+        .select("price", F.col("min_size").alias("size"))
+        .orderBy("price")
+    )
+
+
+SQL_PARTS_SKYLINE = """
+WITH per_price AS (
+  SELECT CAST(p_retailprice AS DOUBLE) AS price, MIN(p_size) AS min_size
+  FROM part GROUP BY 1
+)
+SELECT price, min_size AS size FROM (
+  SELECT price, min_size,
+         MIN(min_size) OVER (ORDER BY price ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS m
+  FROM per_price
+)
+WHERE m IS NULL OR min_size < m
+ORDER BY price
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2284,6 +2327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_melt": q_parts_melt,
     "winsorized_prices": q_winsorized_prices,
     "part_triangles": q_part_triangles,
+    "parts_skyline": q_parts_skyline,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2342,6 +2386,7 @@ ORACLE_SQL: dict[str, str] = {
     "parts_melt": SQL_PARTS_MELT,
     "winsorized_prices": SQL_WINSORIZED_PRICES,
     "part_triangles": _sql_part_triangles(),
+    "parts_skyline": SQL_PARTS_SKYLINE,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
