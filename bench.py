@@ -69,6 +69,12 @@ HEADLINE = [
     "weighted_sample",
     "supplier_pagerank",
     "kmeans_clusters",
+    "bm25_batch",
+    "revenue_moving_avg",
+    "events_pivot",
+    "winsorized_prices",
+    "part_triangles",
+    "parts_skyline",
 ]
 
 
