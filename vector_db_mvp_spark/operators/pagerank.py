@@ -60,9 +60,13 @@ def pagerank(
     base = F.lit((1.0 - damping) / n)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
+        # deg and ranks are |V|-sized — broadcast them so the (much larger)
+        # edge list never shuffles inside a round; the round's one exchange
+        # is the contribution aggregation on dst. (At |V| beyond broadcast
+        # reach, drop the hints: both sides then co-shuffle on src.)
         contrib = (
-            e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(F.broadcast(deg), "src")
+            .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("rank") / F.col("out_deg"), 12)
