@@ -215,3 +215,106 @@ def test_line_dedup_matches_python_reference(spark, texts, freq):
         assert got[i]["n_lines"] == len(lines)
         assert got[i]["n_kept"] == len(kept)
         assert got[i]["kept_text"] == "\n".join(kept)
+
+
+# --------------------------------------------------------------------------
+# round-4b operators
+# --------------------------------------------------------------------------
+
+_word = st.text(alphabet="abc x", min_size=0, max_size=6)
+
+
+@given(vocab=st.lists(_word, min_size=1, max_size=12, unique=True))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_blocking_complete_on_random_vocab(spark, vocab):
+    """Deletion-neighborhood blocking finds EXACTLY the distance<=1 pairs
+    a brute-force scan finds, for arbitrary strings (incl. empty/spaces)."""
+    import itertools
+
+    from vector_db_mvp_spark.operators.fuzzyjoin import fuzzy_pairs
+
+    def leven(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(v,) for v in vocab], "name string")
+    got = {(r.name_a, r.name_b) for r in fuzzy_pairs(df, text_col="name").collect()}
+    want = {
+        (a, b) if a < b else (b, a)
+        for a, b in itertools.combinations(vocab, 2)
+        if leven(a, b) <= 1
+    }
+    assert got == want
+
+
+@given(
+    weights=st.lists(st.floats(0.1, 50.0), min_size=1, max_size=15),
+    k=st.integers(1, 20),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_sample_matches_python_reference(spark, weights, k):
+    """The distributed A-ES sample equals the single-node computation of
+    the same keys (md5 uniforms are engine-independent)."""
+    import hashlib
+    import math
+
+    from vector_db_mvp_spark.operators.sampling import weighted_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r.doc_id
+        for r in weighted_sample(df, id_col="doc_id", weight_col="w", k=k).collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float(2**60 + 2)
+        return round(math.log(u) / w, 12)
+
+    want = sorted(rows, key=lambda t: (-key(*t), t[0]))[:k]
+    assert got == [i for i, _ in want]
+
+
+@given(
+    counts=st.lists(st.integers(1, 9), min_size=3, max_size=12),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rollup_state_any_batch_split_matches_full(spark, tmp_path_factory, counts):
+    """Splitting the input into ANY batch sequence yields the same state
+    as one full aggregation (monoid associativity, end to end)."""
+    from vector_db_mvp_spark.operators.rollup_state import (
+        RollupState,
+        aggregate_partial,
+        finalize,
+    )
+
+    rows = [(f"k{c % 3}", float(c)) for c in counts]
+    mid = len(rows) // 2
+    base = spark.createDataFrame(rows[:mid] or [("k0", 0.0)], "k string, value double")
+    rest = rows[mid:]
+    tmp = tmp_path_factory.mktemp("rollup")
+    state = RollupState(spark, str(tmp / "s"), ["k"], "value")
+    state.init(base)
+    if rest:
+        state.apply_batch(
+            spark.createDataFrame(rest, "k string, value double"), "b1"
+        )
+    full_rows = (rows[:mid] or [("k0", 0.0)]) + rest
+    full = finalize(
+        aggregate_partial(
+            spark.createDataFrame(full_rows, "k string, value double"), ["k"], "value"
+        ),
+        ["k"],
+    )
+    assert sorted(map(tuple, state.metrics().collect())) == sorted(
+        map(tuple, full.collect())
+    )
