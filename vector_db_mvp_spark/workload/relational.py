@@ -2390,6 +2390,58 @@ FROM monthly ORDER BY month
 """
 
 
+
+
+def q_session_windows(spark, sf_dir):
+    """Built-in ``session_window`` sessionization (the declarative twin of
+    the lag-based user_sessions): per-user 30-minute-gap sessions with
+    start/end/count, straight from the grouping expression — one shuffle
+    on (user, merged window), and the same expression works unchanged in
+    Structured Streaming with a watermark. Session merge is strict
+    (gap < 30 min merges; exactly 30 min starts a new session), which the
+    oracle reproduces at microsecond precision."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH seq AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flags AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM seq
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_seq
+  FROM flags
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2404,6 +2456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_skyline": q_parts_skyline,
     "customer_spend_deciles": q_customer_spend_deciles,
     "monthly_growth": q_monthly_growth,
+    "session_windows": q_session_windows,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2465,6 +2518,7 @@ ORACLE_SQL: dict[str, str] = {
     "parts_skyline": SQL_PARTS_SKYLINE,
     "customer_spend_deciles": SQL_CUSTOMER_SPEND_DECILES,
     "monthly_growth": SQL_MONTHLY_GROWTH,
+    "session_windows": SQL_SESSION_WINDOWS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
