@@ -45,7 +45,7 @@ _CHECK_FIRST = [
     # everything added in round 4) ---
     "corpus_curation", "train_val_split",
     "contamination_check",
-    "top_ngrams", "stratified_sample", "sentence_split", "pii_redaction",
+    "sentence_split", "pii_redaction",
     "quality_rules", "line_dedup", "sequence_packing", "shard_manifest",
     "incremental_dedup", "temperature_mix",
     "media_decode", "media_features",
@@ -61,7 +61,7 @@ _CHECK_FIRST = [
     "embedding_drift", "bm25_batch", "revenue_moving_avg",
     "events_pivot", "parts_melt", "winsorized_prices", "part_triangles",
     "parts_skyline", "customer_spend_deciles", "monthly_growth",
-    "session_windows",
+    "session_windows", "sales_grouping_sets", "props_key_counts",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
@@ -77,7 +77,8 @@ _CHECK_FIRST = [
     "large_quantity_orders", "forecast_revenue_change",
     "part_supplier_counts", "nation_market_share", "top_supplier_revenue",
     "bulk_part_suppliers", "token_counts_bpe", "chunk_documents",
-    "repetition_metrics", "tfidf_keywords",
+    "repetition_metrics", "tfidf_keywords", "top_ngrams",
+    "stratified_sample",
     "media_frames",
     "media_resize", "decontaminate_train", "curation_report",
     "idle_rich_customers",

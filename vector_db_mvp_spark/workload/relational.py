@@ -2442,6 +2442,71 @@ ORDER BY user_id, session_start
 """
 
 
+
+
+def q_sales_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((nation), (priority), (nation, priority),
+    ()) with grouping_id — the arbitrary-combination generalization of the
+    rollup/cube queries. Spark computes all sets in one pass over the
+    partially-aggregated child (Expand + single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority", "o_totalprice")
+    )
+    base.createOrReplaceTempView("_gs_base")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(grouping_id(n_name, o_orderpriority) AS INTEGER) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM _gs_base
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority),
+                                (n_name, o_orderpriority), ())
+        ORDER BY gid, n_name, o_orderpriority
+        """
+    )
+
+
+SQL_SALES_GROUPING_SETS = """
+SELECT n_name, o_orderpriority,
+       CAST(GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority),
+                        (n_name, o_orderpriority), ())
+ORDER BY gid, n_name, o_orderpriority
+"""
+
+
+def q_props_key_counts(spark, sf_dir):
+    """JSON key census over the events props column: which keys appear and
+    how often — json_object_keys + explode, one partial-agg shuffle (the
+    schema-discovery query run before declaring a typed extraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("key")
+    )
+
+
+SQL_PROPS_KEY_COUNTS = """
+SELECT key, COUNT(*) AS n_events
+FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+GROUP BY 1 ORDER BY key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2457,6 +2522,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_spend_deciles": q_customer_spend_deciles,
     "monthly_growth": q_monthly_growth,
     "session_windows": q_session_windows,
+    "sales_grouping_sets": q_sales_grouping_sets,
+    "props_key_counts": q_props_key_counts,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2519,6 +2586,8 @@ ORACLE_SQL: dict[str, str] = {
     "customer_spend_deciles": SQL_CUSTOMER_SPEND_DECILES,
     "monthly_growth": SQL_MONTHLY_GROWTH,
     "session_windows": SQL_SESSION_WINDOWS,
+    "sales_grouping_sets": SQL_SALES_GROUPING_SETS,
+    "props_key_counts": SQL_PROPS_KEY_COUNTS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
