@@ -75,6 +75,11 @@ HEADLINE = [
     "winsorized_prices",
     "part_triangles",
     "parts_skyline",
+    "customer_spend_deciles",
+    "monthly_growth",
+    "session_windows",
+    "sales_grouping_sets",
+    "props_key_counts",
 ]
 
 

@@ -318,3 +318,26 @@ def test_rollup_state_any_batch_split_matches_full(spark, tmp_path_factory, coun
     assert sorted(map(tuple, state.metrics().collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_scd2_merge_idempotent_and_closes_history(spark):
+    """SCD2: changed keys get (closed old + open new); unchanged pass
+    through open; re-applying the same batch is a no-op."""
+    from vector_db_mvp_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k int, seg string"
+    )
+    upd = spark.createDataFrame([(1, "Z"), (2, "B")], "k int, seg string")
+    hist = scd2_merge(dim, upd, key="k", attrs=["seg"], batch_ts="2020-01-01")
+    rows = {(r.k, r.seg, r.valid_to is None) for r in hist.collect()}
+    assert rows == {
+        (1, "A", False),   # closed old version
+        (1, "Z", True),    # open new version
+        (2, "B", True),    # unchanged, open
+    }
+    # Idempotency: merging a batch equal to the current open state changes
+    # nothing (no spurious closed rows).
+    open_now = hist.filter("valid_to IS NULL").select("k", "seg")
+    again = scd2_merge(open_now, upd, key="k", attrs=["seg"], batch_ts="2020-02-01")
+    assert again.filter("valid_to IS NOT NULL").count() == 0

@@ -50,7 +50,6 @@ _CHECK_FIRST = [
     "incremental_dedup", "temperature_mix",
     "media_decode", "media_features",
     "topk_cosine_pq",
-    "late_shipment_priorities",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
     "topk_cosine_binary", "funnel_conversion", "cohort_retention",
     "importance_weights", "bm25_search", "hybrid_rrf",
@@ -62,6 +61,7 @@ _CHECK_FIRST = [
     "events_pivot", "parts_melt", "winsorized_prices", "part_triangles",
     "parts_skyline", "customer_spend_deciles", "monthly_growth",
     "session_windows", "sales_grouping_sets", "props_key_counts",
+    "scd2_customers",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;

@@ -2507,6 +2507,55 @@ GROUP BY 1 ORDER BY key
 """
 
 
+
+
+def q_scd2_customers(spark, sf_dir):
+    """SCD Type-2 dimension merge (operators/scd2.py): a deterministic
+    update batch (every 7th customer moves to segment MOVED) applied to
+    the customer dim — changed rows close their old version at the batch
+    timestamp and append an open new version; unchanged rows pass through
+    open. Broadcast updates, no dimension shuffle, no self-join."""
+    from ..operators.scd2 import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment")
+    )
+    return scd2_merge(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        updates,
+        key="c_custkey",
+        attrs=["c_mktsegment"],
+        batch_ts="1998-06-01",
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to").orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
+SQL_SCD2_CUSTOMERS = """
+WITH upd AS (
+  SELECT c_custkey, 'MOVED' AS new_seg FROM customer WHERE c_custkey % 7 = 0
+),
+j AS (
+  SELECT c.c_custkey, c.c_mktsegment, u.new_seg,
+         u.new_seg IS NOT NULL AND u.new_seg <> c.c_mktsegment AS changed
+  FROM customer c LEFT JOIN upd u USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '1970-01-01' AS valid_from,
+       TIMESTAMP '1998-06-01' AS valid_to
+FROM j WHERE changed
+UNION ALL
+SELECT c_custkey,
+       CASE WHEN changed THEN new_seg ELSE c_mktsegment END,
+       CASE WHEN changed THEN TIMESTAMP '1998-06-01'
+            ELSE TIMESTAMP '1970-01-01' END,
+       CAST(NULL AS TIMESTAMP)
+FROM j
+ORDER BY c_custkey, valid_from
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2524,6 +2573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "sales_grouping_sets": q_sales_grouping_sets,
     "props_key_counts": q_props_key_counts,
+    "scd2_customers": q_scd2_customers,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2588,6 +2638,7 @@ ORACLE_SQL: dict[str, str] = {
     "session_windows": SQL_SESSION_WINDOWS,
     "sales_grouping_sets": SQL_SALES_GROUPING_SETS,
     "props_key_counts": SQL_PROPS_KEY_COUNTS,
+    "scd2_customers": SQL_SCD2_CUSTOMERS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
