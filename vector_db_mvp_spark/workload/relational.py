@@ -2556,6 +2556,84 @@ ORDER BY c_custkey, valid_from
 """
 
 
+
+
+def q_top_event_paths(spark, sf_dir):
+    """Sequence mining: the 20 most common session-opening 3-step event
+    paths (sessions = 30-min-gap windows). Physical: per-user running
+    session ids (one user-keyed window over the event scan), then the
+    first three event types per session via a rank-filtered ordered
+    aggregation — the per-session frame never materializes whole event
+    lists (slice-at-agg, not collect-then-trim)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("_prev", F.lag("ts").over(w_user))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("_prev") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_sess", F.sum("_new").over(w_user))
+    )
+    w_sess = Window.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
+    first3 = (
+        sessions.withColumn("_r", F.row_number().over(w_sess))
+        .filter(F.col("_r") <= 3)
+        .groupBy("user_id", "_sess")
+        .agg(
+            F.concat_ws(
+                " > ", F.array_sort(F.collect_list(F.struct("_r", "event_type")))
+                .getField("event_type")
+            ).alias("path"),
+            F.count(F.lit(1)).alias("_len"),
+        )
+        .filter(F.col("_len") == 3)
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+SQL_TOP_EVENT_PATHS = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM seq
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sess
+  FROM flagged
+), ranked AS (
+  SELECT user_id, sess, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS r
+  FROM numbered
+), paths AS (
+  SELECT user_id, sess,
+         string_agg(event_type, ' > ' ORDER BY r) AS path, COUNT(*) AS len
+  FROM ranked WHERE r <= 3 GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths WHERE len = 3
+GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2574,6 +2652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sales_grouping_sets": q_sales_grouping_sets,
     "props_key_counts": q_props_key_counts,
     "scd2_customers": q_scd2_customers,
+    "top_event_paths": q_top_event_paths,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2639,6 +2718,7 @@ ORACLE_SQL: dict[str, str] = {
     "sales_grouping_sets": SQL_SALES_GROUPING_SETS,
     "props_key_counts": SQL_PROPS_KEY_COUNTS,
     "scd2_customers": SQL_SCD2_CUSTOMERS,
+    "top_event_paths": SQL_TOP_EVENT_PATHS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
