@@ -82,3 +82,30 @@ def test_schema_reaches_scan_no_inference_pass(spark, tmp_path):
         "doc_id", "text", "lang", "source", "n_chars"
     ]
     assert df.schema["doc_id"].dataType.simpleString() == "bigint"
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source: parquet-parity roundtrip + filters reach the ORC scan."""
+    from vector_db_mvp_spark.sources.ingest import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    rows = [(1, "alpha text", "en", "web", 10), (2, "beta text", "de", "book", 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(df, path)
+    back = read_documents_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    plan = (
+        back.filter("lang = 'en'")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "PushedFilters" in plan and "lang" in plan

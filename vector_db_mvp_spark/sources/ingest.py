@@ -93,3 +93,24 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     bad = df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
     good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     return good, bad
+
+
+def read_documents_orc(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType = DOCUMENT_INGEST_SCHEMA,
+) -> DataFrame:
+    """Read ORC documents. ORC is self-describing columnar (like parquet):
+    the schema argument enforces the expected shape at scan time (missing
+    columns surface as analysis errors, not nulls at action time); there is
+    no corrupt-line quarantine because row-level corruption is not
+    representable in a columnar container — integrity failures surface as
+    file-level read errors, the correct behavior for binary formats."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_documents_orc(df: DataFrame, path: str) -> None:
+    """Write documents as ORC (predicate pushdown + column pruning work
+    the same as parquet — Spark's OrcScan reports PushedFilters)."""
+    df.write.mode("overwrite").orc(path)
