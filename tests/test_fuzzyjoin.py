@@ -56,7 +56,37 @@ def test_exact_duplicates_not_self_paired(spark):
     assert {(r.name_a, r.name_b, r.dist) for r in got} == {("x", "y", 1)}
 
 
-def test_max_dist_above_one_rejected(spark):
+def test_max_dist_two_supported(spark):
+    df = spark.createDataFrame([("abc",), ("a",)], "name string")
+    out = fuzzy_pairs(df, text_col="name", max_dist=2).collect()
+    assert {(r.name_a, r.name_b, r.dist) for r in out} == {("a", "abc", 2)}
+
+
+def test_depth2_blocking_complete_vs_brute_force(spark):
+    """max_dist=2: SymSpell's 2-deletion neighborhoods must find every
+    Levenshtein<=2 pair a brute-force scan finds."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = {"cold bolt", "old bot", "col bolt", "coldbolt x", "", "ab", "ba"}
+    while len(vocab) < 40:
+        vocab.add("".join(rng.choice("abco ") for _ in range(rng.randint(1, 7))))
+    vocab = sorted(vocab)
+    df = spark.createDataFrame([(v,) for v in vocab], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_pairs(df, text_col="name", max_dist=2).collect()
+    }
+    want = {
+        (a, b, _leven(a, b))
+        for a, b in itertools.combinations(vocab, 2)
+        if _leven(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_max_dist_three_rejected(spark):
     df = spark.createDataFrame([("x",)], "name string")
     with pytest.raises(ValueError):
-        fuzzy_pairs(df, text_col="name", max_dist=2)
+        fuzzy_pairs(df, text_col="name", max_dist=3)

@@ -47,7 +47,6 @@ _CHECK_FIRST = [
     "contamination_check",
     "sentence_split", "pii_redaction",
     "quality_rules", "line_dedup", "sequence_packing", "shard_manifest",
-    "incremental_dedup",
     "media_decode", "media_features",
     "topk_cosine_pq",
     "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
@@ -61,7 +60,7 @@ _CHECK_FIRST = [
     "events_pivot", "parts_melt", "winsorized_prices", "part_triangles",
     "parts_skyline", "customer_spend_deciles", "monthly_growth",
     "session_windows", "sales_grouping_sets", "props_key_counts",
-    "scd2_customers", "top_event_paths",
+    "scd2_customers", "top_event_paths", "fuzzy_part_names_d2",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;

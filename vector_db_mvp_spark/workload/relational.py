@@ -2634,6 +2634,29 @@ GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
 """
 
 
+
+
+def q_fuzzy_part_names_d2(spark, sf_dir):
+    """Distance-2 fuzzy match: the d=2 deletion-neighborhood blocking path
+    (O(N·L²) variants, still never all-pairs), exact verify on candidates."""
+    from ..operators.fuzzyjoin import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs(part, text_col="p_name", max_dist=2).orderBy(
+        "name_a", "name_b"
+    )
+
+
+SQL_FUZZY_PART_NAMES_D2 = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2653,6 +2676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_key_counts": q_props_key_counts,
     "scd2_customers": q_scd2_customers,
     "top_event_paths": q_top_event_paths,
+    "fuzzy_part_names_d2": q_fuzzy_part_names_d2,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2719,6 +2743,7 @@ ORACLE_SQL: dict[str, str] = {
     "props_key_counts": SQL_PROPS_KEY_COUNTS,
     "scd2_customers": SQL_SCD2_CUSTOMERS,
     "top_event_paths": SQL_TOP_EVENT_PATHS,
+    "fuzzy_part_names_d2": SQL_FUZZY_PART_NAMES_D2,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
