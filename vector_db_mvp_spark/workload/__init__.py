@@ -60,7 +60,7 @@ _CHECK_FIRST = [
     "events_pivot", "parts_melt", "winsorized_prices", "part_triangles",
     "parts_skyline", "customer_spend_deciles", "monthly_growth",
     "session_windows", "sales_grouping_sets", "props_key_counts",
-    "scd2_customers", "top_event_paths", "fuzzy_part_names_d2",
+    "scd2_customers", "top_event_paths", "incremental_dedup",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
