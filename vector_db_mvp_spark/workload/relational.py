@@ -2657,6 +2657,36 @@ ORDER BY name_a, name_b
 """
 
 
+
+
+def q_customers_all_priorities(spark, sf_dir):
+    """Relational division: customers who have placed orders under EVERY
+    order priority. The division folds to distinct-count == broadcast
+    scalar total (one partial-agg shuffle on custkey, 1-row crossJoin) —
+    never the nested NOT EXISTS double negation."""
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.agg(
+        F.countDistinct("o_orderpriority").alias("_total")
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n_priorities"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_priorities") == F.col("_total"))
+        .select("o_custkey", "n_priorities")
+        .orderBy("o_custkey")
+    )
+
+
+SQL_CUSTOMERS_ALL_PRIORITIES = """
+SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY 1
+HAVING COUNT(DISTINCT o_orderpriority) =
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+ORDER BY o_custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2677,6 +2707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customers": q_scd2_customers,
     "top_event_paths": q_top_event_paths,
     "fuzzy_part_names_d2": q_fuzzy_part_names_d2,
+    "customers_all_priorities": q_customers_all_priorities,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2744,6 +2775,7 @@ ORACLE_SQL: dict[str, str] = {
     "scd2_customers": SQL_SCD2_CUSTOMERS,
     "top_event_paths": SQL_TOP_EVENT_PATHS,
     "fuzzy_part_names_d2": SQL_FUZZY_PART_NAMES_D2,
+    "customers_all_priorities": SQL_CUSTOMERS_ALL_PRIORITIES,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
