@@ -2687,6 +2687,42 @@ ORDER BY o_custkey
 """
 
 
+
+
+def q_salted_event_totals(spark, sf_dir):
+    """Per-event-type totals via the salted two-phase aggregation
+    (operators/skew.py): the hot-key escape hatch for aggregates AQE
+    cannot re-plan. The salt is result-invariant — partial decimal sums
+    per (key, salt) merge exactly in phase 2 — so the oracle is the plain
+    one-shot aggregation."""
+    from ..operators.skew import salted_two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        salted_two_phase_agg(
+            ev,
+            ["event_type"],
+            [
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+            ],
+            [
+                F.sum("_n").alias("n_events"),
+                F.sum("_s").cast("double").alias("sum_value"),
+            ],
+            salt_buckets=16,
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SALTED_EVENT_TOTALS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2708,6 +2744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_event_paths": q_top_event_paths,
     "fuzzy_part_names_d2": q_fuzzy_part_names_d2,
     "customers_all_priorities": q_customers_all_priorities,
+    "salted_event_totals": q_salted_event_totals,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2776,6 +2813,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_event_paths": SQL_TOP_EVENT_PATHS,
     "fuzzy_part_names_d2": SQL_FUZZY_PART_NAMES_D2,
     "customers_all_priorities": SQL_CUSTOMERS_ALL_PRIORITIES,
+    "salted_event_totals": SQL_SALTED_EVENT_TOTALS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
