@@ -219,3 +219,30 @@ def test_copurchase_join_is_equi_not_nested_loop(plans):
 def test_gapfill_join_is_equi_not_nested_loop(plans):
     p = plans("events_gapfill")
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_triangle_and_skyline_shapes(plans):
+    """Wedge join binds on equality (no nested loop); the skyline frontier
+    runs over the aggregated per-price frame (HashAggregate below the
+    window, no corpus-wide single-partition sort of raw rows)."""
+    tri = plans("part_triangles")
+    assert "NestedLoop" not in tri and "Cartesian" not in tri
+    assert "TakeOrderedAndProject" in tri
+    sky = plans("parts_skyline")
+    assert "HashAggregate" in sky
+
+
+def test_scd2_has_no_self_join_or_shuffle_on_dim(plans):
+    """SCD2 merge: updates broadcast; the dimension is scanned, never
+    sort-merge-joined against itself."""
+    p = plans("scd2_customers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_salted_agg_is_two_phase(plans):
+    """The salted aggregation must show BOTH aggregate phases (partial on
+    (key, salt), final on key) — collapsing to one groupBy would silently
+    drop the skew mitigation."""
+    p = plans("salted_event_totals")
+    assert p.count("HashAggregate") >= 3  # partial+final per phase
