@@ -2723,6 +2723,47 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
+
+
+def q_latest_orders(spark, sf_dir):
+    """Deterministic arg-max per group: each customer's most recent order
+    (ties on date broken by highest orderkey) via ONE aggregation of a
+    lexicographically-ordered struct — no window, no self-join, map-side
+    partial max. The struct-max trick is the scalable form of
+    max_by/arg_max when tie-breaks must be explicit."""
+    orders = load_table(spark, sf_dir, "orders")
+    packed = F.struct(
+        F.col("o_orderdate"), F.col("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max(packed).alias("_m"))
+        .select(
+            "o_custkey",
+            F.col("_m.o_orderdate").alias("last_order_date"),
+            F.col("_m.o_orderkey").alias("last_orderkey"),
+            F.col("_m.o_totalprice").alias("last_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+SQL_LATEST_ORDERS = """
+SELECT o_custkey,
+       (m).o_orderdate AS last_order_date,
+       (m).o_orderkey AS last_orderkey,
+       (m).o_totalprice AS last_totalprice
+FROM (
+  SELECT o_custkey,
+         MAX(ROW(o_orderdate, o_orderkey, CAST(o_totalprice AS DOUBLE))::STRUCT(
+           o_orderdate TIMESTAMP, o_orderkey BIGINT, o_totalprice DOUBLE)) AS m
+  FROM orders GROUP BY 1
+)
+ORDER BY o_custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "incremental_rollup": q_incremental_rollup,
@@ -2745,6 +2786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_names_d2": q_fuzzy_part_names_d2,
     "customers_all_priorities": q_customers_all_priorities,
     "salted_event_totals": q_salted_event_totals,
+    "latest_orders": q_latest_orders,
     "events_gapfill": q_events_gapfill,
     "copurchase_pairs": q_copurchase_pairs,
     "min_cost_supplier": q_min_cost_supplier,
@@ -2814,6 +2856,7 @@ ORACLE_SQL: dict[str, str] = {
     "fuzzy_part_names_d2": SQL_FUZZY_PART_NAMES_D2,
     "customers_all_priorities": SQL_CUSTOMERS_ALL_PRIORITIES,
     "salted_event_totals": SQL_SALTED_EVENT_TOTALS,
+    "latest_orders": SQL_LATEST_ORDERS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
