@@ -155,19 +155,46 @@ def main() -> None:
     timings = {k: round(median(v), 4) for k, v in samples.items()}
     spread = {k: round(max(v) - min(v), 4) for k, v in samples.items()}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: v for k, v in timings.items()},
-                "spread": spread,
-                "runs": RUNS,
-                "sf": sf,
-            }
-        )
-    )
+
+    # The driver captures only the last ~2000 chars of stdout, so the FINAL
+    # line must be compact or the record is truncated/unparseable (this is
+    # what nulled BENCH_r04). Full detail (4-decimal timings + per-query
+    # spread) goes to a sidecar file and an EARLIER stdout line; the last
+    # line is the driver-contract JSON with 2-decimal per-query timings,
+    # verified under the capture limit (queries dropped only as a last
+    # resort if the surface ever outgrows it).
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "runs": RUNS,
+        "sf": sf,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print("DETAIL " + json.dumps(detail))
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "runs": RUNS,
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -128,3 +128,28 @@ def test_batch_rejects_empty(corpus):
         bm25_topk_batch(corpus, {}, 3)
     with pytest.raises(ValueError):
         bm25_topk_batch(corpus, {"q": []}, 3)
+
+
+def test_oracle_sql_escapes_quoted_terms():
+    """A term carrying a single quote must not break or alter the generated
+    DuckDB SQL (quote-escape injection)."""
+    import duckdb
+
+    from vector_db_mvp_spark.operators.bm25 import (
+        sql_bm25_scores,
+        sql_bm25_topk_batch,
+    )
+
+    sql = sql_bm25_scores(
+        ["o'brien", "x"], table="d", toks_expr="string_split(text, ' ')"
+    )
+    assert "'o''brien'" in sql
+    batch_sql = sql_bm25_topk_batch(
+        {"q'1": ["o'brien"]}, 3, table="d", toks_expr="string_split(text, ' ')"
+    )
+    assert "'q''1'" in batch_sql and "'o''brien'" in batch_sql
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT 1 AS doc_id, 'o''brien x y' AS text")
+    assert con.execute(sql).fetchall()[0][0] == 1  # parses and matches
+    rows = con.execute(batch_sql).fetchall()
+    assert rows and rows[0][0] == "q'1"

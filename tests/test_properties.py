@@ -341,3 +341,31 @@ def test_scd2_merge_idempotent_and_closes_history(spark):
     open_now = hist.filter("valid_to IS NULL").select("k", "seg")
     again = scd2_merge(open_now, upd, key="k", attrs=["seg"], batch_ts="2020-02-01")
     assert again.filter("valid_to IS NOT NULL").count() == 0
+
+
+def test_scd2_merge_null_transitions_and_dup_rejection(spark):
+    """NULL-safe change detection: NULL→value and value→NULL are real
+    changes (old version closed, new value — including NULL — opened);
+    NULL→NULL is no change; duplicate update keys are rejected."""
+    import pytest
+
+    from vector_db_mvp_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, None), (2, "B"), (3, None)], "k int, seg string"
+    )
+    upd = spark.createDataFrame(
+        [(1, "Z"), (2, None), (3, None)], "k int, seg string"
+    )
+    hist = scd2_merge(dim, upd, key="k", attrs=["seg"], batch_ts="2020-01-01")
+    rows = {(r.k, r.seg, r.valid_to is None) for r in hist.collect()}
+    assert rows == {
+        (1, None, False),  # NULL→Z: old NULL version closed
+        (1, "Z", True),    # ...new value opened
+        (2, "B", False),   # B→NULL: old value closed
+        (2, None, True),   # ...NULL opened
+        (3, None, True),   # NULL→NULL: unchanged, open
+    }
+    dup = spark.createDataFrame([(1, "X"), (1, "Y")], "k int, seg string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        scd2_merge(dim, dup, key="k", attrs=["seg"], batch_ts="2020-01-01")

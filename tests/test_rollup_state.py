@@ -53,8 +53,9 @@ def test_merge_is_commutative(spark):
 
 
 def test_torn_apply_never_corrupts(spark, state, monkeypatch):
-    """A crash mid-apply (before the swap) must leave the old state
-    readable and the batch unmarked (retryable)."""
+    """A crash at the commit point (the atomic pointer flip) must leave the
+    old (state, markers) pair fully intact and the batch retryable — the
+    new version directory is written but unreferenced."""
     state.init(_events(spark, [("a", 1.0)]))
 
     import vector_db_mvp_spark.operators.rollup_state as rs_mod
@@ -62,11 +63,35 @@ def test_torn_apply_never_corrupts(spark, state, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("disk full")
 
-    monkeypatch.setattr(rs_mod.os, "rename", boom)
+    monkeypatch.setattr(rs_mod.os, "replace", boom)
     with pytest.raises(RuntimeError):
         state.apply_batch(_events(spark, [("a", 9.0)]), "b1")
     monkeypatch.undo()
     # Old state intact, marker absent -> retry succeeds and lands once.
     assert state.metrics().collect()[0].n_events == 1
     assert state.apply_batch(_events(spark, [("a", 9.0)]), "b1") is True
+    assert state.metrics().collect()[0].n_events == 2
+
+
+def test_state_and_marker_commit_atomically(spark, state, tmp_path):
+    """The pointer file carries BOTH the live state dir and the applied
+    set, flipped in one os.replace — there is no window where the merged
+    state exists without its marker (double-apply on retry) or vice versa
+    (dropped batch). Also: superseded version dirs are GC'd."""
+    import json
+    import os
+
+    state.init(_events(spark, [("a", 1.0)]), batch_id="b0")
+    assert state.apply_marker_exists("b0")  # init committed its marker too
+    state.apply_batch(_events(spark, [("a", 2.0)]), "b1")
+    ptr = json.load(open(state._pointer(), encoding="utf-8"))
+    assert set(ptr["applied"]) == {"b0", "b1"}
+    assert ptr["dir"] == "state_v1"
+    live = {
+        d for d in os.listdir(state.path)
+        if d.startswith("state_v") and os.path.isdir(os.path.join(state.path, d))
+    }
+    assert live == {"state_v1"}  # v0 garbage-collected after the flip
+    # replays of either batch are no-ops
+    assert state.apply_batch(_events(spark, [("a", 2.0)]), "b1") is False
     assert state.metrics().collect()[0].n_events == 2

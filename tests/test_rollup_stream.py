@@ -59,11 +59,27 @@ def test_restart_with_same_checkpoint_is_noop(spark, tmp_path, source_dir):
     assert sorted(map(tuple, h2.metrics().collect())) == before
 
 
-def test_fresh_checkpoint_replay_is_gated_by_markers(spark, tmp_path, source_dir):
-    """Losing the checkpoint replays every file as epochs 0..2 again; the
-    state markers (keyed by epoch id) make the replay a no-op rather than
-    double-counting."""
+def test_same_run_epoch_replay_is_noop(spark, tmp_path, source_dir):
+    """foreachBatch's at-least-once: re-delivering an epoch of the SAME
+    checkpointed run hits its (run id, epoch) marker and is a no-op."""
+    handler = _run(spark, tmp_path, source_dir)
+    before = sorted(map(tuple, handler.metrics().collect()))
+    replay = spark.read.parquet(str(source_dir) + "/f0")
+    handler(replay, 0)  # same handler -> same run key -> marker blocks
+    assert sorted(map(tuple, handler.metrics().collect())) == before
+
+
+def test_fresh_checkpoint_is_a_new_run_not_a_collision(spark, tmp_path, source_dir):
+    """A FRESH checkpoint is a new stream identity: its epochs 0..2 must
+    NOT collide with the old run's markers (epoch-only keys silently
+    dropped the new run's first batches — data loss). Re-streaming the
+    same source into the same state therefore counts again, by request;
+    gating re-ingestion of old data belongs at the source, not to marker
+    collisions."""
     h1 = _run(spark, tmp_path, source_dir, chk="chk1")
-    before = sorted(map(tuple, h1.metrics().collect()))
+    first = {r.k: (r.n_events, r.sum_value) for r in h1.metrics().collect()}
     h2 = _run(spark, tmp_path, source_dir, chk="chk2")  # same state dir
-    assert sorted(map(tuple, h2.metrics().collect())) == before
+    doubled = {r.k: (r.n_events, r.sum_value) for r in h2.metrics().collect()}
+    assert doubled == {
+        k: (2 * n, 2 * s) for k, (n, s) in first.items()
+    }

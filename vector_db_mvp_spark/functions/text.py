@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..sqltext import sql_str
+
 # ---------------------------------------------------------------------------
 # tokens / shingles
 # ---------------------------------------------------------------------------
@@ -193,5 +195,5 @@ def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 
 
 def sql_marker_hits(toks_expr: str, markers: tuple[str, ...]) -> str:
-    lst = ", ".join(f"'{m}'" for m in markers)
+    lst = ", ".join(sql_str(m) for m in markers)
     return f"len(list_filter({toks_expr}, t -> t IN ({lst})))"

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..sqltext import sql_str
 
 
 def bm25_scores(
@@ -145,7 +146,7 @@ def sql_bm25_scores(
 ) -> str:
     """DuckDB CTE mirroring :func:`bm25_scores` with identical double math
     and the same exact-decimal summation."""
-    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    terms_list = ", ".join(sql_str(t) for t in query_terms)
     return f"""
 WITH toks AS (
   SELECT {id_col}, {toks_expr} AS t FROM {table}
@@ -274,9 +275,9 @@ def sql_bm25_topk_batch(
 ) -> str:
     """DuckDB mirror of :func:`bm25_topk_batch`."""
     all_terms = sorted({t for terms in queries.values() for t in terms})
-    terms_list = ", ".join(f"'{t}'" for t in all_terms)
+    terms_list = ", ".join(sql_str(t) for t in all_terms)
     qrows = ", ".join(
-        f"('{q}', '{t}')" for q, terms in queries.items() for t in sorted(set(terms))
+        f"({sql_str(q)}, {sql_str(t)})" for q, terms in queries.items() for t in sorted(set(terms))
     )
     return f"""
 WITH toks AS (SELECT {id_col}, {toks_expr} AS t FROM {table}),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
+from ..sqltext import sql_str
 
 # Public Gopher-rule constants (loosened word-count lower bound to fit the
 # short synthetic fixture docs; production would use 50/100_000).
@@ -85,7 +86,7 @@ def quality_rules(
 
 def sql_quality_rules(table: str = "documents", text: str = "text") -> str:
     """DuckDB twin of :func:`quality_rules` (same constants, same rounding)."""
-    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop = ", ".join(sql_str(s) for s in STOPWORDS)
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower({text})), '\\s+') AS t

@@ -14,12 +14,18 @@ Parity/robustness contract:
 * state carries only order-independent partials (bigint count,
   decimal(28,2) sum), so merge order cannot change results and Spark ==
   DuckDB bit-for-bit;
-* ``apply_batch`` is idempotent by batch id: each applied batch writes a
-  ``_applied_<id>`` marker next to the state parquet (the
-  streaming/neardup_stream.py replay-guard pattern) and replays become
-  no-ops — exactly-once state folding on top of at-least-once delivery;
-* state swaps are publish-then-rename (write to ``_tmp``, atomic rename),
-  so a crashed apply never leaves a torn state table.
+* ``apply_batch`` is idempotent by batch id, and the marker set COMMITS
+  ATOMICALLY WITH THE STATE: each apply writes the merged state to a fresh
+  versioned directory (``state_v<n>``), then flips a single pointer file
+  (``_current.json`` — carrying both the live directory name and the full
+  applied-batch-id set) with one atomic ``os.replace`` (the
+  storage/store.py EntityStore pattern). A crash at ANY point leaves
+  either the old (state, markers) pair or the new one — never a missing
+  state dir, never a state without its marker (which would double-apply on
+  retry), never a marker without its state (which would drop the batch);
+* superseded version directories are garbage-collected best-effort after
+  the flip; leftovers from a crash are unreferenced and reclaimed by the
+  next successful commit.
 
 Scale: both sides of the merge are pre-aggregated before the union, so the
 single shuffle moves |groups(delta)| + |groups(state)| rows, not raw data.
@@ -27,6 +33,7 @@ single shuffle moves |groups(delta)| + |groups(state)| rows, not raw data.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -69,7 +76,14 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
 
 
 class RollupState:
-    """Parquet-persisted rollup state with idempotent batch application."""
+    """Parquet-persisted rollup state with idempotent batch application.
+
+    Commit protocol: state lives in versioned directories
+    ``<path>/state_v<n>``; ``<path>/_current.json`` holds
+    ``{"dir": "state_v<n>", "applied": [batch ids...]}`` and is the ONLY
+    commit point — flipped with a single atomic ``os.replace``, so the
+    live state and its applied-marker set change together or not at all.
+    """
 
     def __init__(self, spark: SparkSession, path: str, keys: list[str], value_col: str):
         self.spark = spark
@@ -77,45 +91,91 @@ class RollupState:
         self.keys = keys
         self.value_col = value_col
 
-    def _state_dir(self) -> str:
-        return os.path.join(self.path, "state")
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_current.json")
 
-    def _marker(self, batch_id: str) -> str:
-        return os.path.join(self.path, f"_applied_{batch_id}")
+    def _read_pointer(self) -> dict | None:
+        try:
+            with open(self._pointer(), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _commit(self, df: DataFrame, version: int, applied: list[str]) -> None:
+        """Write ``df`` as ``state_v<version>`` then atomically flip the
+        pointer to (that dir, ``applied``). Crash before the flip leaves
+        the previous commit fully intact and the new dir unreferenced."""
+        dirname = f"state_v{version}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, dirname))
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"dir": dirname, "applied": sorted(set(applied))}, f)
+        os.replace(tmp, self._pointer())  # atomic state+marker commit
+        # Best-effort GC of superseded versions and any pre-pointer-era
+        # layout ("state"/"state_old"/"state_tmp" dirs, _applied_* files).
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name != dirname and (
+                name == "state" or name.startswith(("state_v", "state_old", "state_tmp"))
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith("_applied_"):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
 
     def exists(self) -> bool:
-        return os.path.exists(self._state_dir())
+        return self._read_pointer() is not None
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._state_dir())
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed rollup state at {self.path}")
+        return self.spark.read.parquet(os.path.join(self.path, ptr["dir"]))
 
-    def init(self, df: DataFrame) -> None:
+    def init(self, df: DataFrame, batch_id: str | None = None) -> None:
+        """Initialize state from ``df``; when ``batch_id`` is given it is
+        recorded in the same atomic commit, so a replay of the initializing
+        batch is a no-op even if the process dies right after init."""
         os.makedirs(self.path, exist_ok=True)
-        aggregate_partial(df, self.keys, self.value_col).write.mode(
-            "overwrite"
-        ).parquet(self._state_dir())
+        self._commit(
+            aggregate_partial(df, self.keys, self.value_col),
+            0,
+            [batch_id] if batch_id is not None else [],
+        )
 
     def apply_marker_exists(self, batch_id: str) -> bool:
-        return os.path.exists(self._marker(batch_id))
+        ptr = self._read_pointer()
+        return ptr is not None and batch_id in ptr["applied"]
 
     def mark_applied(self, batch_id: str) -> None:
-        with open(self._marker(batch_id), "w", encoding="utf-8") as f:
-            f.write(batch_id)
+        """Record ``batch_id`` as applied against the CURRENT state (atomic
+        pointer rewrite). Prefer passing ``batch_id`` to :meth:`init` /
+        :meth:`apply_batch`, which commit marker and state together."""
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed rollup state at {self.path}")
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"dir": ptr["dir"], "applied": sorted(set(ptr["applied"]) | {batch_id})},
+                f,
+            )
+        os.replace(tmp, self._pointer())
 
     def apply_batch(self, batch: DataFrame, batch_id: str) -> bool:
         """Fold ``batch`` into state; returns False if ``batch_id`` was
         already applied (replay no-op)."""
-        if self.apply_marker_exists(batch_id):
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed rollup state at {self.path}")
+        if batch_id in ptr["applied"]:
             return False
         delta = aggregate_partial(batch, self.keys, self.value_col)
         merged = merge_states(self.read(), delta, self.keys)
-        tmp = self._state_dir() + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = self._state_dir() + "_old"
-        os.rename(self._state_dir(), old)
-        os.rename(tmp, self._state_dir())
-        shutil.rmtree(old)
-        self.mark_applied(batch_id)
+        version = int(ptr["dir"].rsplit("_v", 1)[1]) + 1
+        self._commit(merged, version, [*ptr["applied"], batch_id])
         return True
 
     def metrics(self) -> DataFrame:

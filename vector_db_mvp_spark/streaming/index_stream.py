@@ -42,12 +42,15 @@ from ..operators.served import (
     served_index_path,
     tombstone_delete,
 )
+from .replay import batch_key
 
 
 class IndexMaintenance:
     """foreachBatch handler over an upsert stream with columns
     (op: 'add'|'delete', vec_id, embedding [, ...payload]). The artifact is
-    created from ``corpus_path`` on first use if absent."""
+    created from ``corpus_path`` on first use if absent. Replay markers are
+    keyed by (stream run id, epoch id) — see ``streaming/replay.py``;
+    ``checkpoint_dir`` is wired by :func:`start_index_maintenance`."""
 
     def __init__(
         self,
@@ -57,19 +60,22 @@ class IndexMaintenance:
         embedding_col: str = "embedding",
         id_col: str = "vec_id",
         root: str | None = None,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.corpus_path = corpus_path
         self.planes = planes
         self.embedding_col = embedding_col
         self.id_col = id_col
         self.root = root
+        self.checkpoint_dir = checkpoint_dir
 
     @property
     def index_path(self) -> str:
         return served_index_path(self.corpus_path, self.planes, root=self.root)
 
     def _batch_marker(self, batch_id: int) -> str:
-        return os.path.join(self.index_path, f"_STREAM_BATCH_{batch_id}_OK")
+        key = batch_key(self.checkpoint_dir, batch_id)
+        return os.path.join(self.index_path, f"_STREAM_BATCH_{key}_OK")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._batch_marker(batch_id)):
@@ -103,6 +109,7 @@ def start_index_maintenance(
     trigger_available_now: bool = True,
 ):
     """Wire a change-stream DataFrame to the maintenance handler."""
+    handler.checkpoint_dir = checkpoint_dir
     writer = changes.writeStream.foreachBatch(handler).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -19,7 +19,10 @@ for each micro-batch:
 Exactly-once: foreachBatch is at-least-once, so the handler writes a
 per-batch marker into the state directory AFTER sinks + state append
 succeed and skips any batch whose marker exists — replayed batches become
-no-ops instead of double-writes. At 100 TB/day the state grows by the
+no-ops instead of double-writes. Markers are keyed by (stream run id,
+epoch id) via ``streaming/replay.py``: epoch ids restart at 0 under a
+fresh checkpoint, so an epoch-only key would silently drop the first
+batches of a legitimate new run. At 100 TB/day the state grows by the
 accepted docs only, and each micro-batch's cost is driven by the batch
 size, not the corpus — the same asymptotics as the batch incremental path.
 """
@@ -32,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.incremental import build_dedup_state, incremental_minhash_pairs
+from .replay import batch_key
 
 
 class NearDupIngest:
@@ -39,6 +43,8 @@ class NearDupIngest:
 
     ``accepted_path`` / ``dupes_path`` receive parquet appends; the dedup
     state lives at ``state_path`` (created on first batch).
+    ``checkpoint_dir`` scopes replay markers to the stream run; it is
+    wired automatically by :func:`neardup_ingest_stream`.
     """
 
     def __init__(
@@ -53,6 +59,7 @@ class NearDupIngest:
         tau: float = 0.4,
         id_col: str = "doc_id",
         text_col: str = "text",
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.state_path = state_path
         self.accepted_path = accepted_path
@@ -61,12 +68,14 @@ class NearDupIngest:
         self.tau = tau
         self.id_col = id_col
         self.text_col = text_col
+        self.checkpoint_dir = checkpoint_dir
 
     def _state_exists(self) -> bool:
         return os.path.exists(os.path.join(self.state_path, "_STATE_OK"))
 
     def _batch_marker(self, batch_id: int) -> str:
-        return os.path.join(self.state_path, f"_BATCH_{batch_id}_OK")
+        key = batch_key(self.checkpoint_dir, batch_id)
+        return os.path.join(self.state_path, f"_BATCH_{key}_OK")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         # foreachBatch re-delivers a batch after failures; the marker makes
@@ -139,6 +148,7 @@ def neardup_ingest_stream(
     checkpoint: str,
 ):
     """Wire a streaming DataFrame of documents through the near-dup gate."""
+    handler.checkpoint_dir = checkpoint
     return (
         stream.writeStream.foreachBatch(handler)
         .option("checkpointLocation", checkpoint)

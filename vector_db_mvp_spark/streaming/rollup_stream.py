@@ -9,9 +9,15 @@ directly readable by the batch engine — the classic "streaming ingest,
 batch serve" metrics architecture.
 
 Exactly-once on top of foreachBatch's at-least-once: the handler keys the
-RollupState marker by ``batch_id`` (the epoch id Spark passes to
-foreachBatch, stable across replays of the same epoch), so a replayed
-micro-batch is a no-op — the same pattern streaming/neardup_stream.py uses.
+RollupState marker by (stream run id, epoch id) — see
+``streaming/replay.py``. Epoch ids alone are NOT a safe key: they restart
+at 0 under a fresh checkpoint, so a new run over new source data would
+collide with old markers and silently drop its first batches. With
+run-scoped keys, a re-delivered epoch of the same checkpointed stream is a
+no-op, while a genuinely new stream (fresh checkpoint = new query id)
+applies all its batches — reprocessing the same source into the same state
+under a fresh checkpoint is double-counting BY REQUEST, gated at the
+source, not by marker collisions.
 """
 
 from __future__ import annotations
@@ -19,10 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.rollup_state import RollupState
+from .replay import batch_key
 
 
 class RollupIngest:
-    """foreachBatch handler maintaining a rollup state table."""
+    """foreachBatch handler maintaining a rollup state table.
+
+    ``checkpoint_dir`` scopes replay markers to the stream run; it is
+    wired automatically by :func:`start_rollup_stream`.
+    """
 
     def __init__(
         self,
@@ -30,25 +41,24 @@ class RollupIngest:
         state_path: str,
         keys: list[str],
         value_col: str,
+        checkpoint_dir: str | None = None,
     ):
         self.state = RollupState(spark, state_path, keys, value_col)
         self.keys = keys
         self.value_col = value_col
+        self.checkpoint_dir = checkpoint_dir
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        key = batch_key(self.checkpoint_dir, batch_id)
         if not self.state.exists():
-            # First batch initializes state; later replays of epoch 0 must
-            # still be no-ops, so mark it applied like any other batch.
-            if self.state.apply_marker_exists(str(batch_id)):
-                return
-            self.state.init(batch.select(*self.keys, self.value_col))
-            self.state.mark_applied(str(batch_id))
+            # First batch initializes state; the batch id commits in the
+            # same atomic pointer flip, so replays of epoch 0 are no-ops
+            # even if the process dies right after init.
+            self.state.init(batch.select(*self.keys, self.value_col), batch_id=key)
             return
-        self.state.apply_batch(
-            batch.select(*self.keys, self.value_col), str(batch_id)
-        )
+        self.state.apply_batch(batch.select(*self.keys, self.value_col), key)
 
     def metrics(self) -> DataFrame:
         return self.state.metrics()
@@ -61,6 +71,7 @@ def start_rollup_stream(
     checkpoint_dir: str,
 ):
     """Wire a streaming DataFrame into the rollup state via foreachBatch."""
+    handler.checkpoint_dir = checkpoint_dir
     return (
         stream_df.writeStream.foreachBatch(handler)
         .option("checkpointLocation", checkpoint_dir)
