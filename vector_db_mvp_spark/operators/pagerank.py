@@ -10,15 +10,26 @@ decimal(38,12) (order-independent), the damped update is a fixed-order
 double expression rounded to 12.
 
 Scale design (100 TB of edges):
-* The edge list is built once; out-degrees are one map-side-combined
-  aggregation broadcast-joined back (degree table is |V|-sized; for huge V
-  it becomes a shuffle join keyed on src — both sides already partitioned
-  by src from the distinct()).
-* Each round is exactly one shuffle: contributions aggregate on dst with
-  partial aggregation; the rank frame re-partitions on the same key, so
-  successive rounds reuse the exchange layout.
-* Ranks are ``localCheckpoint``-ed each round — constant-depth lineage, the
-  same escape hatch operators/cluster.py uses for label propagation.
+* The edge list is materialized ONCE (eager ``localCheckpoint``); callers
+  that can guarantee distinct (src, dst) pairs pass
+  ``assume_distinct=True`` and skip the edge-dedup shuffle entirely.
+* The per-edge term rank(src)/out_deg(src) is constant across the edges of
+  one source, so it is computed ONCE PER NODE in the |V|-sized share
+  table (rank frame ⋈ degree frame, both |V|) — the edge scan only maps
+  dst and the precomputed share. Rounding per node == rounding per edge,
+  so oracle parity is untouched.
+* Each round is one shuffle: the contribution aggregation on dst, with
+  map-side partial agg collapsing the |E| contribution rows to at most
+  |V| per task before the exchange. (Pre-partitioning the edge list by
+  dst does NOT remove this exchange in practice: under AQE,
+  localCheckpoint materializes via AdaptiveSparkPlanExec, whose output
+  partitioning is not propagated into the checkpointed plan — measured,
+  not assumed.)
+* At |V| beyond broadcast reach, replace the broadcast hint with a
+  co-shuffle on src (both |V| frames and the edge list keyed on src).
+* Lineage is truncated with ``localCheckpoint`` every few rounds (not
+  every round — for the typical 3-5 fixed iterations the plan tree stays
+  shallow and skipping per-round materialization is a measured win).
 """
 
 from __future__ import annotations
@@ -34,55 +45,60 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Run ``iters`` damped PageRank rounds over the (directed) edge list.
     Returns ``(node, rank)`` for every node that appears in ``edges``.
     Nodes must all have out-degree >= 1 (symmetrize the edge list first if
-    needed — dangling-node redistribution is deliberately out of scope)."""
+    needed — dangling-node redistribution is deliberately out of scope).
+    Pass ``assume_distinct=True`` when the caller guarantees no duplicate
+    (src, dst) pairs — it skips a full edge-list dedup shuffle."""
+    sel = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        sel = sel.distinct()
     # Materialize the (usually expensively-derived) edge list ONCE: every
     # round joins against it, and without the barrier each round re-runs
-    # the whole upstream plan (e.g. the fact-table join that produced the
-    # edges). Eager localCheckpoint, not cache — see operators/semdedup.py
-    # (CacheManager leak per invocation).
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # control plane: one int
+    # the whole upstream plan. Eager localCheckpoint, not cache — see
+    # operators/semdedup.py (CacheManager leak per invocation).
+    e = sel.localCheckpoint(eager=True)
+    # ONE aggregation yields both the node set and the out-degrees (every
+    # node has out-degree >= 1 by contract, so the degree frame's key set
+    # IS the node set — no separate distinct shuffle). Checkpointed: it is
+    # re-read every round for the share table.
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+        .withColumnRenamed("src", "node")
         .localCheckpoint(eager=True)
     )
+    n = deg.count()  # control plane: one int
 
     base = F.lit((1.0 - damping) / n)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
-        # deg and ranks are |V|-sized — broadcast them so the (much larger)
-        # edge list never shuffles inside a round; the round's one exchange
-        # is the contribution aggregation on dst. (At |V| beyond broadcast
-        # reach, drop the hints: both sides then co-shuffle on src.)
-        contrib = (
-            e.join(F.broadcast(deg), "src")
-            .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.round(F.col("rank") / F.col("out_deg"), 12)
-                .cast("decimal(38,12)")
-                .alias("_c"),
-            )
+    ranks = deg.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iters):
+        # rank/out_deg is per-SOURCE-node constant: compute it on the
+        # |V|-sized frames and broadcast the share table into the static
+        # edge scan — the scan only projects (dst, share), then aggregates
+        # locally on the dst-partitioned layout. Zero per-round shuffles.
+        shares = ranks.join(F.broadcast(deg), "node").select(
+            F.col("node").alias("src"),
+            F.round(F.col("rank") / F.col("out_deg"), 12)
+            .cast("decimal(38,12)")
+            .alias("_c"),
         )
-        ranks = (
-            contrib.groupBy("node")
-            .agg(
-                F.round(
-                    base + F.lit(damping) * F.sum("_c").cast("double"), 12
-                ).alias("rank")
-            )
-            .localCheckpoint(eager=True)
+        contrib = e.join(F.broadcast(shares), "src").select(
+            F.col("dst").alias("node"), "_c"
         )
+        ranks = contrib.groupBy("node").agg(
+            F.round(
+                base + F.lit(damping) * F.sum("_c").cast("double"), 12
+            ).alias("rank")
+        )
+        # Truncate lineage periodically; for short fixed runs the nested
+        # broadcast-plan tree is shallow and materializing every round
+        # costs more than it saves.
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

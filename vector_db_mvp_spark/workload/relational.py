@@ -1715,8 +1715,11 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
     )
+    # assume_distinct: pairs is distinct and the two union branches are
+    # disjoint by construction (src prefixes 'c' vs 's'), so pagerank's
+    # edge-dedup shuffle would be pure waste.
     return (
-        pagerank(edges, 3)
+        pagerank(edges, 3, assume_distinct=True)
         .orderBy(F.desc("rank"), "node")
         .limit(30)
     )
