@@ -30,6 +30,7 @@ HEADLINE = [
     "topk_cosine_k100",
     "lsh_topk",
     "lsh_topk_served",
+    "lsh_topk_served_after_delete",
     "ann_ivf_served",
     "ann_batch_topk",
     "pricing_summary",

@@ -430,7 +430,47 @@ def q_lsh_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "score")
 
 
-def _sql_lsh_topk(k: int, query_vec_id: int = 0) -> str:
+_LIFECYCLE_DELETED_IDS = [0, 2, 4, 6, 8]
+
+
+def q_lsh_topk_served_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served-index LIFECYCLE (operators/served.py): build the LSH artifact
+    once, tombstone-delete 5 ids (an O(batch) marker append — the corpus is
+    never rewritten), then query. The serve path broadcast-anti-joins the
+    marker set, so deleted rows vanish from results immediately; the deleted
+    set includes the query vector itself (vec_id 0, score 1.0), so the
+    delete visibly changes the top-k head. Re-running re-appends the same
+    markers — idempotent, tombstones are distinct-ed at read. A dedicated
+    artifact root keeps these tombstones out of ``lsh_topk_served``'s
+    shared build. Oracle: the same LSH prune + exact rerank over the corpus
+    minus the deleted ids."""
+    import os
+    import tempfile
+
+    from ..operators.served import (
+        build_served_index,
+        lsh_topk_served,
+        tombstone_delete,
+    )
+
+    root = os.path.join(
+        os.environ.get(
+            "SPARK_GRAFT_INDEX_DIR",
+            os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+        ),
+        "lifecycle",
+    )
+    corpus_path = os.path.join(sf_dir, "embeddings.parquet")
+    path = build_served_index(spark, corpus_path, _PLANES, root=root)
+    tombstone_delete(spark, path, _LIFECYCLE_DELETED_IDS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]]
+    return lsh_topk_served(
+        spark, corpus_path, qv, 10, _PLANES, score_decimals=6, root=root
+    ).select("vec_id", "label", "score")
+
+
+def _sql_lsh_topk(k: int, query_vec_id: int = 0, extra_where: str = "TRUE") -> str:
     cos = _DUCK_COS.format(a="e.embedding", b="q._qv")
     row_codes = [sql_bucket_code("e.embedding", t) for t in _PLANES]
     q_codes = [sql_bucket_code("q._qv", t) for t in _PLANES]
@@ -439,7 +479,7 @@ def _sql_lsh_topk(k: int, query_vec_id: int = 0) -> str:
 WITH q AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id})
 SELECT e.vec_id, e.label, round({cos}, 6) AS score
 FROM embeddings e CROSS JOIN q
-WHERE e.embedding IS NOT NULL AND ({match})
+WHERE e.embedding IS NOT NULL AND ({match}) AND ({extra_where})
 ORDER BY score DESC, e.vec_id ASC
 LIMIT {k}
 """
@@ -1056,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_served": q_lsh_topk_served,
+    "lsh_topk_served_after_delete": q_lsh_topk_served_after_delete,
     "ann_batch_topk": q_ann_batch_topk,
     "lsh_batch_topk": q_lsh_batch_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1085,6 +1126,12 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_topk": _sql_ann_ivfpq_topk(10),
     "lsh_topk": _sql_lsh_topk(10),
     "lsh_topk_served": _sql_lsh_topk(10),  # identical contract, served index
+    "lsh_topk_served_after_delete": _sql_lsh_topk(
+        10,
+        extra_where="e.vec_id NOT IN ("
+        + ", ".join(str(i) for i in _LIFECYCLE_DELETED_IDS)
+        + ")",
+    ),
     "ann_ivf_topk": _sql_topk_cosine(10),  # full probe == exact brute force
     "ann_ivf_served": _sql_topk_cosine(10),  # same contract, served layout
     "embedding_projection": _sql_embedding_projection(),
