@@ -1,0 +1,82 @@
+"""KMV sketch + bounded BFS operator semantics (hand-built graphs/sets);
+their sf-level oracle parity runs in test_queries_oracle via the registry."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from vector_db_mvp_spark.operators.bfs import bfs_hops
+from vector_db_mvp_spark.operators.sketch import kmv_distinct
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+        "g string, v long",
+    )
+    rows = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert rows["a"]["distinct_estimate"] == 10 and rows["a"]["k_used"] == 10
+    assert rows["b"]["distinct_estimate"] == 3 and rows["b"]["n_exact"] == 3
+
+
+def test_kmv_large_group_estimator_formula(spark):
+    n, k = 2000, 64
+    df = spark.createDataFrame([("g", i) for i in range(n)], "g string, v long")
+    row = kmv_distinct(df, "g", "v", k=k).collect()[0]
+    hashes = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in range(n))
+    v = max(int(hashes[k - 1][:8], 16), 1)
+    expect = int((k - 1) * 4294967296.0 / v)
+    assert row["distinct_estimate"] == expect
+    assert row["k_used"] == k and row["n_exact"] == n
+    # the estimate is a real estimate: within ~3/sqrt(k) of truth
+    # (deterministic given the fixed hash; this draw lands at +17%)
+    assert abs(row["distinct_estimate"] - n) < n * 0.5
+
+
+def test_kmv_duplicates_ignored(spark):
+    df = spark.createDataFrame(
+        [("g", i % 5) for i in range(100)], "g string, v long"
+    )
+    row = kmv_distinct(df, "g", "v", k=8).collect()[0]
+    assert row["n_exact"] == 5 and row["distinct_estimate"] == 5
+
+
+def test_bfs_min_hop_on_path_graph(spark):
+    # 1-2-3-4-5 chain plus shortcut 1-4: node 4 is hop 1, node 5 hop 2.
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_hop_bound_and_disconnected(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 beyond bound, 10/11 unreachable
+
+
+def test_bfs_multi_seed(spark):
+    pairs = [(1, 2), (2, 3), (5, 3)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 3: 1}
+
+
+def test_kmv_no_single_partition_exchange(spark, sf_dir):
+    from vector_db_mvp_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = kmv_distinct(ev, "event_type", "user_id", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan

@@ -1,0 +1,48 @@
+"""Bounded breadth-first search over an edge DataFrame.
+
+Iterative graph traversal as a first-class distributed operator — the same
+frontier-expansion shape a lineage/link-graph pass needs in a training-data
+pipeline (e.g. "every page within 3 hops of a seed whitelist"). The
+reference engine has no graph module; this extends the engine alongside
+pagerank (operators/pagerank.py) and connected components
+(operators/cluster.py).
+
+Scale design (100 TB): classic frontier BFS — per round ONE equi-join of
+the current frontier against the edge table (shuffle keyed on the node id,
+frontier is the small side and shrinks as the graph saturates) plus one
+left-anti join against the visited set. Edges are localCheckpoint-ed once
+so the per-round plans do not re-derive the edge list; each new frontier is
+checkpointed too, truncating lineage so round r's plan does not replay
+rounds 1..r-1 (same pattern as cluster.py's HashMin loop). The visited set
+carries min-hop labels for free: a node joins `visited` in the round it is
+first reached, which IS its BFS distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Min-hop distance from ``seeds`` for every node within ``max_hops``.
+
+    ``edges`` must be DataFrame[src, dst] with both directions present for
+    undirected graphs; ``seeds`` is DataFrame[node]. Returns
+    DataFrame[node, hop] where hop is the BFS distance (0 for seeds).
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    seeds = seeds.select("node").distinct().localCheckpoint(eager=True)
+    visited = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop)))
+        frontier = nxt
+    return visited

@@ -1,0 +1,109 @@
+"""KMV (K-minimum-values) distinct-count sketch over a grouped column.
+
+Part of the LLM-data-pipeline surface (cardinality estimation for corpus
+stats at 100 TB — e.g. distinct users/domains/shingles per shard without a
+full COUNT(DISTINCT) state per group). The reference engine
+(bmallikanti/vector_db_mvp) has no sketch module; this extends the engine
+the way its `/stats` endpoint (app/routers/stats.py) reports corpus-level
+counts, but with bounded memory per group.
+
+Why KMV and not HyperLogLog: Spark's `approx_count_distinct` (HLL++) is not
+reproducible against an external oracle, so it cannot be hash-verified. KMV
+with a fixed hash (md5) is fully deterministic — DuckDB computes the exact
+same sketch from the exact same rows, so the driver's value-hash comparison
+works while the operator still demonstrates bounded-state estimation.
+
+Estimator: with h_(k) the k-th smallest of the (practically collision-free)
+md5 hashes of the group's distinct values, uniformly distributed in [0, 1),
+E[|group|] ~= (k-1) / h_(k). We normalize by the first 8 hex chars
+(32-bit prefix) and use floor() — floor, not round, because IEEE-754
+floor is bitwise-identical across engines while round's half-case tie
+rules differ.
+
+Scale design (100 TB): the only full-width shuffle is the distinct on
+(group, value) — unavoidable for set semantics and a plain hash
+aggregation. The per-group k-th order statistic is computed in TWO phases
+so a skewed group never funnels all its rows through one window partition:
+phase 1 keeps the k smallest hashes per (group, salt-bucket) — bounded
+k rows out per bucket; phase 2 ranks the <= k*BUCKETS survivors per
+group. The exact per-group count (needed for the |group| < k case and
+reported for comparison) is a separate two-phase hash aggregation with
+map-side partial combine, not a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Salt-bucket fan-out for the phase-1 prune. 32 buckets bounds the phase-2
+# window input at 32*k rows per group regardless of group skew.
+BUCKETS = 32
+
+
+def _hash32(h: Column) -> Column:
+    """Numeric value of the first 8 hex chars of an md5 string, as double
+    (exact: < 2^32 < 2^53). Matches DuckDB's CAST('0x'||substr(h,1,8) AS
+    UBIGINT) bit-for-bit."""
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Returns DataFrame[group_col, k_used, distinct_estimate, n_exact],
+    one row per group, ordered by group. Groups with fewer than ``k``
+    distinct values report the exact count as the estimate.
+    """
+    d = df.select(group_col, value_col).distinct()
+    h = d.select(group_col, F.md5(F.col(value_col).cast("string")).alias("h"))
+    counts = h.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+
+    # Phase 1: k smallest hashes per (group, salt bucket).
+    b = h.withColumn("_b", F.pmod(F.xxhash64("h"), F.lit(BUCKETS)))
+    w1 = Window.partitionBy(group_col, "_b").orderBy("h")
+    pruned = (
+        b.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_b", "_rn")
+    )
+
+    # Phase 2: global k-th smallest per group over the bounded survivors.
+    w2 = Window.partitionBy(group_col).orderBy("h")
+    ranked = pruned.withColumn("rn", F.row_number().over(w2))
+    kth = ranked.join(F.broadcast(counts), group_col).filter(
+        F.col("rn") == F.least(F.col("n"), F.lit(k))
+    )
+
+    v = F.greatest(_hash32(F.col("h")), F.lit(1.0))
+    est = F.when(F.col("n") < k, F.col("n")).otherwise(
+        F.floor(F.lit(float(k - 1) * 4294967296.0) / v)
+    )
+    return kth.select(
+        group_col,
+        F.least(F.col("n"), F.lit(k)).cast("long").alias("k_used"),
+        est.cast("long").alias("distinct_estimate"),
+        F.col("n").cast("long").alias("n_exact"),
+    ).orderBy(group_col)
+
+
+def sql_kmv_distinct(table: str, group_col: str, value_col: str, k: int = 64) -> str:
+    """DuckDB oracle computing the identical sketch (same hash, same
+    estimator, same floor) — exact value parity, not a tolerance check."""
+    return f"""
+WITH d AS (SELECT DISTINCT {group_col}, {value_col} FROM {table}),
+h AS (SELECT {group_col}, md5(CAST({value_col} AS VARCHAR)) AS h FROM d),
+r AS (SELECT {group_col}, h,
+             ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY {group_col}) AS n
+      FROM h)
+SELECT {group_col},
+       CAST(LEAST(n, {k}) AS BIGINT) AS k_used,
+       CAST(CASE WHEN n < {k} THEN n
+            ELSE CAST(FLOOR({float(k - 1)} * 4294967296.0 /
+                 GREATEST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT), 1)) AS BIGINT)
+            END AS BIGINT) AS distinct_estimate,
+       CAST(n AS BIGINT) AS n_exact
+FROM r WHERE rn = LEAST(n, {k})
+ORDER BY {group_col}
+"""

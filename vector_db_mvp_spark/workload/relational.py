@@ -1843,6 +1843,70 @@ LIMIT 30
 """
 
 
+def q_distinct_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py): per event_type,
+    estimate the distinct user count from the 64 minimum md5 hashes —
+    bounded state per group, deterministic, so the DuckDB oracle computes
+    the IDENTICAL sketch (exact value parity, no tolerance)."""
+    from ..operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+def _sql_distinct_kmv_users() -> str:
+    from ..operators.sketch import sql_kmv_distinct
+
+    return sql_kmv_distinct("events", "event_type", "user_id", k=64)
+
+
+def q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (operators/bfs.py) over the co-purchase graph: how many
+    parts sit 0/1/2/3 hops from seed part 1, where parts are adjacent when
+    some order contains both. Edge build is co-partitioned on orderkey and
+    quadratic only within bounded baskets (same shape as copurchase_pairs);
+    the traversal is one frontier-edge equi-join + one anti-join per round.
+    Oracle: DuckDB WITH RECURSIVE walk, min-hop per node."""
+    from ..operators.bfs import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = spark.range(1, 2).select(F.col("id").alias("node"))
+    return (
+        bfs_hops(edges, seeds, max_hops=3)
+        .groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("hop")
+    )
+
+
+SQL_PART_REACHABILITY = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS (SELECT DISTINCT src, dst
+      FROM (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)),
+walk(node, hop) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+  UNION
+  SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hop < 3
+)
+SELECT hop, COUNT(*) AS n_parts
+FROM (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+GROUP BY hop ORDER BY hop
+"""
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained daily metrics (operators/rollup_state.py):
     state initialized from events before Jan 21, then two batches (Jan
@@ -2906,3 +2970,8 @@ ORACLE_SQL: dict[str, str] = {
     "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
     "bulk_part_suppliers": SQL_BULK_PART_SUPPLIERS,
 }
+
+QUERIES["distinct_kmv_users"] = q_distinct_kmv_users
+ORACLE_SQL["distinct_kmv_users"] = _sql_distinct_kmv_users()
+QUERIES["part_reachability"] = q_part_reachability
+ORACLE_SQL["part_reachability"] = SQL_PART_REACHABILITY
