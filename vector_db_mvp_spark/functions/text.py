@@ -13,7 +13,7 @@ Portability contract (Spark expression == DuckDB SQL):
   0..k-1 — salted-md5 hash family instead of (a*x+b) mod p, because 64-bit
   modular arithmetic overflows differently across engines while md5 is
   defined identically everywhere.
-- simhash: 32-bit; bit i = sign of sum over tokens of ±1 on h64(token) bit i.
+- simhash: 60-bit (see SIMHASH_BITS note); bit i = sign of sum over tokens of ±1 on h64(token) bit i.
 
 All pure Catalyst expressions — no Python in any hot path.
 """
@@ -119,10 +119,22 @@ def sql_minhash_signature_from_md5s(md5s_expr: str, k: int) -> str:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (32-bit)
+# SimHash (63-bit)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60, not the literature's 64 (Manku et al., WWW'07), for two portability
+# reasons: (1) the shared token hash h64 is 60 bits (15 md5 hex chars), so
+# bits beyond 59 would be vote-constant dead weight; (2) bit 63 is the sign
+# bit of a BIGINT and DuckDB raises on signed-64 overflow (measured:
+# `1::BIGINT << 63` errors), so a full 64-bit code could not be built by
+# the oracle. 60 bits keeps every term and the full code inside the
+# positive signed-64 range on BOTH engines, and 4 bands of 15 bits retain
+# the pigeonhole recall guarantee for hamming <= 3 (some band unchanged)
+# while giving each band 2^15 bucket values — the knob that keeps band-
+# bucket occupancy, and with it candidate-pair count, sub-quadratic as the
+# corpus grows (the old 32-bit/8-bit-band layout saturated its 256 buckets
+# per band: measured 82 s at local sf1 vs 2.5 s at sf0.1).
+SIMHASH_BITS = 60
 
 
 def _bit_vote(i: int):
@@ -137,14 +149,14 @@ def _bit_vote(i: int):
 
 def token_hashes(toks: Column) -> Column:
     """array<long> of per-token h64 hashes. Materialize this in its OWN
-    projection before calling ``simhash_from_hashes`` — inlined, the 32
+    projection before calling ``simhash_from_hashes`` — inlined, the 60
     per-bit aggregates each recompute every md5 (measured 3x slower)."""
     return F.transform(toks, lambda t: h64(t))
 
 
 def simhash_from_hashes(hashes: Column) -> Column:
-    """32-bit simhash over precomputed token hashes: bit i set iff
-    sum_tokens(bit_i(h) ? +1 : -1) >= 0. O(tokens * 32) native ops."""
+    """60-bit simhash over precomputed token hashes: bit i set iff
+    sum_tokens(bit_i(h) ? +1 : -1) >= 0. O(tokens * 60) native ops."""
     code = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(i))

@@ -55,6 +55,7 @@ _CHANGED_THIS_ROUND = [
     "weighted_sample",       # oracle SQL literal escaping
     "bm25_search", "bm25_batch", "hybrid_rrf",  # oracle SQL literal escaping
     "supplier_pagerank",     # per-round broadcast removed (perf)
+    "dedup_simhash",         # 60-bit code + 15-bit bands (sf1 scale fix)
 ]
 
 
