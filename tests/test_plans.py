@@ -223,13 +223,16 @@ def test_gapfill_join_is_equi_not_nested_loop(plans):
 
 def test_triangle_and_skyline_shapes(plans):
     """Wedge join binds on equality (no nested loop); the skyline frontier
-    runs over the aggregated per-price frame (HashAggregate below the
-    window, no corpus-wide single-partition sort of raw rows)."""
+    runs the distributed strict-prefix running-min (operators/rank.py):
+    the window is partitioned by range bucket — NO single-partition
+    exchange anywhere in the plan (the per-price HashAggregate sits behind
+    the operator's checkpoint barrier and is exercised by the oracle)."""
     tri = plans("part_triangles")
     assert "NestedLoop" not in tri and "Cartesian" not in tri
     assert "TakeOrderedAndProject" in tri
     sky = plans("parts_skyline")
-    assert "HashAggregate" in sky
+    assert "Exchange SinglePartition" not in sky
+    assert "Window" in sky
 
 
 def test_scd2_has_no_self_join_or_shuffle_on_dim(plans):

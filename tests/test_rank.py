@@ -1,0 +1,91 @@
+"""Distributed global-window primitives (operators/rank.py): equivalence
+with the single-partition window on hand data + plan hazard checks; the
+query-level oracle parity runs in test_queries_oracle (deciles, skyline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vector_db_mvp_spark.operators.rank import (
+    global_row_number,
+    ntile_from_rn,
+    running_min_before,
+)
+
+
+def _no_data_funnel(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            if "HashAggregate(keys=[]" not in (lines[i - 1] if i else ""):
+                return False
+    return True
+
+
+def test_global_row_number_matches_window(spark):
+    df = spark.createDataFrame(
+        [(i % 17, i) for i in range(500)], "v long, id long"
+    )
+    ranked, n = global_row_number(df, "v", ["id"], buckets=8)
+    assert n == 500
+    got = {r["id"]: r["rn"] for r in ranked.collect()}
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    assert _no_data_funnel(ranked)
+
+
+def test_ntile_from_rn_matches_ntile(spark):
+    for n in (7, 100, 103):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+        w = Window.orderBy("id")
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn("t", F.ntile(10).over(w)).collect()
+        }
+        ranked, total = global_row_number(df, "id", [], buckets=4)
+        got = {
+            r["id"]: r["t"]
+            for r in ranked.withColumn(
+                "t", ntile_from_rn(F.col("rn"), total, 10)
+            ).collect()
+        }
+        assert got == want, n
+
+
+def test_running_min_before_matches_window(spark):
+    rows = [(float(i), (i * 7919) % 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "o double, v long")
+    got = {
+        r["o"]: r["_prev_min"]
+        for r in running_min_before(df, "o", "v", buckets=8).collect()
+    }
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["o"]: r["m"]
+        for r in df.withColumn("m", F.min("v").over(w)).collect()
+    }
+    assert got == want
+    assert got[0.0] is None
+
+
+def test_single_bucket_degenerates_gracefully(spark):
+    df = spark.createDataFrame([(1, 10), (2, 5), (3, 7)], "v long, id long")
+    ranked, n = global_row_number(df, "v", ["id"], buckets=1)
+    assert n == 3
+    assert [r["rn"] for r in ranked.orderBy("v").collect()] == [1, 2, 3]
+
+
+def test_equal_values_share_bucket_and_rank_by_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(5, i) for i in range(50)] + [(1, 99), (9, 100)], "v long, id long"
+    )
+    ranked, n = global_row_number(df, "v", ["id"], buckets=8)
+    rows = {r["id"]: r["rn"] for r in ranked.collect()}
+    assert rows[99] == 1 and rows[100] == n
+    assert sorted(rows[i] for i in range(50)) == list(range(2, 52))

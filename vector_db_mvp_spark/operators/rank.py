@@ -1,0 +1,154 @@
+"""Distributed global-window primitives: exact global row_number and
+strict-prefix running-min with NO single-partition exchange.
+
+``Window.orderBy`` without ``partitionBy`` funnels every row through ONE
+partition — acceptable over bounded aggregate frames (|months|, |days|,
+#sources — see workload/relational.py monthly_growth), fatal over
+unbounded ones (|customers|, |distinct prices| at 100 TB). These helpers
+implement the classic range-bucketed two-phase evaluation instead:
+
+1. bucket every row by driver-fetched approximate quantile boundaries of
+   the ordering column (boundaries only affect load balance, never the
+   result: all rows with equal ordering values land in the same bucket, and
+   each bucket holds a contiguous range of the total order);
+2. run the window WITHIN buckets (shuffle keyed on bucket — parallel);
+3. combine with O(buckets) per-bucket aggregates fetched to the driver
+   (control plane: counts or minima, one small row per bucket) and folded
+   back in as a broadcast literal map.
+
+The result is bit-identical to the single-partition window — same total
+order, same ties — with the corpus-sized sort spread over ``buckets``
+partitions. Costs two extra control-plane jobs (quantile probe + bucket
+aggregate) — ~1 s of fixed latency at local scale, the difference between
+working and not working at 100 TB.
+
+Precondition: the ordering column must be non-null (``approxQuantile``
+ignores nulls and the bucket expression would route them to bucket 0,
+while a plain window sorts nulls first). Both callers order by non-null
+aggregation keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(col: Column, bounds: list[float]) -> Column:
+    """0-based bucket index = number of boundaries strictly below ``col``.
+    Codegen-safe indicator sum (no HOF); rows with equal values always get
+    equal buckets, so bucketing is consistent with any (col, ...) order."""
+    b: Column = F.lit(0)
+    for bd in bounds:
+        b = b + F.when(col > F.lit(float(bd)), 1).otherwise(0)
+    return b
+
+
+def _boundaries(df: DataFrame, value_col: str, buckets: int) -> list[float]:
+    """Approximate, deduplicated quantile boundaries (driver-side control
+    plane: ``buckets - 1`` doubles). Accuracy only shapes load balance."""
+    if buckets <= 1:
+        return []
+    qs = [i / buckets for i in range(1, buckets)]
+    got = df.approxQuantile(value_col, qs, 0.01)
+    out: list[float] = []
+    for x in got:
+        if not out or x > out[-1]:
+            out.append(x)
+    return out
+
+
+def global_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    *,
+    buckets: int = 64,
+    rn_col: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global row number over the total order
+    ``(value_col ASC, *tiebreak_cols ASC)`` — the distributed twin of
+    ``row_number().over(Window.orderBy(...))``. Returns ``(df + rn_col,
+    total_row_count)``. The input is checkpointed (it is scanned three
+    times: boundaries, bucket counts, final window)."""
+    base = df.localCheckpoint(eager=True)
+    bounds = _boundaries(base, value_col, buckets)
+    bucketed = base.withColumn("_gb", _bucket_expr(F.col(value_col), bounds))
+    counts = {
+        r["_gb"]: r["n"]
+        for r in bucketed.groupBy("_gb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[F.lit(x) for b in offsets for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("_gb").orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    out = bucketed.withColumn(
+        rn_col,
+        (
+            F.coalesce(F.element_at(off_map, F.col("_gb")), F.lit(0))
+            + F.row_number().over(w)
+        ).cast("long"),
+    ).drop("_gb")
+    return out, acc
+
+
+def ntile_from_rn(rn: Column, n: int, tiles: int) -> Column:
+    """SQL NTILE(tiles) bucket from an exact global row number: the first
+    ``n % tiles`` tiles get ``n div tiles + 1`` rows, the rest
+    ``n div tiles`` — identical to Spark's and DuckDB's NTILE over the
+    same total order."""
+    base, rem = divmod(n, tiles)
+    if base == 0:
+        return rn.cast("int")
+    big = rem * (base + 1)
+    return (
+        F.when(rn <= F.lit(big), F.ceil(rn / F.lit(base + 1)))
+        .otherwise(F.lit(rem) + F.ceil((rn - F.lit(big)) / F.lit(base)))
+        .cast("int")
+    )
+
+
+def running_min_before(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    buckets: int = 64,
+    out_col: str = "_prev_min",
+) -> DataFrame:
+    """``min(value_col)`` over all rows STRICTLY before the current row in
+    ``order_col`` order (NULL for the global first row) — the distributed
+    twin of ``min(v).over(Window.orderBy(o).rowsBetween(unboundedPreceding,
+    -1))`` for frames where ``order_col`` values are distinct."""
+    base = df.localCheckpoint(eager=True)
+    bounds = _boundaries(base, order_col, buckets)
+    bucketed = base.withColumn("_gb", _bucket_expr(F.col(order_col), bounds))
+    bucket_mins = {
+        r["_gb"]: r["m"]
+        for r in bucketed.groupBy("_gb").agg(F.min(value_col).alias("m")).collect()
+    }
+    prefix, run = {}, None
+    for b in sorted(bucket_mins):
+        prefix[b] = run  # min over all STRICTLY EARLIER buckets
+        m = bucket_mins[b]
+        run = m if run is None else min(run, m)
+    entries = [x for b, v in prefix.items() if v is not None for x in (b, v)]
+    prefix_map = (
+        F.create_map(*[F.lit(x) for x in entries]) if entries else F.create_map()
+    )
+    local = F.min(value_col).over(
+        Window.partitionBy("_gb")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # least() ignores NULL operands (returns the smallest non-null), which
+    # is exactly "no preceding row in that scope contributes".
+    return bucketed.withColumn(
+        out_col, F.least(F.element_at(prefix_map, F.col("_gb")), local)
+    ).drop("_gb")

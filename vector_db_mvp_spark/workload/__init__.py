@@ -56,6 +56,8 @@ _CHANGED_THIS_ROUND = [
     "bm25_search", "bm25_batch", "hybrid_rrf",  # oracle SQL literal escaping
     "supplier_pagerank",     # per-round broadcast removed (perf)
     "dedup_simhash",         # 60-bit code + 15-bit bands (sf1 scale fix)
+    "customer_spend_deciles",  # distributed global rank (no 1-partition window)
+    "parts_skyline",         # distributed strict-prefix running min
 ]
 
 

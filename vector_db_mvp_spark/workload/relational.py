@@ -2348,19 +2348,23 @@ def q_parts_skyline(spark, sf_dir):
     (1) per-price minimum size — one partial-agg shuffle over the corpus;
     (2) strict running-min filter over the |distinct prices|-row frame
     (every skyline point is necessarily the min-size at its price, so
-    phase 2 never touches raw rows). The phase-2 window is single-
-    partition by construction but runs on aggregated data."""
+    phase 2 never touches raw rows). The running min is the DISTRIBUTED
+    strict-prefix form (operators/rank.py running_min_before): |distinct
+    prices| is unbounded at 100 TB, so the naive unpartitioned window
+    would funnel the whole frame through one partition."""
+    from ..operators.rank import running_min_before
+
     part = load_table(spark, sf_dir, "part")
     per_price = (
         part.groupBy(F.col("p_retailprice").cast("double").alias("price"))
         .agg(F.min("p_size").alias("min_size"))
     )
-    w = Window.orderBy(F.col("price").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     return (
-        per_price.withColumn("_m", F.min("min_size").over(w))
-        .filter(F.col("_m").isNull() | (F.col("min_size") < F.col("_m")))
+        running_min_before(per_price, "price", "min_size", buckets=32)
+        .filter(
+            F.col("_prev_min").isNull()
+            | (F.col("min_size") < F.col("_prev_min"))
+        )
         .select("price", F.col("min_size").alias("size"))
         .orderBy("price")
     )
@@ -2388,16 +2392,20 @@ ORDER BY price
 def q_customer_spend_deciles(spark, sf_dir):
     """NTILE decile analysis: customers bucketed into spend deciles, with
     per-decile totals. Per-customer spend is one partial-agg shuffle; the
-    NTILE window runs over the |customers-with-orders| aggregated frame
-    (ties pinned by (spend, custkey) so bucket edges are deterministic),
-    then a 10-row rollup."""
+    decile comes from a DISTRIBUTED exact global rank (operators/rank.py:
+    range-bucketed two-phase row_number — |customers| is unbounded, so the
+    naive ``ntile().over(Window.orderBy(...))`` would funnel every customer
+    through one partition at 100 TB; ties pinned by (spend, custkey) so
+    bucket edges stay deterministic), then a 10-row rollup."""
+    from ..operators.rank import global_row_number, ntile_from_rn
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         _dsum(F.col("o_totalprice")).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    ranked, n = global_row_number(spend, "spend", ["o_custkey"], buckets=32)
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", ntile_from_rn(F.col("rn"), n, 10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
