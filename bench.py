@@ -81,6 +81,8 @@ HEADLINE = [
     "session_windows",
     "sales_grouping_sets",
     "props_key_counts",
+    "distinct_kmv_users",
+    "part_reachability",
 ]
 
 
