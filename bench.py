@@ -83,6 +83,7 @@ HEADLINE = [
     "props_key_counts",
     "distinct_kmv_users",
     "part_reachability",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -43,6 +43,37 @@ def test_kmv_duplicates_ignored(spark):
     assert row["n_exact"] == 5 and row["distinct_estimate"] == 5
 
 
+def test_cms_small_vocab_exact_and_ordered(spark):
+    from vector_db_mvp_spark.operators.sketch import cms_heavy_hitters
+
+    data = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 1
+    df = spark.createDataFrame(data, "v string")
+    rows = cms_heavy_hitters(df, "v", depth=4, width=1024, k=10).collect()
+    # 3 values vs 4x1024 counters: no colliding pair survives the row-min,
+    # so estimates are exact (deterministic — fixed md5 hash family).
+    assert [(r["value"], r["est_count"]) for r in rows] == [
+        ("a", 50),
+        ("b", 30),
+        ("c", 1),
+    ]
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from vector_db_mvp_spark.operators.sketch import cms_heavy_hitters
+
+    # width 4 forces collisions: every estimate must still be >= the true
+    # count (CM sketches only over-count).
+    data = [(f"w{i % 23}",) for i in range(400)]
+    df = spark.createDataFrame(data, "v string")
+    true = {}
+    for (v,) in data:
+        true[v] = true.get(v, 0) + 1
+    rows = cms_heavy_hitters(df, "v", depth=2, width=4, k=23).collect()
+    assert len(rows) == 23
+    for r in rows:
+        assert r["est_count"] >= true[r["value"]]
+
+
 def test_bfs_min_hop_on_path_graph(spark):
     # 1-2-3-4-5 chain plus shortcut 1-4: node 4 is hop 1, node 5 hop 2.
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]

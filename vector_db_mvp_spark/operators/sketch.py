@@ -87,6 +87,111 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> 
     ).orderBy(group_col)
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min-sketch frequency estimates (Cormode & Muthukrishnan '05):
+    top-``k`` values of ``value_col`` by estimated occurrence count.
+
+    Like :func:`kmv_distinct`, the sketch is built from a fixed md5 hash
+    family so it is fully deterministic — the DuckDB oracle constructs the
+    IDENTICAL ``depth × width`` counter array and reads the same minima,
+    so the driver's value-hash comparison verifies the estimator itself
+    (estimates over-count collisions by construction; the oracle agrees on
+    every collision).
+
+    Scale design (100 TB): the counter build is ``depth`` hash-aggregations
+    over the exploded value stream, map-side combined — the shuffle carries
+    at most depth×width partial rows per task, never the stream. The
+    counter array (depth×width rows) broadcasts to estimate the distinct
+    values; per-value estimate = min over rows of its counter. Top-k is
+    TakeOrderedAndProject. The value stream is scanned twice (counters,
+    distinct probe) — at 100 TB both scans are the same column-pruned
+    parquet pass.
+
+    Returns DataFrame[value, est_count] ordered by (est_count desc, value).
+    """
+    vals = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    # one row per (occurrence, sketch row r): h_r(v) = md5('r:'||v)[:8] % width
+    def _h(r: int) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(r)), F.col("v"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        )
+
+    counters = None
+    for r in range(depth):
+        c = (
+            vals.groupBy(_h(r).alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(r).alias("r"), "h", "c")
+        )
+        counters = c if counters is None else counters.unionByName(c)
+
+    probes = None
+    d = vals.distinct()
+    for r in range(depth):
+        p = d.select("v", F.lit(r).alias("r"), _h(r).alias("h"))
+        probes = p if probes is None else probes.unionByName(p)
+
+    est = (
+        probes.join(F.broadcast(counters), ["r", "h"])
+        .groupBy("v")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select(F.col("v").alias("value"), "est_count")
+        .orderBy(F.col("est_count").desc(), F.col("value").asc())
+        .limit(k)
+    )
+
+
+def sql_cms_heavy_hitters(
+    values_cte: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+) -> str:
+    """DuckDB oracle building the identical CM sketch. ``values_cte`` must
+    be a complete CTE body yielding one column ``v`` (one row per
+    occurrence, NULLs excluded)."""
+    return f"""
+WITH vals AS ({values_cte}),
+rows_r AS (SELECT r FROM (VALUES {", ".join(f"({r})" for r in range(depth))}) t(r)),
+hashed AS (
+  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || v), 1, 8)) AS BIGINT)
+            % {width} AS h
+  FROM vals CROSS JOIN rows_r
+),
+counters AS (SELECT r, h, COUNT(*) AS c FROM hashed GROUP BY 1, 2),
+probes AS (
+  SELECT v, r,
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || v), 1, 8)) AS BIGINT)
+         % {width} AS h
+  FROM (SELECT DISTINCT v FROM vals) CROSS JOIN rows_r
+),
+est AS (
+  SELECT p.v, MIN(c.c) AS est_count
+  FROM probes p JOIN counters c ON p.r = c.r AND p.h = c.h
+  GROUP BY 1
+)
+SELECT v AS value, est_count FROM est
+ORDER BY est_count DESC, value ASC LIMIT {k}
+"""
+
+
 def sql_kmv_distinct(table: str, group_col: str, value_col: str, k: int = 64) -> str:
     """DuckDB oracle computing the identical sketch (same hash, same
     estimator, same floor) — exact value parity, not a tolerance check."""

@@ -906,3 +906,35 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": _sql_stratified_sample(40),
     "sentence_split": _sql_sentence_split(),
 }
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters (operators/sketch.py
+    cms_heavy_hitters): top-20 tokens by estimated occurrence count from a
+    4x1024 deterministic-md5 sketch — bounded counter state regardless of
+    vocabulary size; the DuckDB oracle builds the identical sketch, so
+    even hash-collision over-counts match exactly."""
+    from ..operators.sketch import cms_heavy_hitters
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return cms_heavy_hitters(toks, "tok", depth=4, width=1024, k=20)
+
+
+def _sql_heavy_hitter_tokens() -> str:
+    from ..operators.sketch import sql_cms_heavy_hitters
+
+    return sql_cms_heavy_hitters(
+        f"SELECT unnest({_TOKS}) AS v FROM documents WHERE text IS NOT NULL",
+        depth=4,
+        width=1024,
+        k=20,
+    )
+
+
+QUERIES["heavy_hitter_tokens"] = q_heavy_hitter_tokens
+ORACLE_SQL["heavy_hitter_tokens"] = _sql_heavy_hitter_tokens()
