@@ -249,3 +249,40 @@ def test_salted_agg_is_two_phase(plans):
     drop the skew mitigation."""
     p = plans("salted_event_totals")
     assert p.count("HashAggregate") >= 3  # partial+final per phase
+
+
+def test_headline_plans_have_no_data_funnel(spark, sf_dir):
+    """Fleet-wide funnel check: no headline query may contain an
+    ``Exchange SinglePartition`` that is NOT (a) the benign partial->final
+    keyless global aggregate (one partial row per partition crosses it at
+    any corpus size) or (b) a window over a provably BOUNDED aggregate
+    frame, listed here with its bound. New queries that trip this either
+    get the two-phase treatment (operators/rank.py) or join the bounded
+    list with a justification."""
+    bounded = {
+        "monthly_growth": "|months| rows after the daily partial agg",
+        "revenue_moving_avg": "|days in 1996| rows after the daily agg",
+        "temperature_mix": "#sources quota frame",
+    }
+    from bench import HEADLINE
+
+    offenders = {}
+    for name in HEADLINE:
+        if name in bounded:
+            continue
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lines = plan.splitlines()
+        hits = [
+            (lines[i - 1] if i else "").strip()[:80]
+            for i, l in enumerate(lines)
+            if "Exchange SinglePartition" in l
+            and "HashAggregate(keys=[]" not in (lines[i - 1] if i else "")
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
