@@ -116,35 +116,70 @@ def cms_heavy_hitters(
 
     Returns DataFrame[value, est_count] ordered by (est_count desc, value).
     """
-    vals = df.select(F.col(value_col).cast("string").alias("v")).filter(
+    vals = cms_values(df, value_col)
+    counters = cms_counters(vals, depth=depth, width=width)
+    return cms_topk_from_counters(
+        counters, vals, depth=depth, width=width, k=k
+    )
+
+
+def cms_values(df: DataFrame, value_col: str) -> DataFrame:
+    """Normalize the value stream: one string row ``v`` per occurrence,
+    NULLs excluded (identical to the oracle's ``vals`` CTE)."""
+    return df.select(F.col(value_col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    # one row per (occurrence, sketch row r): h_r(v) = md5('r:'||v)[:8] % width
-    def _h(r: int) -> Column:
-        return F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.lit(str(r)), F.col("v"))), 1, 8),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(width),
-        )
 
-    counters = None
+
+def cms_hash(v: Column, r: int, width: int) -> Column:
+    """Sketch-row hash h_r(v) = md5('r:'||v)[:8] % width — the fixed md5
+    family both engines (and the streaming maintainer) share."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(r)), v)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_counter_delta(vals: DataFrame, *, depth: int, width: int) -> DataFrame:
+    """Exploded (r, h) rows, one per (occurrence, sketch row) — the raw
+    increment stream a counter aggregation (batch or incremental
+    monoid-state merge) counts."""
+    rows = None
     for r in range(depth):
-        c = (
-            vals.groupBy(_h(r).alias("h"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(F.lit(r).alias("r"), "h", "c")
-        )
-        counters = c if counters is None else counters.unionByName(c)
+        p = vals.select(F.lit(r).alias("r"), cms_hash(F.col("v"), r, width).alias("h"))
+        rows = p if rows is None else rows.unionByName(p)
+    return rows
 
+
+def cms_counters(vals: DataFrame, *, depth: int, width: int) -> DataFrame:
+    """depth x width counter array (r, h, c) from a value stream."""
+    return (
+        cms_counter_delta(vals, depth=depth, width=width)
+        .groupBy("r", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_topk_from_counters(
+    counters: DataFrame,
+    vals: DataFrame,
+    *,
+    depth: int,
+    width: int,
+    k: int,
+) -> DataFrame:
+    """Top-k estimates given a counter array and the candidate value
+    stream: per-value estimate = min over sketch rows of its counter.
+    ``counters`` may come from a one-shot aggregation or from persisted
+    incrementally-maintained state (streaming/sketch_stream.py) — the
+    estimate is identical because counting is a commutative monoid."""
     probes = None
     d = vals.distinct()
     for r in range(depth):
-        p = d.select("v", F.lit(r).alias("r"), _h(r).alias("h"))
+        p = d.select("v", F.lit(r).alias("r"), cms_hash(F.col("v"), r, width).alias("h"))
         probes = p if probes is None else probes.unionByName(p)
-
     est = (
         probes.join(F.broadcast(counters), ["r", "h"])
         .groupBy("v")

@@ -1,0 +1,106 @@
+"""Streaming Count-Min-sketch maintenance: a frequency sketch kept current
+over an unbounded stream, served by the batch engine.
+
+The streaming member of the sketch family (operators/sketch.py): each
+micro-batch's (r, h) increment rows fold into a persisted depth x width
+counter table via the same versioned-pointer monoid state as the metrics
+rollup (operators/rollup_state.py — counters are counts, a commutative
+monoid, so merge order cannot change estimates). State is bounded at
+depth x width rows FOREVER, regardless of stream volume or vocabulary —
+the property that makes a frequency sketch the right shape for "what are
+the hot tokens/URLs/users right now" over a 100 TB/day stream, where an
+exact per-value count table grows without bound.
+
+Exactly-once on top of foreachBatch's at-least-once: markers are keyed by
+(stream run id, epoch id) — see streaming/replay.py; a re-delivered epoch
+of the same checkpointed run is a no-op, while a genuinely new run (fresh
+checkpoint = new query id) applies all its batches.
+
+Estimates read the SAME code path as the one-shot batch sketch
+(cms_topk_from_counters), so a maintained sketch and a from-scratch batch
+sketch over the same rows are bit-identical — pinned by
+tests/test_sketch_stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rollup_state import RollupState
+from ..operators.sketch import cms_counter_delta, cms_topk_from_counters, cms_values
+from .replay import batch_key
+
+
+class CmsIngest:
+    """foreachBatch handler maintaining a persisted CM-sketch counter table.
+
+    ``checkpoint_dir`` scopes replay markers to the stream run; wired
+    automatically by :func:`start_cms_stream`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        value_col: str,
+        *,
+        depth: int = 4,
+        width: int = 1024,
+        checkpoint_dir: str | None = None,
+    ):
+        # Counter = the state's per-key count; the value column is a
+        # constant the sum monoid ignores semantically (kept because the
+        # rollup state schema carries (n, s)).
+        self.state = RollupState(spark, state_path, ["r", "h"], "_one")
+        self.value_col = value_col
+        self.depth = depth
+        self.width = width
+        self.checkpoint_dir = checkpoint_dir
+
+    def _delta(self, batch: DataFrame) -> DataFrame:
+        vals = cms_values(batch, self.value_col)
+        return cms_counter_delta(vals, depth=self.depth, width=self.width).withColumn(
+            "_one", F.lit(1.0)
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        key = batch_key(self.checkpoint_dir, batch_id)
+        delta = self._delta(batch)
+        if not self.state.exists():
+            self.state.init(delta, batch_id=key)
+            return
+        self.state.apply_batch(delta, key)
+
+    def counters(self) -> DataFrame:
+        """(r, h, c) counter table from the committed state."""
+        return self.state.read().select("r", "h", F.col("n").alias("c"))
+
+    def estimate_topk(self, candidates: DataFrame, value_col: str, k: int) -> DataFrame:
+        """Top-k frequency estimates for the candidate values against the
+        maintained counters — same code path as the batch sketch."""
+        return cms_topk_from_counters(
+            self.counters(),
+            cms_values(candidates, value_col),
+            depth=self.depth,
+            width=self.width,
+            k=k,
+        )
+
+
+def start_cms_stream(
+    stream_df: DataFrame,
+    handler: CmsIngest,
+    *,
+    checkpoint_dir: str,
+):
+    """Wire a streaming DataFrame into the sketch state via foreachBatch."""
+    handler.checkpoint_dir = checkpoint_dir
+    return (
+        stream_df.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
