@@ -938,3 +938,42 @@ def _sql_heavy_hitter_tokens() -> str:
 
 QUERIES["heavy_hitter_tokens"] = q_heavy_hitter_tokens
 ORACLE_SQL["heavy_hitter_tokens"] = _sql_heavy_hitter_tokens()
+
+
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED CM sketch (streaming/sketch_stream.py): the
+    corpus arrives as two batches folded into persisted monoid counter
+    state by the foreachBatch handler (driven directly, the
+    incremental_rollup pattern — the stream wiring itself is pytest-pinned
+    in tests/test_sketch_stream.py); estimates read the committed state.
+    Replayed batch keys are no-ops, so driver re-runs return identical
+    counters. The oracle is the ONE-SHOT batch sketch — counting is a
+    commutative monoid, so maintained state must equal the full recompute
+    bit-for-bit."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..functions.text import tokens as _tokens
+    from ..streaming.sketch_stream import CmsIngest
+
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    key = hashlib.md5(f"{sf_dir}|cms-v1".encode()).hexdigest()[:16]
+    handler = CmsIngest(
+        spark, os.path.join(root, f"cmsstate-{key}"), "tok", depth=4, width=1024
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def _toks(filtered):
+        return filtered.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+
+    handler(_toks(docs.filter(F.col("doc_id") % 2 == 0)), 0)
+    handler(_toks(docs.filter(F.col("doc_id") % 2 == 1)), 1)
+    return handler.estimate_topk(_toks(docs), "tok", k=20)
+
+
+QUERIES["streaming_heavy_hitters"] = q_streaming_heavy_hitters
+ORACLE_SQL["streaming_heavy_hitters"] = _sql_heavy_hitter_tokens()
