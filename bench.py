@@ -84,6 +84,7 @@ HEADLINE = [
     "distinct_kmv_users",
     "part_reachability",
     "heavy_hitter_tokens",
+    "streaming_heavy_hitters",
 ]
 
 
