@@ -85,6 +85,7 @@ HEADLINE = [
     "part_reachability",
     "heavy_hitter_tokens",
     "streaming_heavy_hitters",
+    "streaming_distinct_kmv",
 ]
 
 

@@ -66,3 +66,33 @@ def test_replay_same_checkpoint_is_noop(spark, sf_dir, tmp_path):
         (r["r"], r["h"], r["c"]) for r in handler.counters().collect()
     )
     assert after == before
+
+
+def test_maintained_kmv_equals_batch_sketch(spark, sf_dir, tmp_path):
+    from vector_db_mvp_spark.operators.sketch import kmv_distinct
+    from vector_db_mvp_spark.streaming.sketch_stream import KmvIngest
+
+    ev = load_table(spark, sf_dir, "events")
+    handler = KmvIngest(
+        spark, str(tmp_path / "kmv_state"), "event_type", "user_id", k=16
+    )
+    # three uneven batches, with overlap in user ids across batches
+    handler(ev.filter(F.col("event_id") % 3 == 0), 0)
+    handler(ev.filter(F.col("event_id") % 3 == 1), 1)
+    handler(ev.filter(F.col("event_id") % 3 == 2), 2)
+    got = sorted(tuple(r) for r in handler.estimates().collect())
+    want = sorted(
+        (r["event_type"], r["k_used"], r["distinct_estimate"])
+        for r in kmv_distinct(ev, "event_type", "user_id", k=16).collect()
+    )
+    assert got == want
+    # bounded state: at most k rows per group
+    per_group = (
+        handler.state.read().groupBy("event_type").count().collect()
+    )
+    assert all(r["count"] <= 16 for r in per_group)
+    # replay of an applied batch is a no-op
+    before = got
+    handler(ev.filter(F.col("event_id") % 3 == 0), 0)
+    after = sorted(tuple(r) for r in handler.estimates().collect())
+    assert after == before

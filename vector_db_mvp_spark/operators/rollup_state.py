@@ -85,11 +85,30 @@ class RollupState:
     live state and its applied-marker set change together or not at all.
     """
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str], value_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        value_col: str | None,
+        *,
+        partial_fn=None,
+        merge_fn=None,
+    ):
+        """Default monoid is the (count, decimal-sum) rollup. Any other
+        commutative monoid plugs in via ``partial_fn(raw_df) -> state_df``
+        and ``merge_fn(state_df, state_df) -> state_df`` (e.g. the KMV
+        min-k state in streaming/sketch_stream.py) — the versioned-pointer
+        commit protocol, idempotent batch markers, and GC are monoid-
+        independent."""
         self.spark = spark
         self.path = path
         self.keys = keys
         self.value_col = value_col
+        self._partial = partial_fn or (
+            lambda df: aggregate_partial(df, keys, value_col)
+        )
+        self._merge = merge_fn or (lambda a, b: merge_states(a, b, keys))
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_current.json")
@@ -140,7 +159,7 @@ class RollupState:
         batch is a no-op even if the process dies right after init."""
         os.makedirs(self.path, exist_ok=True)
         self._commit(
-            aggregate_partial(df, self.keys, self.value_col),
+            self._partial(df),
             0,
             [batch_id] if batch_id is not None else [],
         )
@@ -172,8 +191,8 @@ class RollupState:
             raise FileNotFoundError(f"no committed rollup state at {self.path}")
         if batch_id in ptr["applied"]:
             return False
-        delta = aggregate_partial(batch, self.keys, self.value_col)
-        merged = merge_states(self.read(), delta, self.keys)
+        delta = self._partial(batch)
+        merged = self._merge(self.read(), delta)
         version = int(ptr["dir"].rsplit("_v", 1)[1]) + 1
         self._commit(merged, version, [*ptr["applied"], batch_id])
         return True

@@ -87,6 +87,61 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> 
     ).orderBy(group_col)
 
 
+def kmv_state_rows(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Bounded KMV state: the <= k smallest distinct md5 hashes per group,
+    as (group_col, h) rows — the min-k monoid the streaming maintainer
+    (streaming/sketch_stream.py KmvIngest) merges across batches. Same
+    two-phase salted prune as :func:`kmv_distinct`."""
+    d = df.select(group_col, value_col).distinct()
+    h = d.select(group_col, F.md5(F.col(value_col).cast("string")).alias("h"))
+    b = h.withColumn("_b", F.pmod(F.xxhash64("h"), F.lit(BUCKETS)))
+    w1 = Window.partitionBy(group_col, "_b").orderBy("h")
+    pruned = (
+        b.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_b", "_rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("h")
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Min-k monoid merge: k smallest of the DEDUPLICATED union — values
+    seen in several batches hash identically, so (group, h) dedup keeps
+    set semantics exact across batch boundaries."""
+    u = a.unionByName(b).dropDuplicates([group_col, "h"])
+    w = Window.partitionBy(group_col).orderBy("h")
+    return u.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def kmv_estimate_from_state(
+    state: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """(group, k_used, distinct_estimate) from bounded min-k state. A
+    group with fewer than k state rows holds ALL its distinct hashes, so
+    the count is exact; at k rows the k-th smallest hash (= max of the
+    state) feeds the same estimator as :func:`kmv_distinct` — the
+    maintained estimate equals the one-shot batch estimate bit-for-bit."""
+    agg = state.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_kth")
+    )
+    v = F.greatest(_hash32(F.col("_kth")), F.lit(1.0))
+    est = F.when(F.col("_n") < k, F.col("_n")).otherwise(
+        F.floor(F.lit(float(k - 1) * 4294967296.0) / v)
+    )
+    return agg.select(
+        group_col,
+        F.col("_n").cast("long").alias("k_used"),
+        est.cast("long").alias("distinct_estimate"),
+    ).orderBy(group_col)
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,

@@ -90,6 +90,57 @@ class CmsIngest:
         )
 
 
+class KmvIngest:
+    """foreachBatch handler maintaining per-group KMV distinct-count state.
+
+    The min-k monoid twin of :class:`CmsIngest`: state is the <= k
+    smallest distinct hashes per group (bounded at k rows per group
+    forever), merged across batches with set semantics, committed through
+    the same versioned-pointer protocol with run-scoped replay markers.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        group_col: str,
+        value_col: str,
+        *,
+        k: int = 64,
+        checkpoint_dir: str | None = None,
+    ):
+        from ..operators.sketch import kmv_merge, kmv_state_rows
+
+        self.group_col = group_col
+        self.value_col = value_col
+        self.k = k
+        self.checkpoint_dir = checkpoint_dir
+        self.state = RollupState(
+            spark,
+            state_path,
+            [group_col, "h"],
+            None,
+            partial_fn=lambda df: kmv_state_rows(df, group_col, value_col, k),
+            merge_fn=lambda a, b: kmv_merge(a, b, group_col, k),
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        key = batch_key(self.checkpoint_dir, batch_id)
+        if not self.state.exists():
+            self.state.init(batch, batch_id=key)
+            return
+        self.state.apply_batch(batch, key)
+
+    def estimates(self) -> DataFrame:
+        """(group, k_used, distinct_estimate) from the committed state —
+        bit-identical to the one-shot batch sketch over the same rows."""
+        from ..operators.sketch import kmv_estimate_from_state
+
+        return kmv_estimate_from_state(self.state.read(), self.group_col, self.k)
+
+
 def start_cms_stream(
     stream_df: DataFrame,
     handler: CmsIngest,

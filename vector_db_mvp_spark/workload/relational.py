@@ -2990,5 +2990,50 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES["distinct_kmv_users"] = q_distinct_kmv_users
 ORACLE_SQL["distinct_kmv_users"] = _sql_distinct_kmv_users()
+
+
+def q_streaming_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED KMV sketch (streaming/sketch_stream.py
+    KmvIngest): events arrive as two batches whose <= 64 smallest distinct
+    user-hashes per event_type merge into persisted min-k monoid state
+    (bounded at k rows per group forever); estimates read the committed
+    state. Replayed batch keys are no-ops, so driver re-runs are stable.
+    The oracle is the ONE-SHOT batch sketch — min-k over distinct hashes
+    is a commutative monoid, so maintained state equals the full
+    recompute bit-for-bit."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming.sketch_stream import KmvIngest
+
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    key = hashlib.md5(f"{sf_dir}|kmv-v1".encode()).hexdigest()[:16]
+    handler = KmvIngest(
+        spark,
+        os.path.join(root, f"kmvstate-{key}"),
+        "event_type",
+        "user_id",
+        k=64,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    handler(ev.filter(F.col("event_id") % 2 == 0), 0)
+    handler(ev.filter(F.col("event_id") % 2 == 1), 1)
+    return handler.estimates()
+
+
+def _sql_streaming_distinct_kmv() -> str:
+    return f"""
+SELECT event_type, k_used, distinct_estimate
+FROM ({_sql_distinct_kmv_users()})
+ORDER BY event_type
+"""
+
+
+QUERIES["streaming_distinct_kmv"] = q_streaming_distinct_kmv
+ORACLE_SQL["streaming_distinct_kmv"] = _sql_streaming_distinct_kmv()
 QUERIES["part_reachability"] = q_part_reachability
 ORACLE_SQL["part_reachability"] = SQL_PART_REACHABILITY
