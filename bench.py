@@ -86,6 +86,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "streaming_heavy_hitters",
     "streaming_distinct_kmv",
+    "global_price_median",
 ]
 
 

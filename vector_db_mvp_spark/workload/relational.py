@@ -3037,3 +3037,40 @@ QUERIES["streaming_distinct_kmv"] = q_streaming_distinct_kmv
 ORACLE_SQL["streaming_distinct_kmv"] = _sql_streaming_distinct_kmv()
 QUERIES["part_reachability"] = q_part_reachability
 ORACLE_SQL["part_reachability"] = SQL_PART_REACHABILITY
+
+
+def q_global_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median over an unbounded fact column via the
+    distributed rank (operators/rank.py): the naive
+    ``ROW_NUMBER() OVER (ORDER BY price)`` funnels every lineitem row
+    through one partition; the range-bucketed two-phase rank spreads the
+    sort and selects the two middle order statistics. Median = avg of the
+    values at ranks floor/ceil((n+1)/2) — rank assignment among equal
+    prices is arbitrary, but the VALUE at a given rank of the sorted
+    multiset is deterministic, so ties cannot change the answer."""
+    from ..operators.rank import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price")
+    )
+    ranked, n = global_row_number(li, "price", [], buckets=64)
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    return (
+        ranked.filter(F.col("rn").isin(lo, hi))
+        .agg(F.round(F.avg("price"), 6).alias("median_price"))
+        .select(F.lit(n).cast("long").alias("n_rows"), "median_price")
+    )
+
+
+SQL_GLOBAL_PRICE_MEDIAN = """
+WITH p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem),
+r AS (SELECT price, ROW_NUMBER() OVER (ORDER BY price) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       ROUND(AVG(price), 6) AS median_price
+FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+"""
+
+QUERIES["global_price_median"] = q_global_price_median
+ORACLE_SQL["global_price_median"] = SQL_GLOBAL_PRICE_MEDIAN
