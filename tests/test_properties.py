@@ -369,3 +369,31 @@ def test_scd2_merge_null_transitions_and_dup_rejection(spark):
     dup = spark.createDataFrame([(1, "X"), (1, "Y")], "k int, seg string")
     with pytest.raises(ValueError, match="duplicate key"):
         scd2_merge(dim, dup, key="k", attrs=["seg"], batch_ts="2020-01-01")
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=120),
+    buckets=st.integers(1, 9),
+)
+@SET
+def test_global_row_number_equals_window(spark, vals, buckets):
+    """operators/rank.py: the distributed two-phase rank must equal the
+    single-partition window for ANY value distribution (duplicates, skew,
+    negatives) and ANY bucket count — boundaries shape load balance only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_db_mvp_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    ranked, n = global_row_number(df, "v", ["id"], buckets=buckets)
+    assert n == len(vals)
+    got = {r["id"]: r["rn"] for r in ranked.collect()}
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
