@@ -397,3 +397,37 @@ def test_global_row_number_equals_window(spark, vals, buckets):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 60)),
+        min_size=1,
+        max_size=80,
+    ),
+    cut=st.integers(0, 79),
+    k=st.sampled_from([4, 16]),
+)
+@SET
+def test_kmv_merge_monoid_law(spark, vals, cut, k):
+    """operators/sketch.py: merging per-batch KMV states must equal the
+    state built from all rows at once — the commutative-monoid law the
+    streaming maintainer (KmvIngest) rests on, for any split point,
+    duplicate overlap, and k."""
+    from vector_db_mvp_spark.operators.sketch import kmv_merge, kmv_state_rows
+
+    df = spark.createDataFrame(vals, "g string, v long")
+    left = spark.createDataFrame(vals[:cut] or [("a", 0)], "g string, v long")
+    right = spark.createDataFrame(vals[cut:] or [("a", 0)], "g string, v long")
+    if not vals[:cut] or not vals[cut:]:
+        return  # degenerate split: nothing to merge
+    merged = kmv_merge(
+        kmv_state_rows(left, "g", "v", k),
+        kmv_state_rows(right, "g", "v", k),
+        "g",
+        k,
+    )
+    direct = kmv_state_rows(df, "g", "v", k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
