@@ -119,7 +119,7 @@ def sql_minhash_signature_from_md5s(md5s_expr: str, k: int) -> str:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (63-bit)
+# SimHash (60-bit)
 # ---------------------------------------------------------------------------
 
 # 60, not the literature's 64 (Manku et al., WWW'07), for two portability

@@ -137,6 +137,8 @@ def running_min_before(
     for b in sorted(bucket_mins):
         prefix[b] = run  # min over all STRICTLY EARLIER buckets
         m = bucket_mins[b]
+        if m is None:  # every value_col in the bucket is NULL: contributes nothing
+            continue
         run = m if run is None else min(run, m)
     entries = [x for b, v in prefix.items() if v is not None for x in (b, v)]
     prefix_map = (

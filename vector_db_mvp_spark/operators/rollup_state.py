@@ -41,6 +41,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def source_fingerprint(path: str) -> str:
+    """Content fingerprint of a source table directory (or single file):
+    md5 over the sorted (relative name, size, mtime_ns) of every data file.
+
+    Persisted monoid state is keyed by source path + a version tag; if the
+    fixture data at that path is ever REGENERATED, a path-only key would
+    silently merge rows from the old generation into the new state and
+    break oracle parity. Folding the data files' identity into the key
+    makes regeneration start a fresh state lineage instead.
+    """
+    import hashlib
+
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for name in sorted(files):
+                if name.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, path), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return hashlib.md5(repr(entries).encode()).hexdigest()[:12]
+
+
 def aggregate_partial(
     df: DataFrame, keys: list[str], value_col: str
 ) -> DataFrame:
@@ -105,6 +135,11 @@ class RollupState:
         self.path = path
         self.keys = keys
         self.value_col = value_col
+        if partial_fn is None and value_col is None:
+            raise ValueError(
+                "RollupState: value_col is required when partial_fn is omitted "
+                "(the default monoid aggregates value_col)"
+            )
         self._partial = partial_fn or (
             lambda df: aggregate_partial(df, keys, value_col)
         )

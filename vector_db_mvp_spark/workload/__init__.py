@@ -50,14 +50,11 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    "scd2_customers",        # null-safe SCD2 change detection + update dedupe
-    "incremental_rollup",    # rollup state: atomic versioned-pointer commits
-    "weighted_sample",       # oracle SQL literal escaping
-    "bm25_search", "bm25_batch", "hybrid_rrf",  # oracle SQL literal escaping
-    "supplier_pagerank",     # per-round broadcast removed (perf)
-    "dedup_simhash",         # 60-bit code + 15-bit bands (sf1 scale fix)
-    "customer_spend_deciles",  # distributed global rank (no 1-partition window)
-    "parts_skyline",         # distributed strict-prefix running min
+    # round 6
+    "incremental_rollup",      # state key now includes source fingerprint
+    "streaming_distinct_kmv",  # state key now includes source fingerprint
+    "streaming_heavy_hitters", # state key now includes source fingerprint
+    "parts_skyline",           # running_min_before: all-NULL bucket fold fix
 ]
 
 

@@ -1938,7 +1938,10 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SPARK_GRAFT_INDEX_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
     )
-    key = hashlib.md5(f"{sf_dir}|rollup-v1".encode()).hexdigest()[:16]
+    from ..operators.rollup_state import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{fp}|rollup-v1".encode()).hexdigest()[:16]
     rs = RollupState(
         spark,
         os.path.join(root, f"rollupstate-{key}"),
@@ -3011,7 +3014,10 @@ def q_streaming_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SPARK_GRAFT_INDEX_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
     )
-    key = hashlib.md5(f"{sf_dir}|kmv-v1".encode()).hexdigest()[:16]
+    from ..operators.rollup_state import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{fp}|kmv-v1".encode()).hexdigest()[:16]
     handler = KmvIngest(
         spark,
         os.path.join(root, f"kmvstate-{key}"),

@@ -961,7 +961,10 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SPARK_GRAFT_INDEX_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
     )
-    key = hashlib.md5(f"{sf_dir}|cms-v1".encode()).hexdigest()[:16]
+    from ..operators.rollup_state import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{fp}|cms-v1".encode()).hexdigest()[:16]
     handler = CmsIngest(
         spark, os.path.join(root, f"cmsstate-{key}"), "tok", depth=4, width=1024
     )
