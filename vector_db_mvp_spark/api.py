@@ -176,6 +176,24 @@ class InteractiveApi:
         return dict(st.get("last_results") or {})
 
 
+def _f32_json(values) -> list[float] | None:
+    """Serialize a stored float32 embedding for JSON with the SHORTEST
+    decimal that round-trips at float32 precision — what a float32-aware
+    JSON encoder emits. The chunk store keeps embeddings as array<float>
+    (half the memory of double at 100 TB); a naive float64 widening would
+    render 0.1f as 0.10000000149011612, breaking clients (and the
+    reference's own endpoint tests) that compare against the posted
+    literal. Shortest-repr recovers every posted decimal of <=9
+    significant digits exactly."""
+    import numpy as np
+
+    if values is None:
+        return None
+    return [
+        float(np.format_float_positional(np.float32(v), trim="-")) for v in values
+    ]
+
+
 def _lib_404() -> ApiError:
     return ApiError(404, "Library not found")
 
@@ -196,7 +214,7 @@ class VectorDbApi:
         return {
             "id": row["chunk_id"],
             "text": row["text"],
-            "embedding": list(row["embedding"]) if row["embedding"] is not None else None,
+            "embedding": _f32_json(row["embedding"]),
             "metadata": {
                 "type": row["meta_type"],
                 "created_at": row["created_at"],
