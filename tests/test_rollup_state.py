@@ -77,7 +77,11 @@ def test_state_and_marker_commit_atomically(spark, state, tmp_path):
     """The pointer file carries BOTH the live state dir and the applied
     set, flipped in one os.replace — there is no window where the merged
     state exists without its marker (double-apply on retry) or vice versa
-    (dropped batch). Also: superseded version dirs are GC'd."""
+    (dropped batch). Also: superseded version dirs are GC'd with ONE
+    retained predecessor (reader-vs-GC grace window: a concurrent batch
+    reader that resolved the pointer just before the flip may still be
+    scanning the previous version's files — operators/rollup_state.py
+    _commit)."""
     import json
     import os
 
@@ -91,7 +95,14 @@ def test_state_and_marker_commit_atomically(spark, state, tmp_path):
         d for d in os.listdir(state.path)
         if d.startswith("state_v") and os.path.isdir(os.path.join(state.path, d))
     }
-    assert live == {"state_v1"}  # v0 garbage-collected after the flip
-    # replays of either batch are no-ops
+    assert live == {"state_v0", "state_v1"}  # v0 retained for in-flight readers
+    # a further commit advances the retention window: v0 is now GC'd
+    state.apply_batch(_events(spark, [("a", 3.0)]), "b2")
+    live = {
+        d for d in os.listdir(state.path)
+        if d.startswith("state_v") and os.path.isdir(os.path.join(state.path, d))
+    }
+    assert live == {"state_v1", "state_v2"}
+    # replays of any applied batch are no-ops
     assert state.apply_batch(_events(spark, [("a", 2.0)]), "b1") is False
-    assert state.metrics().collect()[0].n_events == 2
+    assert state.metrics().collect()[0].n_events == 3

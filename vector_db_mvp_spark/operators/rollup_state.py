@@ -167,9 +167,17 @@ class RollupState:
         os.replace(tmp, self._pointer())  # atomic state+marker commit
         # Best-effort GC of superseded versions and any pre-pointer-era
         # layout ("state"/"state_old"/"state_tmp" dirs, _applied_* files).
+        # RETENTION: keep the immediately-preceding version too. A concurrent
+        # reader (streaming-ingest/batch-serve) that resolved the pointer
+        # just before this flip may still be scanning v<N-1>'s files;
+        # deleting them mid-read fails that read (caught live by
+        # tests/test_live_trigger.py). One retained version covers any
+        # reader that started within the last commit interval — the same
+        # reader-vs-GC contract as a table format's retention period.
+        keep = {dirname, f"state_v{version - 1}"}
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
-            if name != dirname and (
+            if name not in keep and (
                 name == "state" or name.startswith(("state_v", "state_old", "state_tmp"))
             ):
                 shutil.rmtree(full, ignore_errors=True)

@@ -69,12 +69,24 @@ def start_rollup_stream(
     handler: RollupIngest,
     *,
     checkpoint_dir: str,
+    processing_time: str | None = None,
 ):
-    """Wire a streaming DataFrame into the rollup state via foreachBatch."""
+    """Wire a streaming DataFrame into the rollup state via foreachBatch.
+
+    Default trigger is ``availableNow`` (drain-what-exists, deterministic —
+    what the batch-equivalence tests use). Pass ``processing_time`` (e.g.
+    ``"1 second"``) for a LIVE continuously-running stream; restarting from
+    the same ``checkpoint_dir`` resumes exactly-once (the replay markers
+    are keyed by the checkpoint's persistent query id — streaming/replay.py
+    — so a re-delivered epoch after a crash/stop is a no-op while progress
+    continues from the committed offsets)."""
     handler.checkpoint_dir = checkpoint_dir
-    return (
+    writer = (
         stream_df.writeStream.foreachBatch(handler)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
