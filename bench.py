@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "dedup_simhash",
     "semantic_dedup",
+    "semantic_dedup_sqrtn",
     "lm_perplexity",
     "duplicated_spans",
     "forecast_revenue_change",
