@@ -30,8 +30,20 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     ``edges`` must be DataFrame[src, dst] with both directions present for
     undirected graphs; ``seeds`` is DataFrame[node]. Returns
     DataFrame[node, hop] where hop is the BFS distance (0 for seeds).
+
+    The edge table is checkpointed DISK_ONLY: it is corpus-sized (a
+    co-purchase graph carries ~|baskets|·k² rows), and the default
+    deserialized on-heap block format is ~5x the serialized size — at the
+    sf10 probe (~180M edges) that OOM'd a 48 GiB heap before this change
+    (BENCH_sf10.md). Serialized-on-disk blocks stream back per-partition
+    at a cost the 3 reuse rounds amortize; control-plane-sized frontiers
+    stay in memory.
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    edges = edges.select("src", "dst").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     seeds = seeds.select("node").distinct().localCheckpoint(eager=True)
     visited = seeds.withColumn("hop", F.lit(0))
     frontier = seeds

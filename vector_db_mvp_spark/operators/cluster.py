@@ -91,7 +91,12 @@ def connected_components(
     # pair-generation pipeline, and both the label seed below and every
     # iteration read it. Deriving labels from the un-checkpointed plan would
     # run that pipeline twice (measured 2x on dedup_clusters at sf0.1).
-    sym = sym.localCheckpoint(eager=True)
+    # SERIALIZED memory+disk, not the deserialized default: the edge list
+    # is corpus-sized and deserialized on-heap blocks are ~5x larger —
+    # the OOM class the sf10 probe caught in bfs.py (see pagerank.py).
+    from pyspark import StorageLevel
+
+    sym = sym.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     # Small-graph fast path: exact same labeling, resolved on the driver.
     # sym is already materialized, so the count is a cheap block scan.

@@ -59,8 +59,14 @@ def pagerank(
     # Materialize the (usually expensively-derived) edge list ONCE: every
     # round joins against it, and without the barrier each round re-runs
     # the whole upstream plan. Eager localCheckpoint, not cache — see
-    # operators/semdedup.py (CacheManager leak per invocation).
-    e = sel.localCheckpoint(eager=True)
+    # operators/semdedup.py (CacheManager leak per invocation). SERIALIZED
+    # memory+disk: the edge list is corpus-sized, and default deserialized
+    # on-heap blocks are ~5x the serialized size — the sf10 probe OOM'd a
+    # 48 GiB heap on exactly this pattern in bfs.py before its fix; the
+    # per-round deserialization cost is noise next to the join shuffle.
+    from pyspark import StorageLevel
+
+    e = sel.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # ONE aggregation yields both the node set and the out-degrees (every
     # node has out-degree >= 1 by contract, so the degree frame's key set
     # IS the node set — no separate distinct shuffle). Checkpointed: it is

@@ -70,8 +70,13 @@ def global_row_number(
     ``(value_col ASC, *tiebreak_cols ASC)`` — the distributed twin of
     ``row_number().over(Window.orderBy(...))``. Returns ``(df + rn_col,
     total_row_count)``. The input is checkpointed (it is scanned three
-    times: boundaries, bucket counts, final window)."""
-    base = df.localCheckpoint(eager=True)
+    times: boundaries, bucket counts, final window) — SERIALIZED
+    memory+disk, since the input is corpus-sized and deserialized on-heap
+    blocks are ~5x the serialized size (the OOM class the sf10 probe
+    caught in bfs.py)."""
+    from pyspark import StorageLevel
+
+    base = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     bounds = _boundaries(base, value_col, buckets)
     bucketed = base.withColumn("_gb", _bucket_expr(F.col(value_col), bounds))
     counts = {
@@ -126,7 +131,9 @@ def running_min_before(
     ``order_col`` order (NULL for the global first row) — the distributed
     twin of ``min(v).over(Window.orderBy(o).rowsBetween(unboundedPreceding,
     -1))`` for frames where ``order_col`` values are distinct."""
-    base = df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    base = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     bounds = _boundaries(base, order_col, buckets)
     bucketed = base.withColumn("_gb", _bucket_expr(F.col(order_col), bounds))
     bucket_mins = {

@@ -54,7 +54,12 @@ _CHANGED_THIS_ROUND = [
     "incremental_rollup",      # state key now includes source fingerprint
     "streaming_distinct_kmv",  # state key now includes source fingerprint
     "streaming_heavy_hitters", # state key now includes source fingerprint
-    "parts_skyline",           # running_min_before: all-NULL bucket fold fix
+    "parts_skyline",           # running_min fold fix + serialized checkpoint
+    "customer_spend_deciles",  # rank base checkpoint now serialized
+    "global_price_median",     # rank base checkpoint now serialized
+    "part_reachability",       # BFS edge checkpoint now DISK_ONLY (sf10 OOM fix)
+    "supplier_pagerank",       # edge checkpoint now serialized
+    "dedup_clusters",          # edge checkpoint now serialized
 ]
 
 
