@@ -1,0 +1,102 @@
+"""Unit pins for the round-6 additions: BPE merge training (operators/bpe.py)
+and water-filling budget mixing (operators/mixing.char_budget_mix). The
+oracle-parity leg lives in test_queries_oracle.py; these tests pin the
+*semantics* against an independent pure-Python reference and the allocation
+invariants the oracle comparison alone cannot explain."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from vector_db_mvp_spark.operators.bpe import bpe_train
+from vector_db_mvp_spark.operators.mixing import char_budget_mix
+from vector_db_mvp_spark.sources.testdata import load_table
+
+
+def _ref_bpe(texts, k):
+    """Textbook BPE on the word-frequency table (Sennrich 2016), with the
+    explicit greedy left-to-right merge scan — deliberately NOT the fold
+    formulation the operator uses, so equality checks the equivalence."""
+    wc = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        wc.update(re.findall("[a-z]+", t.lower()))
+    vocab = {w: list(w) for w in wc}
+    out = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        mx = max(pc.values())
+        lhs, rhs = min(p for p, c in pc.items() if c == mx)
+        out.append((rank, lhs, rhs, mx))
+        for w, syms in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    ns.append(lhs + rhs)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            vocab[w] = ns
+    return out
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    texts = [
+        "the cat sat on the mat with the hat",
+        "The THEME of the theater is theatrical",
+        "aaa aaaa banana bandana",  # overlapping-pair greedy cases
+        "Hello, world! 123 hello hello",
+        None,
+        "x",  # 1-char word: no pairs
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = [tuple(r) for r in bpe_train(df, k=5).collect()]
+    assert got == _ref_bpe(texts, 5)
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    # 'aaaa' must merge to [aa][aa] (2 uses) and 'aaa' to [aa]a (1 use):
+    # pair (a,a) counts 3+2 pre-merge, and round 2 sees (aa,aa) from 'aaaa'.
+    df = spark.createDataFrame([(1, "aaa aaaa")], "doc_id int, text string")
+    got = [tuple(r) for r in bpe_train(df, k=2).collect()]
+    assert got[0] == (1, "a", "a", 5)
+    assert got == _ref_bpe(["aaa aaaa"], 2)
+
+
+def test_char_budget_mix_waterfill_invariants(spark, sf_dir):
+    budget = 130_000
+    docs = load_table(spark, sf_dir, "documents")
+    kept = char_budget_mix(docs, budget=budget, alpha=0.5).collect()
+    totals = {
+        r["lang"]: r["total"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("total")).collect()
+    }
+    by_lang = {}
+    for r in kept:
+        g = by_lang.setdefault(r["lang"], {"chars": 0, "alloc": r["alloc_cost"]})
+        g["chars"] += r["n_chars"]
+    # every language is represented, never over its allocation, and the
+    # capped ones (alloc == total corpus) are taken whole
+    assert set(by_lang) == set(totals)
+    capped = 0
+    for lang, g in by_lang.items():
+        assert g["chars"] <= g["alloc"] + 1e-6
+        if g["alloc"] == float(totals[lang]):
+            capped += 1
+            assert g["chars"] == totals[lang]
+    # the fixture corpus exercises BOTH branches at every SF we test
+    assert 0 < capped < len(totals)
+    # water-filling exhausts the budget: total allocation == budget (the
+    # uncapped shares absorb exactly the surplus), up to round-6 slack
+    total_alloc = sum(g["alloc"] for g in by_lang.values())
+    assert abs(total_alloc - budget) < 1e-3

@@ -69,6 +69,163 @@ def temperature_mix(
     )
 
 
+def char_budget_mix(
+    df: DataFrame,
+    *,
+    budget: int,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    cost_col: str = "n_chars",
+) -> DataFrame:
+    """Cost-aware mixture planning: split a character budget across groups
+    by water-filling, then select each group's cheapest-first (by md5 order)
+    document prefix that fits its allocation.
+
+    ``temperature_mix`` plans in *document counts*; real token budgets are
+    *cost* budgets (a 100-token doc is not a 10k-token doc). Water-filling
+    (the classic max-min fair allocation) fixes the over-ask: each group's
+    fair share is ``budget * w_g / W`` with ``w_g = total_g^alpha``, but a
+    group whose entire corpus is smaller than its share is *capped* at its
+    total and its surplus is redistributed across the rest — the standard
+    fixpoint. Because groups sorted by total cost ascending are capped in
+    prefix order, the fixpoint has a closed form over prefix/suffix sums —
+    no iteration, no driver loop.
+
+    Selection inside a group is the deterministic md5-order prefix whose
+    running cost fits the allocation (same rerun-stable primitive as
+    ``stratified_sample``; a doc is kept iff the running sum *through it*
+    fits, so the sample is a prefix, not a knapsack).
+
+    Scale notes (100 TB): the totals frame is #groups rows (the ordered
+    windows over it are deliberate single-task steps over a tiny frame);
+    the only corpus-sized work is one map-side-combined sum and one window
+    keyed by group. Float care: group totals are exact integers in DOUBLE
+    (< 2^53); weights are round-6 doubles so both engines fold identical
+    values; allocations are round-6. No RNG anywhere."""
+    totals = df.groupBy(group_col).agg(F.sum(cost_col).alias("total_cost"))
+    w = F.round(F.pow("total_cost", F.lit(alpha)), 6)
+    order = Window.orderBy("total_cost", group_col)
+    prefix_total = F.coalesce(
+        F.sum("total_cost").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    suffix_w = F.sum("w").over(
+        order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # capped iff the fair share over the not-yet-capped suffix exceeds the
+    # group's whole corpus: (B - capped_prefix) * w >= total * suffix_w.
+    # Monotone in the sort order; the running MIN makes closure explicit.
+    cond = F.when(
+        (F.lit(budget) - prefix_total) * F.col("w")
+        >= F.col("total_cost") * F.col("suffix_w"),
+        1,
+    ).otherwise(0)
+    full = Window.orderBy("total_cost", group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    plan = (
+        totals.select(group_col, "total_cost", w.alias("w"))
+        .withColumn("suffix_w", suffix_w)
+        .withColumn(
+            "capped",
+            F.min(cond).over(order.rowsBetween(Window.unboundedPreceding, 0)) == 1,
+        )
+        .withColumn(
+            "capped_total",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("total_cost"))).over(full),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "uncapped_w",
+            F.sum(F.when(~F.col("capped"), F.col("w"))).over(full),
+        )
+        .select(
+            group_col,
+            F.round(
+                F.when(F.col("capped"), F.col("total_cost").cast("double")).otherwise(
+                    (F.lit(budget) - F.col("capped_total"))
+                    * F.col("w")
+                    / F.col("uncapped_w")
+                ),
+                6,
+            ).alias("alloc_cost"),
+        )
+    )
+    running = F.sum(cost_col).over(
+        Window.partitionBy(group_col).orderBy(
+            F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        df.select(id_col, group_col, cost_col)
+        .withColumn("running_cost", running)
+        .join(F.broadcast(plan), group_col)
+        .filter(F.col("running_cost") <= F.col("alloc_cost"))
+        .select(id_col, group_col, cost_col, "alloc_cost")
+    )
+
+
+def sql_char_budget_mix(
+    table: str = "documents",
+    *,
+    budget: int,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    cost_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`char_budget_mix`."""
+    return f"""
+WITH totals AS (
+  SELECT {group_col}, SUM({cost_col}) AS total_cost,
+         round(pow(SUM({cost_col}), {alpha}), 6) AS w
+  FROM {table} GROUP BY 1
+), flags AS (
+  SELECT *,
+         SUM(w) OVER (ORDER BY total_cost, {group_col}
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS suffix_w,
+         CASE WHEN ({budget} - COALESCE(SUM(total_cost) OVER (
+                      ORDER BY total_cost, {group_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   * w >= total_cost
+                   * SUM(w) OVER (ORDER BY total_cost, {group_col}
+                                  ROWS BETWEEN CURRENT ROW
+                                           AND UNBOUNDED FOLLOWING)
+              THEN 1 ELSE 0 END AS cond
+  FROM totals
+), plan0 AS (
+  SELECT *,
+         MIN(cond) OVER (ORDER BY total_cost, {group_col}
+                         ROWS UNBOUNDED PRECEDING) = 1 AS capped
+  FROM flags
+), plan AS (
+  SELECT {group_col},
+         round(CASE WHEN capped THEN CAST(total_cost AS DOUBLE)
+                    ELSE ({budget} - COALESCE(SUM(CASE WHEN capped
+                                     THEN total_cost END) OVER (), 0))
+                         * w
+                         / SUM(CASE WHEN NOT capped THEN w END) OVER ()
+               END, 6) AS alloc_cost
+  FROM plan0
+), ranked AS (
+  SELECT {id_col}, {group_col}, {cost_col},
+         SUM({cost_col}) OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC
+           ROWS UNBOUNDED PRECEDING) AS running_cost
+  FROM {table}
+)
+SELECT r.{id_col}, r.{group_col}, r.{cost_col}, p.alloc_cost
+FROM ranked r JOIN plan p USING ({group_col})
+WHERE r.running_cost <= p.alloc_cost
+ORDER BY r.{id_col}
+"""
+
+
 def sql_temperature_mix(
     table: str = "documents",
     *,

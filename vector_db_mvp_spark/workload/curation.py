@@ -403,6 +403,30 @@ def _sql_temperature_mix() -> str:
 
 
 # --------------------------------------------------------------------------
+# Cost-aware budget mixing (water-filling)
+# --------------------------------------------------------------------------
+
+def q_char_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling character-budget mixture (operators/mixing.py
+    ``char_budget_mix``): split a 130k-char budget across languages with
+    temperature weights, capping languages whose whole corpus fits their
+    share and redistributing the surplus; select each language's
+    deterministic md5-order prefix that fits its allocation. The cost-aware
+    sibling of ``temperature_mix`` (which plans doc COUNTS, not chars)."""
+    from ..operators.mixing import char_budget_mix
+
+    return char_budget_mix(
+        load_table(spark, sf_dir, "documents"), budget=130_000, alpha=0.5
+    ).orderBy("doc_id")
+
+
+def _sql_char_budget_mix() -> str:
+    from ..operators.mixing import sql_char_budget_mix
+
+    return sql_char_budget_mix("documents", budget=130_000, alpha=0.5)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -414,6 +438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "incremental_dedup": q_incremental_dedup,
     "temperature_mix": q_temperature_mix,
+    "char_budget_mix": q_char_budget_mix,
     "chunk_documents": q_chunk_documents,
     "decontaminate_train": q_decontaminate_train,
     "curation_report": q_curation_report,
@@ -427,6 +452,7 @@ ORACLE_SQL: dict[str, str] = {
     "shard_manifest": _SQL_SHARD_MANIFEST,
     "incremental_dedup": _sql_incremental_dedup(),
     "temperature_mix": _sql_temperature_mix(),
+    "char_budget_mix": _sql_char_budget_mix(),
     "chunk_documents": _sql_chunk_documents(),
     "decontaminate_train": _sql_decontaminate_train(),
     "curation_report": _sql_curation_report(),

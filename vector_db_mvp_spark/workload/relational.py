@@ -3080,3 +3080,65 @@ FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
 
 QUERIES["global_price_median"] = q_global_price_median
 ORACLE_SQL["global_price_median"] = SQL_GLOBAL_PRICE_MEDIAN
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (16 buckets) of l_extendedprice: the two-pass
+    global-statistic pattern — pass 1 reduces min/max to ONE row (map-side
+    combined, no shuffle of data rows), which is broadcast back so pass 2
+    is a single codegen scan + a 16-group aggregate. Contrast with
+    global_price_median (exact order statistic, needs the rank machinery):
+    bucket membership needs only the global extremes, so the histogram is
+    two scans and a 16-row shuffle at any corpus size.
+
+    Determinism: both engines compute bucket = floor((x-mn)*16/(mx-mn))
+    over bit-identical doubles, and the bucket sums accumulate in
+    DECIMAL(18,2) so summation order cannot flip a digit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price")
+    )
+    stats = li.agg(F.min("price").alias("mn"), F.max("price").alias("mx"))
+    bucket = F.least(
+        F.floor(
+            (F.col("price") - F.col("mn")) * F.lit(16.0)
+            / (F.col("mx") - F.col("mn"))
+        ),
+        F.lit(15),
+    ).cast("int")
+    width = (F.col("mx") - F.col("mn")) / F.lit(16.0)
+    return (
+        li.crossJoin(F.broadcast(stats))  # 1-row broadcast scalar, not a data cross
+        .select(
+            bucket.alias("bucket"),
+            F.round(F.col("mn") + bucket.cast("double") * width, 6).alias(
+                "bucket_lo"
+            ),
+            "price",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_PRICE_HISTOGRAM = """
+WITH p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem),
+s AS (SELECT MIN(price) AS mn, MAX(price) AS mx FROM p)
+SELECT CAST(LEAST(FLOOR((price - mn) * 16.0 / (mx - mn)), 15) AS INTEGER)
+         AS bucket,
+       ROUND(mn + CAST(CAST(LEAST(FLOOR((price - mn) * 16.0 / (mx - mn)), 15)
+                            AS INTEGER) AS DOUBLE) * ((mx - mn) / 16.0), 6)
+         AS bucket_lo,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM p, s
+GROUP BY 1, 2 ORDER BY bucket
+"""
+
+QUERIES["price_histogram"] = q_price_histogram
+ORACLE_SQL["price_histogram"] = SQL_PRICE_HISTOGRAM

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.lsh import generate_planes
@@ -227,6 +227,77 @@ reach(id, r) AS (
 SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_keeper
 FROM reach GROUP BY id ORDER BY doc_id
 """
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: resolve near-dup clusters (same
+    MinHash-LSH + connected-components pipeline as ``dedup_clusters``) and
+    keep the HIGHEST-QUALITY member of each cluster instead of the min-id
+    one — the selection rule a real corpus build uses (drop the mangled
+    scrape, keep the clean copy). One row per cluster: its best doc, that
+    doc's quality score, and the cluster size.
+
+    Plan: clusters and quality are already-oracled operators; the argmax is
+    a row_number window keyed by cluster_id (near-dup clusters are small, so
+    the partitions are tiny and skew-free at any corpus size)."""
+    from ..operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=5, num_hashes=16, bands=4, tau=0.4)
+    clusters = dedup_clusters(docs, pairs, num_partitions=8)
+    quality = token_stats(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc"),
+            F.col("quality_score").alias("best_quality"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH c AS ({_sql_dedup_clusters()}),
+q AS ({SQL_TOKEN_STATS}),
+r AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM c JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS best_doc, quality_score AS best_quality,
+       cluster_size
+FROM r WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer's first 4 merge rules on the corpus
+    (operators/bpe.py — Sennrich et al. 2016). The reference *counts*
+    tokens; a pre-training pipeline must also *learn* the tokenizer, and on
+    Spark that is one corpus scan to the word-frequency table plus k
+    control-plane rounds over the Heaps-sublinear vocab. Integer counts and
+    string symbols only — the DuckDB oracle (same greedy fold as a
+    recursive CTE) is bit-exact."""
+    from ..operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), k=4)
+
+
+def _sql_bpe_train_merges() -> str:
+    from ..operators.bpe import sql_bpe_train
+
+    return sql_bpe_train(4)
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,6 +947,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
+    "bpe_train_merges": q_bpe_train_merges,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_sqrtn": q_semantic_dedup_sqrtn,
     "lm_perplexity": q_lm_perplexity,
@@ -906,6 +979,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
+    "bpe_train_merges": _sql_bpe_train_merges(),
     "semantic_dedup": _sql_semantic_dedup(),
     "semantic_dedup_sqrtn": _sql_semantic_dedup(k=32, seed=13),
     "lm_perplexity": _sql_lm_perplexity(),
