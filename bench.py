@@ -88,6 +88,9 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "streaming_distinct_kmv",
     "global_price_median",
+    "bpe_train_merges",
+    "char_budget_mix",
+    "price_histogram",
 ]
 
 

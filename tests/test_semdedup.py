@@ -82,3 +82,19 @@ def test_plan_no_cartesian_product(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_matmul_assign_matches_native(spark, sf_dir):
+    """The C~sqrt(N) scale path (Arrow matmul assignment) must make the
+    same keep/drop decisions as the codegen-fold oracle path on the real
+    fixture embeddings (BLAS-vs-fold dot ties are measure-zero there)."""
+    from vector_db_mvp_spark.sources.testdata import load_table
+    from vector_db_mvp_spark.workload.text import _semdedup_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _semdedup_centroids(k=32, seed=13)
+    nat = semantic_dedup(emb, cents, tau=0.4, assign="native").orderBy("vec_id")
+    mat = semantic_dedup(emb, cents, tau=0.4, assign="matmul").orderBy("vec_id")
+    assert [r.asDict() for r in nat.collect()] == [
+        r.asDict() for r in mat.collect()
+    ]

