@@ -100,3 +100,44 @@ def test_char_budget_mix_waterfill_invariants(spark, sf_dir):
     # uncapped shares absorb exactly the surplus), up to round-6 slack
     total_alloc = sum(g["alloc"] for g in by_lang.values())
     assert abs(total_alloc - budget) < 1e-3
+
+
+def test_bpe_token_counts_matches_reference(spark):
+    from vector_db_mvp_spark.operators.bpe import bpe_token_counts
+
+    texts = [
+        "the cat sat on the mat with the hat",
+        "aaa aaaa banana bandana",
+        "Hello, world! 123 hello hello",
+        None,
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in
+           bpe_token_counts(df, k=3).collect()}
+    # independent recompute: train on the same corpus, tokenize by lookup
+    merges = _ref_bpe(texts, 3)
+    vocab = {}
+    for t in texts:
+        if t:
+            for w in re.findall("[a-z]+", t.lower()):
+                vocab[w] = list(w)
+    for _, lhs, rhs, _c in merges:
+        for w, s in vocab.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    ns.append(lhs + rhs)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            vocab[w] = ns
+    want = {}
+    for i, t in enumerate(texts):
+        ws = re.findall("[a-z]+", (t or "").lower())
+        if ws:
+            want[i] = (len(ws), sum(len(vocab[w]) for w in ws))
+    assert got == want

@@ -263,6 +263,8 @@ def test_headline_plans_have_no_data_funnel(spark, sf_dir):
         "monthly_growth": "|months| rows after the daily partial agg",
         "revenue_moving_avg": "|days in 1996| rows after the daily agg",
         "temperature_mix": "#sources quota frame",
+        "char_budget_mix": "#groups water-fill frame (5 langs); the "
+        "corpus-sized selection window is keyed by group",
     }
     from bench import HEADLINE
 

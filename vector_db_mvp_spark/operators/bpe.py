@@ -79,19 +79,12 @@ def _merge_expr(left: str, right: str) -> str:
     """
 
 
-def bpe_train(
-    df: DataFrame,
-    *,
-    k: int = 4,
-    text_col: str = "text",
-) -> DataFrame:
-    """Learn the first ``k`` BPE merges; returns (merge_rank, lhs, rhs,
-    pair_count), one row per learned merge, in training order.
-
-    Each round: count adjacent symbol pairs over the vocab (weighted by word
-    frequency), fetch the argmax — a single control-plane row — and fold the
-    merge into every word natively. Stops early if no pairs remain."""
-    spark = df.sparkSession
+def _train(
+    df: DataFrame, k: int, text_col: str, fold_last: bool
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared training loop: returns (merges, vocab) where vocab carries the
+    post-merge symbol arrays. ``fold_last`` applies the k-th merge too (the
+    merge table itself doesn't need it; tokenization does)."""
     vocab = _word_counts(df, text_col).withColumn(
         "syms",
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
@@ -114,15 +107,74 @@ def bpe_train(
             break
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
         merges.append((rank, lhs, rhs, int(cnt)))
-        if rank < k:
+        if rank < k or fold_last:
             nxt = vocab.withColumn("syms", F.expr(_merge_expr(lhs, rhs))).persist()
             nxt.count()  # materialize before dropping the parent
             vocab.unpersist()
             vocab = nxt
+    # Survive the caller's lazy downstream plan: checkpoint, then release
+    # the persist (unpersisting a frame a returned plan still reads would
+    # silently recompute the whole loop).
+    final = vocab.localCheckpoint(eager=True)
     vocab.unpersist()
+    return merges, final
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges; returns (merge_rank, lhs, rhs,
+    pair_count), one row per learned merge, in training order.
+
+    Each round: count adjacent symbol pairs over the vocab (weighted by word
+    frequency), fetch the argmax — a single control-plane row — and fold the
+    merge into every word natively. Stops early if no pairs remain."""
+    spark = df.sparkSession
+    merges, _ = _train(df, k, text_col, fold_last=False)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
     ).orderBy("merge_rank")
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``k`` merges, then TOKENIZE the corpus with them: per-doc
+    (n_words, n_bpe_tokens) under the learned tokenizer — the number a
+    token-budgeted pipeline actually needs (contrast textops.
+    token_counts_bpe, which applies a FIXED GPT-2-style pre-tokenizer).
+
+    Apply is a lookup, not a re-fold: every occurrence of a word tokenizes
+    identically, so the per-word token count is already in the trained
+    vocab. One explode + one shuffle join keyed by word (AQE broadcasts it
+    when the vocab is small; Heaps-sublinear either way) + one groupBy
+    doc."""
+    _, vocab = _train(df, k, text_col, fold_last=True)
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
+            ).alias("word"),
+        )
+    )
+    return (
+        words.join(vocab.select("word", F.size("syms").alias("n_syms")), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .orderBy(id_col)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +184,7 @@ def bpe_train(
 # (recursion depth = longest word, width = vocab size — tiny both ways).
 # ---------------------------------------------------------------------------
 
-def sql_bpe_train(k: int = 4, table: str = "documents", text_col: str = "text") -> str:
+def _sql_ctes(k: int, table: str, text_col: str, fold_last: bool) -> list[str]:
     ctes = [
         f"""words AS MATERIALIZED (
   SELECT word, COUNT(*) AS cnt
@@ -151,7 +203,7 @@ def sql_bpe_train(k: int = 4, table: str = "documents", text_col: str = "text") 
                        i -> {{'lhs': syms[i], 'rhs': syms[i + 1]}})) AS u(p)
   GROUP BY 1, 2
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""")
-        if r < k - 1:
+        if r < k - 1 or fold_last:
             ctes.append(f"""fold{r}(word, pos, out) AS (
   SELECT word, 1, CAST([] AS VARCHAR[]) FROM syms{r}
   UNION ALL
@@ -166,10 +218,40 @@ def sql_bpe_train(k: int = 4, table: str = "documents", text_col: str = "text") 
   SELECT s.word, s.cnt, f.out AS syms
   FROM fold{r} f JOIN syms{r} s USING (word)
   WHERE f.pos = len(s.syms) + 1)""")
+    return ctes
+
+
+def sql_bpe_train(k: int = 4, table: str = "documents", text_col: str = "text") -> str:
+    ctes = _sql_ctes(k, table, text_col, fold_last=False)
     union = "\nUNION ALL ".join(
         f"SELECT CAST({r + 1} AS INTEGER) AS merge_rank, lhs, rhs, pair_count FROM top{r}"
         for r in range(k)
     )
     return (
         "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + union + "\nORDER BY merge_rank"
+    )
+
+
+def sql_bpe_token_counts(
+    k: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_token_counts`: the same trained vocab
+    (folds applied through merge k), then tokenize-by-lookup."""
+    ctes = _sql_ctes(k, table, text_col, fold_last=True)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+tok AS (SELECT word, len(syms) AS n_syms FROM syms{k}),
+docw AS (SELECT {id_col},
+                UNNEST(regexp_extract_all(lower({text_col}), '{_WORD_RE}'))
+                  AS word
+         FROM {table} WHERE {text_col} IS NOT NULL)
+SELECT {id_col}, COUNT(*) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+FROM docw JOIN tok USING (word)
+GROUP BY 1 ORDER BY {id_col}"""
     )

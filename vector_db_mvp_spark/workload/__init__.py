@@ -60,6 +60,7 @@ _CHANGED_THIS_ROUND = [
     "part_reachability",       # BFS edge checkpoint now DISK_ONLY (sf10 OOM fix)
     "supplier_pagerank",       # edge checkpoint now serialized
     "dedup_clusters",          # edge checkpoint now serialized
+    "semantic_dedup",          # assignment refactored (native/matmul split)
 ]
 
 

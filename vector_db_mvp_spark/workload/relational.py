@@ -3142,3 +3142,61 @@ GROUP BY 1, 2 ORDER BY bucket
 
 QUERIES["price_histogram"] = q_price_histogram
 ORACLE_SQL["price_histogram"] = SQL_PRICE_HISTOGRAM
+
+
+def q_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (16 quantile buckets) of l_extendedprice: each
+    bucket holds the same row count; lo/hi per bucket ARE the exact
+    range-partition boundaries a range-bucketed writer / z-order pass would
+    use (Spark's RangePartitioner approximates these by sampling — this is
+    the exact distributed computation). Reuses the range-bucketed two-phase
+    rank (operators/rank.py global_row_number — no single-partition sort),
+    with a total-order tiebreak (orderkey, linenumber) so the rank, hence
+    every bucket, is engine-deterministic even among tied prices; the
+    bucket index is pure integer arithmetic on the rank."""
+    from ..operators.rank import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked, n = global_row_number(
+        li, "price", ["l_orderkey", "l_linenumber"], buckets=64
+    )
+    return (
+        ranked.withColumn(
+            "bucket", F.expr(f"CAST(((rn - 1) * 16) div {n} AS INT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_PRICE_HISTOGRAM_EQUIDEPTH = """
+WITH p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+                  l_orderkey, l_linenumber
+           FROM lineitem),
+r AS (SELECT price,
+             ROW_NUMBER() OVER (ORDER BY price, l_orderkey, l_linenumber) - 1
+               AS rn0,
+             COUNT(*) OVER () AS n
+      FROM p)
+SELECT CAST((rn0 * 16) // n AS INTEGER) AS bucket,
+       COUNT(*) AS n_items,
+       MIN(price) AS lo,
+       MAX(price) AS hi,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM r GROUP BY 1 ORDER BY bucket
+"""
+
+QUERIES["price_histogram_equidepth"] = q_price_histogram_equidepth
+ORACLE_SQL["price_histogram_equidepth"] = SQL_PRICE_HISTOGRAM_EQUIDEPTH

@@ -300,6 +300,23 @@ def _sql_bpe_train_merges() -> str:
     return sql_bpe_train(4)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 4-merge BPE tokenizer AND apply it: per-doc word and
+    token counts under the learned merges (operators/bpe.py
+    ``bpe_token_counts``). Tokenize-by-lookup — the trained vocab already
+    holds every word's token count, so apply is one explode + one
+    word-keyed join, never a re-fold over the corpus."""
+    from ..operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(load_table(spark, sf_dir, "documents"), k=4)
+
+
+def _sql_bpe_token_counts() -> str:
+    from ..operators.bpe import sql_bpe_token_counts
+
+    return sql_bpe_token_counts(4)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation pipeline in ONE plan: near-dup
     cluster keepers (MinHash-LSH -> connected components) joined with quality
@@ -949,6 +966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_sqrtn": q_semantic_dedup_sqrtn,
     "lm_perplexity": q_lm_perplexity,
@@ -981,6 +999,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": _sql_dedup_clusters(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "bpe_train_merges": _sql_bpe_train_merges(),
+    "bpe_token_counts": _sql_bpe_token_counts(),
     "semantic_dedup": _sql_semantic_dedup(),
     "semantic_dedup_sqrtn": _sql_semantic_dedup(k=32, seed=13),
     "lm_perplexity": _sql_lm_perplexity(),
