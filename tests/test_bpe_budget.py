@@ -141,3 +141,38 @@ def test_bpe_token_counts_matches_reference(spark):
         if ws:
             want[i] = (len(ws), sum(len(vocab[w]) for w in ws))
     assert got == want
+
+
+def test_bpe_early_stop_when_pairs_exhaust(spark):
+    # one two-char word: merge 1 consumes the only pair; rounds 2..k find
+    # no pairs and must stop, returning fewer than k rows
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id int, text string")
+    got = [tuple(r) for r in bpe_train(df, k=4).collect()]
+    assert got == [(1, "a", "b", 3)]
+
+
+def test_char_budget_mix_all_capped_when_budget_exceeds_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), 100 + i) for i in range(30)],
+        "doc_id int, lang string, n_chars int",
+    )
+    total = sum(100 + i for i in range(30))
+    kept = char_budget_mix(df, budget=total + 1000, alpha=0.5).collect()
+    # every group capped at its whole corpus: everything is kept
+    assert len(kept) == 30
+    assert all(r["alloc_cost"] >= r["n_chars"] for r in kept)
+
+
+def test_char_budget_mix_none_capped_on_uniform_groups(spark):
+    # equal-size groups with a budget far below any group's total: shares
+    # are uniform and nobody caps; each group keeps the same char mass
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 4), 100) for i in range(80)],
+        "doc_id int, lang string, n_chars int",
+    )
+    kept = char_budget_mix(df, budget=800, alpha=0.5).collect()
+    per = {}
+    for r in kept:
+        assert r["alloc_cost"] == 200.0  # 800 * w/(4w)
+        per[r["lang"]] = per.get(r["lang"], 0) + r["n_chars"]
+    assert per == {"g0": 200, "g1": 200, "g2": 200, "g3": 200}
