@@ -210,6 +210,36 @@ def _sql_sequence_packing() -> str:
     )
 
 
+def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end tokenizer-aware packing pipeline in ONE plan: train
+    the BPE tokenizer on the corpus (operators/bpe.py), tokenize every doc
+    by lookup, then concat-and-chunk pack into 512-TOKEN sequences via the
+    two-phase distributed prefix sum — the packing a pre-training batch
+    actually ships, where sequence budget is tokens under YOUR tokenizer,
+    not chars. Every stage is an already-oracled operator; the oracle
+    recomputes the whole pipeline (recursive-CTE BPE folds feeding the
+    running-sum packer) in SQL."""
+    from ..operators.bpe import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(docs, k=4).select("doc_id", "n_bpe_tokens")
+    return pack_documents(
+        counts, size_col="n_bpe_tokens", order_col="doc_id", capacity=512
+    ).orderBy("doc_id")
+
+
+def _sql_sequence_packing_bpe() -> str:
+    from ..operators.bpe import sql_bpe_token_counts
+
+    inner = sql_bpe_token_counts(4)
+    return sql_pack_documents(
+        f"(SELECT doc_id, n_bpe_tokens FROM ({inner}))",
+        size_col="n_bpe_tokens",
+        order_col="doc_id",
+        capacity=512,
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental dedup: a new batch (doc_id % 10 >= 8) against the persisted
 # state of the existing corpus (doc_id % 10 < 8). The oracle recomputes the
@@ -435,6 +465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_rules": q_quality_rules,
     "line_dedup": q_line_dedup,
     "sequence_packing": q_sequence_packing,
+    "sequence_packing_bpe": q_sequence_packing_bpe,
     "shard_manifest": q_shard_manifest,
     "incremental_dedup": q_incremental_dedup,
     "temperature_mix": q_temperature_mix,
@@ -449,6 +480,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_rules": sql_quality_rules(),
     "line_dedup": _sql_line_dedup(),
     "sequence_packing": _sql_sequence_packing(),
+    "sequence_packing_bpe": _sql_sequence_packing_bpe(),
     "shard_manifest": _SQL_SHARD_MANIFEST,
     "incremental_dedup": _sql_incremental_dedup(),
     "temperature_mix": _sql_temperature_mix(),
