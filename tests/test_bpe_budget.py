@@ -176,3 +176,44 @@ def test_char_budget_mix_none_capped_on_uniform_groups(spark):
         assert r["alloc_cost"] == 200.0  # 800 * w/(4w)
         per[r["lang"]] = per.get(r["lang"], 0) + r["n_chars"]
     assert per == {"g0": 200, "g1": 200, "g2": 200, "g3": 200}
+
+
+def test_bpe_fold_equals_greedy_exhaustive_binary():
+    """EXHAUSTIVE check of the fold≡greedy-scan equivalence the operator's
+    correctness rests on: every symbol sequence over {a,b} up to length 10
+    (2046 sequences), every merge pair in {a,b}² — the fold expression must
+    reproduce the left-to-right greedy merge exactly. Overlap chains
+    ('aaaa', 'ababab', ...) are all in here by construction."""
+    import itertools
+
+    from vector_db_mvp_spark.operators.bpe import _merge_expr
+    from vector_db_mvp_spark.session import get_spark
+
+    spark = get_spark("vector_db_mvp_spark-tests", shuffle_partitions=8)
+    seqs = [
+        list(t)
+        for n in range(11)
+        for t in itertools.product("ab", repeat=n)
+    ]
+
+    def greedy(s, lhs, rhs):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i int, syms array<string>"
+    )
+    for lhs, rhs in itertools.product("ab", repeat=2):
+        got = {
+            r["i"]: r["m"]
+            for r in df.withColumn("m", F.expr(_merge_expr(lhs, rhs))).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == greedy(s, lhs, rhs), (s, lhs, rhs, got[i])
