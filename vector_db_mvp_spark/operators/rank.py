@@ -65,18 +65,32 @@ def global_row_number(
     *,
     buckets: int = 64,
     rn_col: str = "rn",
+    materialize: bool = True,
 ) -> tuple[DataFrame, int]:
     """Exact 1-based global row number over the total order
     ``(value_col ASC, *tiebreak_cols ASC)`` — the distributed twin of
     ``row_number().over(Window.orderBy(...))``. Returns ``(df + rn_col,
-    total_row_count)``. The input is checkpointed (it is scanned three
-    times: boundaries, bucket counts, final window) — SERIALIZED
-    memory+disk, since the input is corpus-sized and deserialized on-heap
-    blocks are ~5x the serialized size (the OOM class the sf10 probe
-    caught in bfs.py)."""
+    total_row_count)``.
+
+    ``materialize``: the input is scanned three times (boundaries, bucket
+    counts, final window). When it is the product of expensive upstream
+    work (a shuffle, an aggregation), checkpoint it — SERIALIZED
+    memory+disk, since deserialized on-heap blocks are ~5x the serialized
+    size (the OOM class the sf10 probe caught in bfs.py). When the input
+    is a bare column projection of a source scan, pass ``materialize=
+    False``: re-reading a pruned parquet projection three times is CHEAPER
+    than writing + twice-reading a corpus-sized checkpoint, and repeated
+    invocations don't accumulate block-manager state (the sf100 probe
+    measured the checkpointed form at 15.2x for 10x data on a 600M-row
+    scan — run 2 slower than run 1 from lingering blocks — vs linear
+    re-scan; BENCH_sf100.md)."""
     from pyspark import StorageLevel
 
-    base = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    base = (
+        df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        if materialize
+        else df
+    )
     bounds = _boundaries(base, value_col, buckets)
     bucketed = base.withColumn("_gb", _bucket_expr(F.col(value_col), bounds))
     counts = {
