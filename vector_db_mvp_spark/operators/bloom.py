@@ -1,0 +1,122 @@
+"""Bloom-filter join pruning: probe-side pre-filter for selective joins.
+
+Part of the 100 TB scale surface. The reference engine's filtered searches
+(app/services/search_service.py: metadata filter -> candidate set -> join
+back to documents) always materialize the full probe side before joining;
+at cluster scale the dominant cost of a selective equi-join is shuffling
+probe rows that can never match. A Bloom filter built from the build side's
+keys and broadcast as a literal bit array lets every probe task drop
+non-matching rows BEFORE the exchange — map-side, zero extra shuffle.
+
+Why this shape and not Spark's runtime row-group bloom
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`): the built-in injected
+bloom only fires on shuffle-join candidates under cost heuristics and is
+not observable/verifiable from the result; this explicit operator is
+deterministic (md5 hash family, same as operators/sketch.py), works on any
+plan, and composes with an exact join afterwards so the COMPOSED result is
+exactly the semi-join — false positives are eliminated by the verify join,
+so the driver's DuckDB oracle is the plain semi-join SQL.
+
+When to use it at 100 TB: the build side fits in driver/executor memory as
+a BITSET (bits/8 bytes, e.g. 64 Ki keys -> 64 KiB at 8 bits/key) even when
+its raw key set would be too large to broadcast-hash-join. For build sides
+small enough to broadcast outright, Catalyst's BroadcastHashJoin already
+avoids the probe shuffle and this operator is unnecessary.
+
+Hash family: position_i(v) = md5(str(i) || ':' || v)[:8 hex] % bits — the
+exact family `operators/sketch.py` uses for Count-Min rows (a Bloom filter
+IS a CM sketch with 1-bit saturating counters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sketch import cms_hash
+
+# Default sizing: 8192 bits / 5 hashes keeps the false-positive rate under
+# ~1% up to ~600 build keys and under ~10% to ~1500 — and the verify join
+# makes precision irrelevant for correctness; FPR only costs pruning power.
+BITS = 8192
+HASHES = 5
+
+
+def _pow2(exp: Column) -> Column:
+    """2^exp for a column exp in [0, 63], as an exact long — a 64-entry
+    literal array lookup (shiftleft() only accepts a literal shift
+    amount, and pow() is float and inexact past 2^53); bit 63 is the
+    sign bit, so its entry is the two's-complement value -2^63."""
+    arr = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    return F.element_at(arr, exp.cast("int") + F.lit(1))
+
+
+def bloom_bitset(build: DataFrame, key_col: str, *, bits: int = BITS, hashes: int = HASHES) -> list[int]:
+    """Materialize the build side's Bloom bitset as ``bits // 64`` longs.
+
+    Control-plane collect: the aggregation reduces the build side to at
+    most ``bits // 64`` (word, bits) rows map-side before collecting —
+    driver memory is O(bits), independent of build cardinality.
+    """
+    assert bits % 64 == 0, "bits must be a multiple of 64"
+    keys = build.select(F.col(key_col).cast("string").alias("v")).distinct()
+    positions = None
+    for r in range(hashes):
+        p = keys.select(cms_hash(F.col("v"), r, bits).alias("pos"))
+        positions = p if positions is None else positions.unionByName(p)
+    words = (
+        positions.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            _pow2(F.col("pos") % 64).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    out = [0] * (bits // 64)
+    for row in words:
+        out[row["w"]] = row["bits"]
+    return out
+
+
+def bloom_might_contain(
+    key: Column, bitset: list[int], *, bits: int = BITS, hashes: int = HASHES
+) -> Column:
+    """Predicate: every hash position of ``key`` is set in ``bitset``.
+
+    The bitset rides into the plan as an array LITERAL, so the test is
+    whole-stage-codegen arithmetic on every executor — no broadcast
+    variable, no join, no Python.
+    """
+    arr = F.array(*[F.lit(w).cast("long") for w in bitset])
+    v = key.cast("string")
+    cond = F.lit(True)
+    for r in range(hashes):
+        pos = cms_hash(v, r, bits)
+        word = F.element_at(arr, ((pos / 64).cast("int") + F.lit(1)))
+        bit = _pow2(pos % 64)
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    *,
+    bits: int = BITS,
+    hashes: int = HASHES,
+) -> DataFrame:
+    """Exact LEFT SEMI join with a Bloom pre-prune on the probe side.
+
+    Result is EXACTLY ``probe SEMI JOIN build`` (the verify join removes
+    Bloom false positives); the prune just keeps non-candidate probe rows
+    out of the exchange. Oracle: plain ``WHERE probe_key IN (SELECT ...)``.
+    """
+    bitset = bloom_bitset(build, build_key, bits=bits, hashes=hashes)
+    pruned = probe.filter(bloom_might_contain(F.col(probe_key), bitset, bits=bits, hashes=hashes))
+    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    return pruned.join(keys, on=probe_key, how="left_semi")

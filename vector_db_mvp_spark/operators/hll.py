@@ -1,0 +1,146 @@
+"""HyperLogLog distinct-count sketch with a deterministic, oracle-exact
+estimator (Flajolet et al. '07).
+
+Companion to the KMV sketch (operators/sketch.py) — same motivation
+(bounded-state cardinality per group at 100 TB corpus scale, extending the
+reference's corpus-level `/stats` reporting, app/routers/stats.py), but a
+different monoid: KMV state is the k smallest hashes (merge = min-k of the
+union), HLL state is a fixed 256-register max-rho array (merge = per
+register max), which is smaller (256 ints vs k hashes) and merge-cheaper —
+the standard choice for per-shard rollups that a coordinator combines.
+
+Spark's own `approx_count_distinct` is HLL++, but its sketch is not
+reproducible outside the JVM, so it cannot be hash-verified against a
+DuckDB oracle. This implementation derives every register from md5 — both
+engines compute the IDENTICAL register array, and the estimator is made
+bit-deterministic by integer-scaling the harmonic sum:
+
+    register  = first 2 hex chars of md5(value)       (m = 256 registers)
+    v52       = next 13 hex chars as a 52-bit integer
+    rho       = 1 + leading zeros of v52 = 53 - bitlength(v52)   (v52 > 0)
+              = 53                                               (v52 = 0)
+    Z_scaled  = zeros * 2^53 + SUM over hit registers of 2^(53 - max_rho)
+
+Every 2^(53 - rho) term is an exact BIGINT, so Z_scaled is an exact
+integer regardless of summation order (a float harmonic sum would be
+order-dependent and engine-divergent). The raw estimate
+floor(alpha_m * m^2 * 2^53 / Z_scaled) then uses one correctly-rounded
+double division — bitwise identical across engines, same discipline as the
+KMV estimator's floor(). No small-range bias correction is applied: this
+reports the raw HLL estimator (the docstring'd contract), and the exact
+count is emitted beside it for comparison.
+
+Scale design (100 TB): one full-width shuffle for the distinct on
+(group, value) — set semantics require it — then a (group, register)
+aggregation whose output is bounded at 256 rows per group with map-side
+partial max. No windows, no skew sensitivity (registers are uniform by
+construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M = 256          # registers (first 2 hex chars = 8-bit register index)
+TWO53 = 9007199254740992  # 2^53, the integer scaling of the harmonic sum
+
+# alpha_m for m = 256, written as the same literal expression both engines
+# constant-fold with identical IEEE-754 steps.
+_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 256.0)"
+
+
+def hll_state_rows(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Bounded HLL state: (group_col, reg, rho) with rho = per-register
+    max, at most 256 rows per group. This is the mergeable monoid
+    (:func:`hll_merge`)."""
+    d = df.select(group_col, value_col).distinct()
+    h = d.select(group_col, F.md5(F.col(value_col).cast("string")).alias("h"))
+    v52 = F.conv(F.substring("h", 3, 13), 16, 10).cast("long")
+    rho = F.when(v52 == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.substring("h", 3, 13), 16, 2))
+    )
+    regs = h.select(
+        group_col,
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("reg"),
+        rho.cast("int").alias("rho"),
+    )
+    return regs.groupBy(group_col, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Monoid merge: per-register max over the union — associative,
+    commutative, idempotent (re-delivered batches are absorbed)."""
+    return a.unionByName(b).groupBy(group_col, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_state(state: DataFrame, group_col: str) -> DataFrame:
+    """(group, registers_hit, distinct_estimate) from register state, via
+    the integer-scaled harmonic sum described in the module docstring."""
+    # 2^(53 - rho) as an exact long via a literal power-of-two lookup
+    # (shiftleft needs a literal shift; float pow is inexact past 2^53).
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(54)])
+    term = F.element_at(pow2, (F.lit(53) - F.col("rho")).cast("int") + F.lit(1))
+    agg = state.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("registers_hit"),
+        F.sum(term).alias("_zsum"),
+    )
+    z_scaled = (F.lit(M).cast("long") - F.col("registers_hit")) * F.lit(TWO53) + F.col("_zsum")
+    est = F.floor(
+        F.expr(_ALPHA_EXPR) * F.lit(65536.0) * F.lit(float(TWO53)) / z_scaled.cast("double")
+    )
+    return agg.select(
+        group_col,
+        F.col("registers_hit").cast("long").alias("registers_hit"),
+        est.cast("long").alias("distinct_estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate beside the exact count.
+
+    Returns DataFrame[group_col, registers_hit, distinct_estimate,
+    n_exact], ordered by group.
+    """
+    state = hll_state_rows(df, group_col, value_col)
+    est = hll_estimate_from_state(state, group_col)
+    exact = (
+        df.select(group_col, value_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(F.broadcast(exact), group_col).orderBy(group_col)
+
+
+def sql_hll_distinct(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle computing the identical register array and the
+    identical integer-scaled estimator — exact value parity."""
+    return f"""
+WITH d AS (SELECT DISTINCT {group_col}, {value_col} FROM {table}),
+h AS (SELECT {group_col}, md5(CAST({value_col} AS VARCHAR)) AS h FROM d),
+regs AS (
+  SELECT {group_col},
+         CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS reg,
+         CASE WHEN CAST(('0x' || substr(h, 3, 13)) AS BIGINT) = 0 THEN 53
+              ELSE 53 - length(format('{{:b}}', CAST(('0x' || substr(h, 3, 13)) AS BIGINT)))
+         END AS rho
+  FROM h
+),
+state AS (SELECT {group_col}, reg, MAX(rho) AS rho FROM regs GROUP BY 1, 2),
+agg AS (
+  SELECT {group_col},
+         COUNT(*) AS registers_hit,
+         SUM(CAST(1 AS BIGINT) << (53 - rho)) AS zsum
+  FROM state GROUP BY 1
+),
+exact AS (SELECT {group_col}, COUNT(*) AS n_exact FROM d GROUP BY 1)
+SELECT a.{group_col},
+       CAST(a.registers_hit AS BIGINT) AS registers_hit,
+       CAST(FLOOR({_ALPHA_EXPR} * 65536.0 * {float(TWO53)} /
+            CAST(({M} - a.registers_hit) * {TWO53} + a.zsum AS DOUBLE)) AS BIGINT)
+         AS distinct_estimate,
+       CAST(e.n_exact AS BIGINT) AS n_exact
+FROM agg a JOIN exact e USING ({group_col})
+ORDER BY a.{group_col}
+"""

@@ -663,3 +663,68 @@ def dsir_weights(
             F.col("_s").cast("double").alias("log_weight"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Alphabetic character entropy — a classic cheap quality signal (low
+    entropy flags keyboard-mash/repeated-char spam, very high entropy flags
+    base64/hex blobs; cf. Gopher rules in quality.py:35 which threshold
+    ratios instead of distributions).
+
+    Per document: the Shannon entropy (bits) of the distribution of the 26
+    ASCII letters in lower(text). Counting uses 26 length(replace(...))
+    scans — pure whole-stage-codegen string ops, no explode, no shuffle, no
+    per-row histogram state; at 100 TB this is a map-only pass over the
+    text column. The entropy fold runs in FIXED a..z expression order with
+    DOUBLE math on both engines (the module's float-parity discipline), so
+    round(.., 6) hash-matches the DuckDB oracle.
+    """
+    low = F.lower(F.col(text_col))
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    counts = [
+        (F.length(low) - F.length(F.replace(low, F.lit(ch)))).cast("double")
+        for ch in letters
+    ]
+    n = counts[0]
+    for c in counts[1:]:
+        n = n + c
+    ent = F.lit(0.0)
+    distinct = F.lit(0)
+    for c in counts:
+        p = c / n
+        ent = ent + F.when(c > 0, -(p * F.log2(p))).otherwise(F.lit(0.0))
+        distinct = distinct + F.when(c > 0, 1).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_letters"),
+        distinct.cast("long").alias("distinct_letters"),
+        F.round(ent, 6).alias("entropy"),
+    ).filter(F.col("n_letters") > 0)
+
+
+def sql_char_entropy(table: str = "documents") -> str:
+    """DuckDB oracle: the identical 26-term fixed-order entropy fold."""
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    cnt = {
+        ch: f"CAST(length(low) - length(replace(low, '{ch}', '')) AS DOUBLE)"
+        for ch in letters
+    }
+    n = " + ".join(f"c_{ch}" for ch in letters)
+    ent = " + ".join(
+        f"CASE WHEN c_{ch} > 0 THEN -((c_{ch} / n) * log2(c_{ch} / n)) ELSE 0.0 END"
+        for ch in letters
+    )
+    distinct = " + ".join(f"CASE WHEN c_{ch} > 0 THEN 1 ELSE 0 END" for ch in letters)
+    cols = ", ".join(f"{expr} AS c_{ch}" for ch, expr in cnt.items())
+    return f"""
+WITH low_t AS (SELECT doc_id, lower(text) AS low FROM {table}),
+cnts AS (SELECT doc_id, {cols} FROM low_t),
+tot AS (SELECT *, {n} AS n FROM cnts)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_letters,
+       CAST({distinct} AS BIGINT) AS distinct_letters,
+       round({ent}, 6) AS entropy
+FROM tot WHERE n > 0
+"""

@@ -3201,3 +3201,302 @@ FROM r GROUP BY 1 ORDER BY bucket
 
 QUERIES["price_histogram_equidepth"] = q_price_histogram_equidepth
 ORACLE_SQL["price_histogram_equidepth"] = SQL_PRICE_HISTOGRAM_EQUIDEPTH
+
+# --------------------------------------------------------------------------
+# Round-6 third wave: join pruning, sketches, time-series, graph similarity
+# --------------------------------------------------------------------------
+
+
+def q_bloom_filtered_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective join (operators/bloom.py): revenue per return
+    flag over lineitems whose part is small (p_size <= 2) — the probe side
+    drops non-candidate rows map-side against a broadcast 8 Ki-bit literal
+    bitset BEFORE any exchange, then an exact semi-join removes Bloom false
+    positives, so the composed result is exactly the semi-join the oracle
+    states. At 100 TB this is the shape for build sides whose bitset fits
+    in memory when their raw key set does not (a BroadcastHashJoin would
+    ship the keys; shuffling the unpruned probe would ship the fact
+    table)."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
+    hits = bloom_semi_join(li, "l_partkey", part, "p_partkey")
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_BLOOM_FILTERED_PART_REVENUE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 2)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bloom_filtered_part_revenue"] = q_bloom_filtered_part_revenue
+ORACLE_SQL["bloom_filtered_part_revenue"] = SQL_BLOOM_FILTERED_PART_REVENUE
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (operators/
+    hll.py): 256-register max-rho sketch from md5, integer-scaled harmonic
+    estimator — deterministic, so the oracle computes the IDENTICAL sketch
+    (exact value parity). Complements distinct_kmv_users with the
+    merge-cheaper register monoid a per-shard rollup would use."""
+    from ..operators.hll import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "user_id")
+
+
+def _sql_hll_distinct_users() -> str:
+    from ..operators.hll import sql_hll_distinct
+
+    return sql_hll_distinct("events", "event_type", "user_id")
+
+
+QUERIES["hll_distinct_users"] = q_hll_distinct_users
+ORACLE_SQL["hll_distinct_users"] = _sql_hll_distinct_users()
+
+
+def q_peak_concurrent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval overlap: per day, the PEAK number of users whose
+    activity intervals (first..last event that day) overlap at one instant.
+    Classic +1/-1 delta encoding: each interval emits a start(+1) and an
+    end(-1) row; a running sum over (ts, delta DESC, user_id) — starts
+    before ends at the same instant, so touching intervals count as
+    concurrent, with a total-order user tiebreak for engine determinism —
+    gives the concurrency profile; MAX per day is the peak. Scale: the
+    window partitions by day (deltas per day are bounded by 2x daily active
+    users); no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy(F.to_date("ts").alias("day"), "user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    deltas = iv.select(
+        "day", "user_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("day", "user_id", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conc = deltas.withColumn("c", F.sum("delta").over(w))
+    return (
+        conc.groupBy("day")
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrent",
+            "n_users",
+        )
+        .orderBy("day")
+    )
+
+
+SQL_PEAK_CONCURRENT_USERS = """
+WITH iv AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY 1, 2
+),
+deltas AS (
+  SELECT day, user_id, t0 AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, user_id, t1 AS t, -1 AS delta FROM iv
+),
+conc AS (
+  SELECT day, SUM(delta) OVER (
+           PARTITION BY day ORDER BY t, delta DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM deltas
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(MAX(c) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_users
+FROM conc GROUP BY day ORDER BY day
+"""
+
+QUERIES["peak_concurrent_users"] = q_peak_concurrent_users
+ORACLE_SQL["peak_concurrent_users"] = SQL_PEAK_CONCURRENT_USERS
+
+
+def q_wma_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (WMA-7) of daily order revenue per
+    nation: weights 7..1 over the 7 most recent observed days, emitted once
+    a nation has 7 observations. Integer weights over DECIMAL(18,2) daily
+    sums keep every term exact and order-independent (the module-header
+    float discipline); the final /28 is one correctly-rounded double
+    division. Scale: dims broadcast; the only full shuffle is the
+    (nation, day) aggregation with map-side partials; the LAG window
+    partitions per nation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("day")
+    num = None
+    for d in range(7):
+        term = F.lag("rev", d).over(w) * F.lit(7 - d)
+        num = term if num is None else num + term
+    return (
+        daily.withColumn("_wma", num.cast("double") / F.lit(28.0))
+        .filter(F.col("_wma").isNotNull())
+        .select(
+            "n_name",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("_wma").alias("wma_revenue"),
+        )
+        .orderBy("n_name", "day")
+    )
+
+
+SQL_WMA_NATION_REVENUE = """
+WITH daily AS (
+  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT n_name, day,
+         7 * LAG(rev, 0) OVER w + 6 * LAG(rev, 1) OVER w
+       + 5 * LAG(rev, 2) OVER w + 4 * LAG(rev, 3) OVER w
+       + 3 * LAG(rev, 4) OVER w + 2 * LAG(rev, 5) OVER w
+       + 1 * LAG(rev, 6) OVER w AS num
+  FROM daily
+  WINDOW w AS (PARTITION BY n_name ORDER BY day)
+)
+SELECT n_name, strftime(day, '%Y-%m-%d') AS day,
+       CAST(num AS DOUBLE) / 28.0 AS wma_revenue
+FROM lagged WHERE num IS NOT NULL
+ORDER BY n_name, day
+"""
+
+QUERIES["wma_nation_revenue"] = q_wma_nation_revenue
+ORACLE_SQL["wma_nation_revenue"] = SQL_WMA_NATION_REVENUE
+
+
+def q_supplier_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph neighborhood similarity: top-30 supplier pairs by Jaccard of
+    their supplied-part sets (|A∩B| / |A∪B|), candidate pairs generated by
+    an inverted-index self-join on part — only pairs sharing >= 1 part are
+    ever materialized, quadratic ONLY within a part's supplier fan-out
+    (bounded in TPC-H; a skew cap/salt applies to pathological parts).
+    Degrees join back broadcast. Ordering ties broken by the pair key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_suppkey", "l_partkey").distinct()
+    deg = d.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (
+        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"),
+            F.col("b.l_suppkey").alias("supp_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("l_suppkey").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_suppkey").alias("supp_b"), F.col("deg").alias("deg_b"))
+    j = (
+        inter.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .withColumn("n_union", F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double") / F.col("n_union"), 6),
+        )
+    )
+    return (
+        j.select("supp_a", "supp_b", "n_common", "n_union", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+        .limit(30)
+    )
+
+
+SQL_SUPPLIER_SIMILARITY_JACCARD = """
+WITH d AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+deg AS (SELECT l_suppkey, COUNT(*) AS deg FROM d GROUP BY 1),
+inter AS (
+  SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS n_common
+  FROM d a JOIN d b ON a.l_partkey = b.l_partkey
+                   AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, n_common,
+       da.deg + db.deg - n_common AS n_union,
+       ROUND(CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common), 6) AS jaccard
+FROM inter
+JOIN deg da ON da.l_suppkey = supp_a
+JOIN deg db ON db.l_suppkey = supp_b
+ORDER BY jaccard DESC, supp_a, supp_b
+LIMIT 30
+"""
+
+QUERIES["supplier_similarity_jaccard"] = q_supplier_similarity_jaccard
+ORACLE_SQL["supplier_similarity_jaccard"] = SQL_SUPPLIER_SIMILARITY_JACCARD
+
+
+def q_event_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window throttling dedup (rate-limit shape every event pipeline
+    needs): keep only the FIRST event per (user, event_type) within each
+    10-minute tumbling window; report kept/dropped per type. row_number
+    over the high-cardinality (user, type, window) partition — shuffle-
+    partitioned by key, no skew funnel, bounded frames."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 600)
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    marked = ev.withColumn("bucket", bucket).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENT_THROTTLE_DEDUP = """
+WITH marked AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type,
+                        CAST(FLOOR(date_diff('second', TIMESTAMP '1970-01-01', ts) / 600) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM marked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_throttle_dedup"] = q_event_throttle_dedup
+ORACLE_SQL["event_throttle_dedup"] = SQL_EVENT_THROTTLE_DEDUP

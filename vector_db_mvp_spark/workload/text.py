@@ -1092,3 +1092,22 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_heavy_hitters"] = q_streaming_heavy_hitters
 ORACLE_SQL["streaming_heavy_hitters"] = _sql_heavy_hitter_tokens()
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alphabetic-entropy quality signal (operators/textops.py
+    char_entropy): Shannon entropy of each document's letter distribution,
+    computed map-only with codegen string ops — no explode, no shuffle."""
+    from ..operators.textops import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sql_char_entropy() -> str:
+    from ..operators.textops import sql_char_entropy
+
+    return sql_char_entropy("documents") + " ORDER BY doc_id"
+
+
+QUERIES["char_entropy"] = q_char_entropy
+ORACLE_SQL["char_entropy"] = _sql_char_entropy()
