@@ -26,7 +26,7 @@ def test_bloom_no_false_negatives(spark):
     build = spark.range(0, 500).select(F.col("id").alias("k"))
     bits = bloom_bitset(build, "k", bits=4096, hashes=3)
     passed = build.filter(
-        bloom_might_contain(F.col("k"), bits, bits=4096, hashes=3)
+        bloom_might_contain("k", bits, bits=4096, hashes=3)
     ).count()
     assert passed == 500
 

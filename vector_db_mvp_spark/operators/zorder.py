@@ -63,3 +63,13 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def sql_z_value(a_sql: str, b_sql: str, *, bits: int = 16) -> str:
+    """SQL twin of :func:`z_value` (DuckDB and Spark SQL share >>, &, <<,
+    |) — lets an external oracle verify the interleave bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_sql} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b_sql} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

@@ -155,3 +155,58 @@ def start_cms_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class HllIngest:
+    """foreachBatch handler maintaining per-group HyperLogLog register
+    state (operators/hll.py).
+
+    The register-max monoid member of the sketch family: state is the
+    per-(group, register) max rho — at most 256 rows per group forever —
+    merged across batches with MAX (associative, commutative, idempotent,
+    so at-least-once redelivery cannot inflate it even WITHOUT the replay
+    markers; they are kept for protocol uniformity). Estimates read the
+    committed state through the same integer-scaled estimator as the
+    one-shot batch sketch, so maintained and from-scratch sketches are
+    bit-identical.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        group_col: str,
+        value_col: str,
+        *,
+        checkpoint_dir: str | None = None,
+    ):
+        from ..operators.hll import hll_merge, hll_state_rows
+
+        self.group_col = group_col
+        self.value_col = value_col
+        self.checkpoint_dir = checkpoint_dir
+        self.state = RollupState(
+            spark,
+            state_path,
+            [group_col, "reg"],
+            None,
+            partial_fn=lambda df: hll_state_rows(df, group_col, value_col),
+            merge_fn=lambda a, b: hll_merge(a, b, group_col),
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        key = batch_key(self.checkpoint_dir, batch_id)
+        if not self.state.exists():
+            self.state.init(batch, batch_id=key)
+            return
+        self.state.apply_batch(batch, key)
+
+    def estimates(self) -> DataFrame:
+        """(group, registers_hit, distinct_estimate) from committed state."""
+        from ..operators.hll import hll_estimate_from_state
+
+        return hll_estimate_from_state(self.state.read(), self.group_col).orderBy(
+            self.group_col
+        )

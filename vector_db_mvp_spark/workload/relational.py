@@ -3500,3 +3500,208 @@ FROM marked GROUP BY 1 ORDER BY 1
 
 QUERIES["event_throttle_dedup"] = q_event_throttle_dedup
 ORACLE_SQL["event_throttle_dedup"] = SQL_EVENT_THROTTLE_DEDUP
+
+
+def q_streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED HLL sketch (streaming/sketch_stream.py
+    HllIngest): two event batches fold into persisted (group, register)
+    max-rho state — bounded at 256 rows per group forever. MAX is
+    idempotent as well as commutative, so even redelivered rows (not just
+    redelivered batches) cannot perturb it. Oracle: the one-shot batch
+    sketch — register-max is a monoid, so maintained state equals the
+    full recompute bit-for-bit."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.rollup_state import source_fingerprint
+    from ..streaming.sketch_stream import HllIngest
+
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{fp}|hll-v1".encode()).hexdigest()[:16]
+    handler = HllIngest(
+        spark,
+        os.path.join(root, f"hllstate-{key}"),
+        "event_type",
+        "user_id",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    handler(ev.filter(F.col("event_id") % 2 == 0), 0)
+    handler(ev.filter(F.col("event_id") % 2 == 1), 1)
+    return handler.estimates()
+
+
+def _sql_streaming_distinct_hll() -> str:
+    from ..operators.hll import sql_hll_distinct
+
+    return f"""
+SELECT event_type, registers_hit, distinct_estimate
+FROM ({sql_hll_distinct("events", "event_type", "user_id")})
+ORDER BY event_type
+"""
+
+
+QUERIES["streaming_distinct_hll"] = q_streaming_distinct_hll
+ORACLE_SQL["streaming_distinct_hll"] = _sql_streaming_distinct_hll()
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: for consecutive events (by ts, event_id) of the same user,
+    count (from_type -> to_type) pairs and each source's outgoing share.
+    LAG over the per-user window (high-cardinality partition, bounded
+    frame), then one hash aggregation — the standard sequence-model prior
+    every clickstream/curriculum pipeline derives. Share = correctly-
+    rounded double division, round-6 (float-parity discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w2 = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "share",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(w2),
+                6,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE) /
+             SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS share
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+QUERIES["event_transition_matrix"] = q_event_transition_matrix
+ORACLE_SQL["event_transition_matrix"] = SQL_EVENT_TRANSITION_MATRIX
+
+
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: events whose value sits
+    more than 3 standard deviations from their type's mean. Mean and
+    variance come from EXACT decimal partials (n, sum v, sum v^2 at scale
+    6/12) — order-independent, so both engines derive the identical double
+    mean/std with one correctly-rounded division + sqrt each; the z test
+    compares |v - mean| against 3*std in doubles. Map-side partial
+    aggregation; the flagged-row scan is a broadcast join back."""
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v6).cast("decimal(38,6)").alias("s1"),
+        F.sum(v6 * v6).cast("decimal(38,12)").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    # population variance via E[X^2] - E[X]^2, each term one division
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    stats = stats.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"))
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("value") - F.col("mean")) / F.col("std")), 6)
+            .alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
+         SQRT(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))) AS std
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       COUNT(*) AS n_outliers,
+       ROUND(MAX(ABS(e.value - s.mean) / s.std), 6) AS max_z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS(e.value - s.mean) > 3 * s.std
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_anomaly_zscore"] = q_events_anomaly_zscore
+ORACLE_SQL["events_anomaly_zscore"] = SQL_EVENTS_ANOMALY_ZSCORE
+
+
+def q_zorder_parts_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve positions (operators/zorder.py z_value): the
+    first 100 parts along the Z-curve over (p_size, price-in-hundreds) —
+    the exact interleave the z-ordered writer clusters files by, so the
+    oracle pins the curve itself (the write-side skipping effect is pinned
+    by parquet-footer stats in tests/test_zorder.py). Pure unrolled
+    shift/mask Catalyst expression — codegen, no UDF, no shuffle beyond
+    the top-k."""
+    from ..operators.zorder import z_value
+
+    part = load_table(spark, sf_dir, "part")
+    # explicit floor: Spark's double->long cast truncates but DuckDB's
+    # rounds, so the bucketing must not lean on cast semantics
+    pb = F.floor(F.col("p_retailprice") / 100).cast("long")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("long").alias("p_size"),
+            pb.alias("price_bucket"),
+            z_value(F.col("p_size"), pb, bits=10).alias("z"),
+        )
+        .orderBy("z", "p_partkey")
+        .limit(100)
+    )
+
+
+def _sql_zorder_parts_curve() -> str:
+    from ..operators.zorder import sql_z_value
+
+    z = sql_z_value("CAST(p_size AS BIGINT)",
+                    "CAST(FLOOR(p_retailprice / 100) AS BIGINT)", bits=10)
+    return f"""
+SELECT p_partkey,
+       CAST(p_size AS BIGINT) AS p_size,
+       CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+       {z} AS z
+FROM part
+ORDER BY z, p_partkey
+LIMIT 100
+"""
+
+
+QUERIES["zorder_parts_curve"] = q_zorder_parts_curve
+ORACLE_SQL["zorder_parts_curve"] = _sql_zorder_parts_curve()

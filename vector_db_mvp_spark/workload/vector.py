@@ -1138,3 +1138,47 @@ ORACLE_SQL: dict[str, str] = {
     "ann_projected_topk": _sql_ann_projected_topk(),
     "label_centroids": _sql_label_centroids(),
 }
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement for the approximate LSH path: per query, what
+    fraction of the EXACT batch top-5 (ann_batch_topk) the bucket-overlap
+    LSH batch (lsh_batch_topk) recovered. The quality metric every ANN
+    deployment tracks beside latency; both inputs are deterministic here,
+    so recall itself is oracle-exact (same two SQL bodies composed). One
+    broadcast-side join on the 25-row result sets — negligible at any
+    scale; the cost is the two searches themselves."""
+    exact = q_ann_batch_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = q_lsh_batch_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("double") / F.lit(5.0), 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_ann_lsh_recall() -> str:
+    return f"""
+WITH exact_r AS ({_sql_ann_batch_topk()}),
+approx_r AS ({_sql_lsh_batch_topk()})
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5.0, 6)
+         AS recall_at_5
+FROM exact_r e
+LEFT JOIN approx_r a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["ann_lsh_recall"] = q_ann_lsh_recall
+ORACLE_SQL["ann_lsh_recall"] = _sql_ann_lsh_recall()
