@@ -1111,3 +1111,33 @@ def _sql_char_entropy() -> str:
 
 QUERIES["char_entropy"] = q_char_entropy
 ORACLE_SQL["char_entropy"] = _sql_char_entropy()
+
+
+def q_frequent_tokens_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries guaranteed frequent tokens (operators/mg.py): every
+    token occurring in more than 1/500th of the corpus token stream, with
+    EXACT counts. Bounded-memory candidate generation (O(m) per task, <= m
+    rows per partition out) + exact broadcast recount — deterministic
+    despite partition-dependent intermediate summaries, hence the plain
+    threshold-GROUP-BY oracle. Contrast heavy_hitter_tokens (CM sketch):
+    estimates for a FIXED top-k; this guarantees exactness for every item
+    above the frequency threshold."""
+    from ..functions.text import tokens
+    from ..operators.mg import frequent_items_exact
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return frequent_items_exact(toks, "tok", m=500)
+
+
+def _sql_frequent_tokens_guaranteed() -> str:
+    from ..operators.mg import sql_frequent_items_exact
+
+    return sql_frequent_items_exact(
+        f"SELECT unnest({_TOKS}) AS v FROM documents WHERE text IS NOT NULL",
+        m=500,
+    )
+
+
+QUERIES["frequent_tokens_guaranteed"] = q_frequent_tokens_guaranteed
+ORACLE_SQL["frequent_tokens_guaranteed"] = _sql_frequent_tokens_guaranteed()
