@@ -687,21 +687,39 @@ def char_entropy(
         (F.length(low) - F.length(F.replace(low, F.lit(ch)))).cast("double")
         for ch in letters
     ]
-    n = counts[0]
-    for c in counts[1:]:
-        n = n + c
-    ent = F.lit(0.0)
-    distinct = F.lit(0)
-    for c in counts:
-        p = c / n
-        ent = ent + F.when(c > 0, -(p * F.log2(p))).otherwise(F.lit(0.0))
-        distinct = distinct + F.when(c > 0, 1).otherwise(0)
-    return df.select(
+    # Materialize the 26 counts ONCE as an array column: referenced naively,
+    # each count is re-evaluated in n, in distinct, and twice per entropy
+    # term (~4x the string scans — measured 5.1 s vs 1.9 s at sf0.1).
+    # CollapseProject will not inline a non-cheap expression that the upper
+    # projection references many times, so the array survives as a real
+    # intermediate; the fold lambdas run left-to-right in a..z order —
+    # bitwise-identical to the oracle's fixed-order sum.
+    # The n>0 filter is expressed as an equivalent cheap regex precondition
+    # on the raw text: filtering on _n itself gets pushed below the
+    # projection and re-inlines the whole count array a second time.
+    has_letter = F.lower(F.col(text_col)).rlike("[a-z]")
+    with_counts = df.filter(has_letter).select(
+        F.col(id_col), F.array(*counts).alias("_c")
+    )
+    n = F.aggregate("_c", F.lit(0.0), lambda a, x: a + x)
+    with_n = with_counts.select(id_col, "_c", n.alias("_n"))
+    ent = F.aggregate(
+        "_c",
+        F.lit(0.0),
+        lambda a, x: a
+        + F.when(x > 0, -((x / F.col("_n")) * F.log2(x / F.col("_n")))).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    distinct = F.aggregate(
+        "_c", F.lit(0.0), lambda a, x: a + F.when(x > 0, 1.0).otherwise(0.0)
+    )
+    return with_n.select(
         F.col(id_col),
-        n.cast("long").alias("n_letters"),
+        F.col("_n").cast("long").alias("n_letters"),
         distinct.cast("long").alias("distinct_letters"),
         F.round(ent, 6).alias("entropy"),
-    ).filter(F.col("n_letters") > 0)
+    )
 
 
 def sql_char_entropy(table: str = "documents") -> str:
