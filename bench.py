@@ -100,6 +100,9 @@ HEADLINE = [
     "char_entropy",
     "event_transition_matrix",
     "events_anomaly_zscore",
+    "frequent_tokens_guaranteed",
+    "ann_lsh_recall",
+    "zorder_parts_curve",
 ]
 
 

@@ -3705,3 +3705,145 @@ LIMIT 100
 
 QUERIES["zorder_parts_curve"] = q_zorder_parts_curve
 ORACLE_SQL["zorder_parts_curve"] = _sql_zorder_parts_curve()
+
+
+def q_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS: the linear trend (slope per day,
+    intercept) of each nation's daily order revenue — the grouped
+    regression every metrics pipeline fits. Moments (n, Σx, Σy, Σxy, Σx²)
+    accumulate as EXACT decimals/bigints (order-independent, map-side
+    partial), convert once to double, and feed the identical closed-form
+    expression on both engines — one correctly-rounded arithmetic
+    sequence, round-6. No window, no second pass; x is days since
+    1995-01-01."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    x = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")).cast("long")
+    m = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(F.col("rev")).cast("decimal(38,2)").alias("sy"),
+        F.sum(x * F.col("rev")).cast("decimal(38,2)").alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    return m.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("n_name")
+
+
+SQL_REVENUE_TREND_OLS = """
+WITH daily AS (
+  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT n_name,
+         COUNT(*) AS n,
+         SUM(CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)) AS sx,
+         CAST(SUM(rev) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT) * rev)
+              AS DECIMAL(38,2)) AS sxy,
+         SUM(CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
+             * CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT n_name,
+       CAST(n AS BIGINT) AS n_days,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m ORDER BY n_name
+"""
+
+QUERIES["revenue_trend_ols"] = q_revenue_trend_ols
+ORACLE_SQL["revenue_trend_ols"] = SQL_REVENUE_TREND_OLS
+
+
+def q_quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation: r(quantity, extendedprice) per return
+    flag — the moment recipe of revenue_trend_ols extended to two noisy
+    variables (n, Σx, Σy, Σxy, Σx², Σy² as exact decimals; one
+    correctly-rounded closed form in doubles; round-6). Spark's built-in
+    corr() is a float running accumulation — order-dependent, not
+    oracle-verifiable; this is the verifiable twin with identical
+    map-side-partial shuffle shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(38,2)").alias("sx"),
+        F.sum(y).cast("decimal(38,2)").alias("sy"),
+        F.sum(x * y).cast("decimal(38,4)").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,4)").alias("sxx"),
+        F.sum(y * y).cast("decimal(38,4)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    r = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(r, 6).alias("pearson_r"),
+    ).orderBy("l_returnflag")
+
+
+SQL_QUANTITY_PRICE_CORRELATION = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_items,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
+FROM m ORDER BY l_returnflag
+"""
+
+QUERIES["quantity_price_correlation"] = q_quantity_price_correlation
+ORACLE_SQL["quantity_price_correlation"] = SQL_QUANTITY_PRICE_CORRELATION
