@@ -3847,3 +3847,66 @@ FROM m ORDER BY l_returnflag
 
 QUERIES["quantity_price_correlation"] = q_quantity_price_correlation
 ORACLE_SQL["quantity_price_correlation"] = SQL_QUANTITY_PRICE_CORRELATION
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling census of the orders table: per column, null count,
+    exact distinct count, and fill rate — the first query every ingest
+    pipeline runs against a new 100 TB drop. Shape: melt to (column,
+    value-as-string) — a zero-shuffle generate — then ONE hash aggregation
+    per column group; distincts are exact (for sketch-based profiling at
+    extreme cardinality the HLL/KMV operators swap in). Stringification
+    uses each engine's native cast only on lossless types (ids, strings,
+    dates via explicit strftime) so cross-engine value parity holds."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
+    }
+    stacked = None
+    for name, expr in cols.items():
+        part = o.select(F.lit(name).alias("column_name"), expr.alias("v"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    total = o.count()
+    return (
+        stacked.groupBy("column_name")
+        .agg(
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(F.col("v")).alias("n_distinct"),
+            F.round(
+                F.sum(F.when(F.col("v").isNull(), 0.0).otherwise(1.0))
+                / F.lit(float(total)),
+                6,
+            ).alias("fill_rate"),
+        )
+        .orderBy("column_name")
+    )
+
+
+SQL_PROFILE_ORDERS = """
+WITH stacked AS (
+  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') FROM orders
+)
+SELECT column_name,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       ROUND(SUM(CASE WHEN v IS NULL THEN 0.0 ELSE 1.0 END)
+             / (SELECT COUNT(*) FROM orders), 6) AS fill_rate
+FROM stacked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["profile_orders"] = q_profile_orders
+ORACLE_SQL["profile_orders"] = SQL_PROFILE_ORDERS
