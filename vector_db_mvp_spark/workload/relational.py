@@ -3910,3 +3910,81 @@ FROM stacked GROUP BY 1 ORDER BY 1
 
 QUERIES["profile_orders"] = q_profile_orders
 ORACLE_SQL["profile_orders"] = SQL_PROFILE_ORDERS
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for every purchase event, credit the FIRST
+    event type of the purchase's session (30-min-gap sessions, the
+    user_sessions machinery) — the marketing-analytics join every event
+    pipeline ships. Two stacked per-user windows (lag-gap flag, running
+    session id, first_value over the session) then one hash aggregation of
+    (first_touch_type) with purchase counts and conversion share. All
+    windows are keyed by user — high-cardinality partitions, bounded
+    frames, no funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(run))
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    attributed = sess.withColumn(
+        "first_touch", F.first("event_type").over(ws)
+    ).filter(F.col("event_type") == "purchase")
+    total = attributed.count()
+    return (
+        attributed.groupBy(F.col("first_touch").alias("first_touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .withColumn(
+            "share",
+            F.round(F.col("n_purchases").cast("double") / F.lit(float(total)), 6),
+        )
+        .orderBy(F.col("n_purchases").desc(), "first_touch_type")
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flags AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM seq
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flags
+), attributed AS (
+  SELECT event_type,
+         FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_seq
+                                       ORDER BY ts, event_id) AS first_touch
+  FROM sess
+)
+SELECT first_touch AS first_touch_type,
+       COUNT(*) AS n_purchases,
+       ROUND(COUNT(*)::DOUBLE /
+             (SELECT COUNT(*) FROM attributed WHERE event_type = 'purchase'), 6)
+         AS share
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY n_purchases DESC, first_touch_type
+"""
+
+QUERIES["purchase_attribution"] = q_purchase_attribution
+ORACLE_SQL["purchase_attribution"] = SQL_PURCHASE_ATTRIBUTION
