@@ -60,9 +60,9 @@ def test_bloom_prune_runs_before_join(spark):
     filter_at = plan.find("Filter")
     assert join_at != -1 and filter_at != -1
     # optimized plans print top-down: the Filter is UNDER the join (after it
-    # in the string) and references the md5 probe hashes
+    # in the string) and references the xxhash64 probe positions
     assert filter_at > join_at
-    assert "md5" in plan
+    assert "xxhash64" in plan
 
 
 def test_hll_merge_is_the_batch_sketch(spark):
