@@ -3988,3 +3988,110 @@ ORDER BY n_purchases DESC, first_touch_type
 
 QUERIES["purchase_attribution"] = q_purchase_attribution
 ORACLE_SQL["purchase_attribution"] = SQL_PURCHASE_ATTRIBUTION
+
+
+def q_price_mad_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation of item price per
+    supplier (top-30 by MAD). Exact medians both passes — middle-two
+    average over DECIMAL values via keyed row_number windows, so no
+    interpolation-arithmetic drift between engines. Scale note: windows key
+    on l_suppkey (high cardinality, bounded per-group rows); for COARSE
+    groups this shape would funnel and the range-bucketed rank machinery
+    (operators/rank.py) is the substitute."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+    def _median(df, val):
+        w = Window.partitionBy("l_suppkey").orderBy(
+            F.col(val), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        counted = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("l_suppkey"))
+        )
+        mids = counted.filter(
+            ((F.col("_n") % 2 == 1) & (F.col("_rn") * 2 == F.col("_n") + 1))
+            | (
+                (F.col("_n") % 2 == 0)
+                & ((F.col("_rn") * 2 == F.col("_n")) | (F.col("_rn") * 2 == F.col("_n") + 2))
+            )
+        )
+        return mids.groupBy("l_suppkey").agg(
+            F.avg(F.col(val)).cast("decimal(20,6)").alias(f"med_{val}")
+        )
+
+    med = _median(li, "price")
+    # adev stays at 6 dp: price has 2 dp and med_price at most 3 (middle-two
+    # average), so the difference is exact — rounding to 2 dp here would hit
+    # engine-specific .xx5 tie-breaking (Spark HALF_UP vs DuckDB).
+    dev = li.join(F.broadcast(med), "l_suppkey").select(
+        "l_suppkey",
+        F.abs(F.col("price") - F.col("med_price")).cast("decimal(20,6)").alias("adev"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    mad = _median(dev, "adev")
+    return (
+        mad.join(F.broadcast(med), "l_suppkey")
+        .select(
+            "l_suppkey",
+            F.col("med_price").cast("double").alias("median_price"),
+            F.col("med_adev").cast("double").alias("mad"),
+        )
+        .orderBy(F.col("mad").desc(), "l_suppkey")
+        .limit(30)
+    )
+
+
+SQL_PRICE_MAD_BY_SUPPLIER = """
+WITH li AS (
+  SELECT l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+r1 AS (
+  SELECT l_suppkey, price,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY price, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM li
+),
+med AS (
+  SELECT l_suppkey, CAST(AVG(price) AS DECIMAL(20,6)) AS med_price
+  FROM r1
+  WHERE (n % 2 = 1 AND rn * 2 = n + 1)
+     OR (n % 2 = 0 AND (rn * 2 = n OR rn * 2 = n + 2))
+  GROUP BY 1
+),
+dev AS (
+  SELECT li.l_suppkey, CAST(ABS(price - med_price) AS DECIMAL(20,6)) AS adev,
+         l_orderkey, l_linenumber
+  FROM li JOIN med ON li.l_suppkey = med.l_suppkey
+),
+r2 AS (
+  SELECT l_suppkey, adev,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY adev, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM dev
+),
+mad AS (
+  SELECT l_suppkey, CAST(AVG(adev) AS DECIMAL(20,6)) AS med_adev
+  FROM r2
+  WHERE (n % 2 = 1 AND rn * 2 = n + 1)
+     OR (n % 2 = 0 AND (rn * 2 = n OR rn * 2 = n + 2))
+  GROUP BY 1
+)
+SELECT mad.l_suppkey,
+       CAST(med.med_price AS DOUBLE) AS median_price,
+       CAST(mad.med_adev AS DOUBLE) AS mad
+FROM mad JOIN med ON mad.l_suppkey = med.l_suppkey
+ORDER BY mad DESC, mad.l_suppkey
+LIMIT 30
+"""
+
+QUERIES["price_mad_by_supplier"] = q_price_mad_by_supplier
+ORACLE_SQL["price_mad_by_supplier"] = SQL_PRICE_MAD_BY_SUPPLIER
