@@ -217,3 +217,45 @@ def test_bpe_fold_equals_greedy_exhaustive_binary():
         }
         for i, s in enumerate(seqs):
             assert got[i] == greedy(s, lhs, rhs), (s, lhs, rhs, got[i])
+
+
+def test_bpe_early_exhaustion_matches_oracle(spark):
+    """Corpus admitting fewer merges than k: the single word 'ab' exhausts
+    after one merge. The Spark loop `break`s and keeps the folded vocab;
+    the SQL oracle's per-round fold must degrade to the identity fold (via
+    the ''-sentinel pad) instead of cascading to zero rows."""
+    import duckdb
+
+    from vector_db_mvp_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        sql_bpe_token_counts,
+        sql_bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab"), (3, None)], "doc_id int, text string"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'ab ab ab'), (2, 'ab'), (3, NULL)) t(doc_id, text)"
+    )
+    try:
+        merges = bpe_train(df, k=4).collect()
+        assert [(r["merge_rank"], r["lhs"], r["rhs"]) for r in merges] == [(1, "a", "b")]
+        du_merges = con.execute(sql_bpe_train(k=4)).fetchall()
+        assert [(r[0], r[1], r[2]) for r in du_merges] == [(1, "a", "b")]
+
+        counts = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_counts(df, k=4).collect()
+        }
+        assert counts == {1: (3, 3), 2: (1, 1)}  # 'ab' is one token
+        du_counts = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(sql_bpe_token_counts(k=4)).fetchall()
+        }
+        assert du_counts == counts
+    finally:
+        con.close()

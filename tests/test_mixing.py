@@ -46,3 +46,26 @@ def test_selection_is_deterministic(spark, sf_dir):
     a = sorted(r["doc_id"] for r in temperature_mix(docs, total=30).collect())
     b = sorted(r["doc_id"] for r in temperature_mix(docs, total=30).collect())
     assert a == b and len(a) > 0
+
+
+def test_char_budget_mix_rejects_alpha_above_one(spark):
+    """alpha > 1 inverts the capping order the prefix closed form needs
+    (total/w = total^(1-alpha) stops being non-decreasing) — both the
+    operator and its oracle twin must refuse rather than mis-plan."""
+    import pytest
+
+    from vector_db_mvp_spark.operators.mixing import (
+        char_budget_mix,
+        sql_char_budget_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 1000)], "doc_id int, lang string, n_chars int"
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        char_budget_mix(df, budget=100, alpha=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        sql_char_budget_mix(budget=100, alpha=1.5)
+    # boundary values stay accepted (both groups fit: everything kept)
+    assert char_budget_mix(df, budget=2000, alpha=1.0).count() == 2
+    assert char_budget_mix(df, budget=2000, alpha=0.0).count() == 2

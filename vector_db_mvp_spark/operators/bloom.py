@@ -44,6 +44,18 @@ from pyspark.sql import functions as F
 BITS = 8192
 HASHES = 5
 
+# Auto-sizing bounds (bloom_semi_join with bits=None): ~10 bits/key gives
+# FPR ~1% at 5 hashes; the cap bounds the inlined SQL literal array (the
+# predicate rides as ONE parsed string — 2^20 bits = 16 Ki long literals
+# ≈ 350 KB of SQL, still sub-second to parse JVM-side). Past the cap the
+# filter would saturate (FPR → 1, all probe cost, no exchange reduction),
+# so the operator falls back to the plain semi-join instead.
+MAX_AUTO_BITS = 1 << 20
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
 
 def _pow2(exp: Column) -> Column:
     """2^exp for a column exp in [0, 63], as an exact long — a 64-entry
@@ -123,7 +135,7 @@ def bloom_semi_join(
     build: DataFrame,
     build_key: str,
     *,
-    bits: int = BITS,
+    bits: int | None = None,
     hashes: int = HASHES,
 ) -> DataFrame:
     """Exact LEFT SEMI join with a Bloom pre-prune on the probe side.
@@ -131,8 +143,23 @@ def bloom_semi_join(
     Result is EXACTLY ``probe SEMI JOIN build`` (the verify join removes
     Bloom false positives); the prune just keeps non-candidate probe rows
     out of the exchange. Oracle: plain ``WHERE probe_key IN (SELECT ...)``.
+
+    ``bits=None`` (default) sizes the bitset to the build cardinality:
+    next_pow2(10 * n_keys), floored at :data:`BITS` and capped at
+    :data:`MAX_AUTO_BITS`. A fixed 8192-bit default saturates past ~1.5k
+    keys (FPR → 0.96 at 80k keys: every probe row passes, so the query
+    pays the build scan and 5-hash probe for zero exchange reduction);
+    if even the cap would saturate (n_keys > MAX_AUTO_BITS / 8), the
+    prune is skipped entirely and the plain semi-join runs. The count
+    used for sizing is the same distinct-keys frame the verify join
+    reuses — one extra bounded aggregation over the (small) build side.
     """
+    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    if bits is None:
+        n_keys = keys.count()
+        if n_keys * 8 > MAX_AUTO_BITS:
+            return probe.join(keys, on=probe_key, how="left_semi")
+        bits = min(max(BITS, _next_pow2(10 * max(1, n_keys))), MAX_AUTO_BITS)
     bitset = bloom_bitset(build, build_key, bits=bits, hashes=hashes)
     pruned = probe.filter(bloom_might_contain(probe_key, bitset, bits=bits, hashes=hashes))
-    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
     return pruned.join(keys, on=probe_key, how="left_semi")

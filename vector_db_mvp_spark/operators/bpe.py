@@ -204,6 +204,15 @@ def _sql_ctes(k: int, table: str, text_col: str, fold_last: bool) -> list[str]:
   GROUP BY 1, 2
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""")
         if r < k - 1 or fold_last:
+            # Early-exhaustion guard: if the corpus admits fewer than k
+            # merges, top{r} is EMPTY and a bare CROSS JOIN would cascade
+            # syms{r+1} to zero rows (while the Spark loop `break`s and
+            # keeps the folded vocab). Pad to exactly one row with ''
+            # sentinels — '' never equals a real [a-z]+ symbol, so the
+            # fold degrades to the identity fold, matching the break.
+            ctes.append(f"""top{r}pad AS MATERIALIZED (
+  SELECT COALESCE(MAX(lhs), '') AS lhs, COALESCE(MAX(rhs), '') AS rhs
+  FROM top{r})""")
             ctes.append(f"""fold{r}(word, pos, out) AS (
   SELECT word, 1, CAST([] AS VARCHAR[]) FROM syms{r}
   UNION ALL
@@ -212,7 +221,7 @@ def _sql_ctes(k: int, table: str, text_col: str, fold_last: bool) -> list[str]:
                    AND s.syms[f.pos] = t.rhs
               THEN list_append(f.out[1:len(f.out) - 1], t.lhs || t.rhs)
               ELSE list_append(f.out, s.syms[f.pos]) END
-  FROM fold{r} f JOIN syms{r} s USING (word) CROSS JOIN top{r} t
+  FROM fold{r} f JOIN syms{r} s USING (word) CROSS JOIN top{r}pad t
   WHERE f.pos <= len(s.syms))""")
             ctes.append(f"""syms{r + 1} AS MATERIALIZED (
   SELECT s.word, s.cnt, f.out AS syms

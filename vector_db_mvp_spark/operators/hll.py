@@ -45,9 +45,14 @@ from pyspark.sql import functions as F
 M = 256          # registers (first 2 hex chars = 8-bit register index)
 TWO53 = 9007199254740992  # 2^53, the integer scaling of the harmonic sum
 
-# alpha_m for m = 256, written as the same literal expression both engines
-# constant-fold with identical IEEE-754 steps.
-_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 256.0)"
+# alpha_m for m = 256, computed ONCE in Python as an IEEE-754 double and
+# injected verbatim into both engines. Deriving it from literals inside
+# each engine is NOT portable: Spark constant-folds '0.7213 / (1.0 +
+# 1.079 / 256.0)' in DECIMAL(24,16) arithmetic (0.7182725959317630) while
+# DuckDB folds it in DOUBLE (0.7182725932495458); the ~3.7e-9 relative
+# difference flips floor(alpha*m^2*2^53/Z) at integer boundaries once
+# estimates grow (~3e8+), breaking the bit-identical contract.
+_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
 
 
 def hll_state_rows(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -87,7 +92,7 @@ def hll_estimate_from_state(state: DataFrame, group_col: str) -> DataFrame:
     )
     z_scaled = (F.lit(M).cast("long") - F.col("registers_hit")) * F.lit(TWO53) + F.col("_zsum")
     est = F.floor(
-        F.expr(_ALPHA_EXPR) * F.lit(65536.0) * F.lit(float(TWO53)) / z_scaled.cast("double")
+        F.lit(_ALPHA) * F.lit(65536.0) * F.lit(float(TWO53)) / z_scaled.cast("double")
     )
     return agg.select(
         group_col,
@@ -137,7 +142,7 @@ agg AS (
 exact AS (SELECT {group_col}, COUNT(*) AS n_exact FROM d GROUP BY 1)
 SELECT a.{group_col},
        CAST(a.registers_hit AS BIGINT) AS registers_hit,
-       CAST(FLOOR({_ALPHA_EXPR} * 65536.0 * {float(TWO53)} /
+       CAST(FLOOR(CAST({_ALPHA!r} AS DOUBLE) * 65536.0 * {float(TWO53)} /
             CAST(({M} - a.registers_hit) * {TWO53} + a.zsum AS DOUBLE)) AS BIGINT)
          AS distinct_estimate,
        CAST(e.n_exact AS BIGINT) AS n_exact

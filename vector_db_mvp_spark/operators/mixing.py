@@ -102,7 +102,19 @@ def char_budget_mix(
     the only corpus-sized work is one map-side-combined sum and one window
     keyed by group. Float care: group totals are exact integers in DOUBLE
     (< 2^53); weights are round-6 doubles so both engines fold identical
-    values; allocations are round-6. No RNG anywhere."""
+    values; allocations are round-6. No RNG anywhere.
+
+    Requires ``0 <= alpha <= 1``: the closed form relies on capped groups
+    forming a prefix of the total_cost-ascending order, which holds
+    because total/w = total^(1-alpha) is non-decreasing only for
+    alpha <= 1. For alpha > 1 the capping order inverts and the prefix
+    closed form would agree across engines on an allocation that is NOT
+    the max-min fixpoint — so it is rejected, not silently mis-planned."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"char_budget_mix requires 0 <= alpha <= 1 (got {alpha}): the "
+            "prefix-capping closed form needs total^(1-alpha) non-decreasing"
+        )
     totals = df.groupBy(group_col).agg(F.sum(cost_col).alias("total_cost"))
     w = F.round(F.pow("total_cost", F.lit(alpha)), 6)
     order = Window.orderBy("total_cost", group_col)
@@ -177,7 +189,11 @@ def sql_char_budget_mix(
     id_col: str = "doc_id",
     cost_col: str = "n_chars",
 ) -> str:
-    """DuckDB twin of :func:`char_budget_mix`."""
+    """DuckDB twin of :func:`char_budget_mix` (same ``alpha`` domain)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"sql_char_budget_mix requires 0 <= alpha <= 1 (got {alpha})"
+        )
     return f"""
 WITH totals AS (
   SELECT {group_col}, SUM({cost_col}) AS total_cost,

@@ -50,17 +50,14 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 6
-    "incremental_rollup",      # state key now includes source fingerprint
-    "streaming_distinct_kmv",  # state key now includes source fingerprint
-    "streaming_heavy_hitters", # state key now includes source fingerprint
-    "parts_skyline",           # running_min fold fix + serialized checkpoint
-    "customer_spend_deciles",  # rank base checkpoint now serialized
-    "global_price_median",     # rank base checkpoint now serialized
-    "part_reachability",       # BFS edge checkpoint now DISK_ONLY (sf10 OOM fix)
-    "supplier_pagerank",       # edge checkpoint now serialized
-    "dedup_clusters",          # edge checkpoint now serialized
-    "semantic_dedup",          # assignment refactored (native/matmul split)
+    # round 7
+    "hll_distinct_users",        # alpha now a shared Python double (ADVICE r6)
+    "streaming_distinct_hll",    # same alpha fix
+    "bpe_train_merges",          # oracle early-exhaustion pad (ADVICE r6)
+    "bpe_token_counts",          # oracle early-exhaustion pad
+    "sequence_packing_bpe",      # composed pipeline over the padded oracle
+    "char_budget_mix",           # alpha domain now asserted (ADVICE r6)
+    "bloom_filtered_part_revenue",  # bitset auto-sized to build cardinality
 ]
 
 

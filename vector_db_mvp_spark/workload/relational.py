@@ -3210,8 +3210,10 @@ ORACLE_SQL["price_histogram_equidepth"] = SQL_PRICE_HISTOGRAM_EQUIDEPTH
 def q_bloom_filtered_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned selective join (operators/bloom.py): revenue per return
     flag over lineitems whose part is small (p_size <= 2) — the probe side
-    drops non-candidate rows map-side against a broadcast 8 Ki-bit literal
-    bitset BEFORE any exchange, then an exact semi-join removes Bloom false
+    drops non-candidate rows map-side against a literal bitset sized to the
+    build cardinality (next_pow2(10 bits/key), ~1% FPR; a fixed 8 Ki-bit
+    set would saturate at this build's ~4% of part and prune nothing)
+    BEFORE any exchange, then an exact semi-join removes Bloom false
     positives, so the composed result is exactly the semi-join the oracle
     states. At 100 TB this is the shape for build sides whose bitset fits
     in memory when their raw key set does not (a BroadcastHashJoin would
