@@ -103,6 +103,8 @@ HEADLINE = [
     "frequent_tokens_guaranteed",
     "ann_lsh_recall",
     "zorder_parts_curve",
+    "url_canonical_dedup",
+    "domain_quality_rollup",
 ]
 
 
@@ -155,6 +157,43 @@ def main() -> None:
         bands=4,
         force=True,
     )
+    # The reference's PRIMARY read path end-to-end: EntityStore library ->
+    # ChunkIndexStore (build once) -> 50 brute-force top-k searches per
+    # pass. Bulk-loaded from the benched SF's embeddings so the serving
+    # number is at corpus scale, not fixture scale. Timed as
+    # `engine_search_served` below (r6 verdict task 7).
+    import shutil
+    import tempfile
+
+    from vector_db_mvp_spark.storage.index_store import ChunkIndexStore  # noqa: E402
+    from vector_db_mvp_spark.storage.store import EntityStore  # noqa: E402
+
+    _eng_root = tempfile.mkdtemp(prefix="bench-engine-")
+    _eng_store = EntityStore(spark, os.path.join(_eng_root, "store"), default_dim=64)
+    _eng_lib = _eng_store.create_library("bench-corpus")
+    _eng_doc = _eng_store.add_document(_eng_lib, "corpus")
+    _emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _eng_store.add_chunks_bulk(
+        _eng_lib,
+        _eng_doc,
+        _emb.selectExpr(
+            "concat('vec-', vec_id) AS text",
+            "embedding",
+            "cast(vec_id AS string) AS cid",
+        ),
+        id_col="cid",
+    )
+    _eng_idx = ChunkIndexStore(_eng_store, os.path.join(_eng_root, "index"))
+    _eng_idx.refresh(_eng_lib)  # build once; the timed loop serves
+    _eng_queries = [
+        list(r["embedding"]) for r in _emb.orderBy("vec_id").limit(50).collect()
+    ]
+
+    def _engine_search_pass() -> None:
+        for qv in _eng_queries:
+            _eng_idx.search(_eng_lib, qv, k=5).collect()
+
+    _engine_search_pass()  # codegen/plan warm
 
     # Median of RUNS interleaved full passes: single-shot numbers swung
     # +/-2.5x between rounds on identical code (BENCH_r02 vs r03), so a
@@ -163,12 +202,32 @@ def main() -> None:
     # landing entirely on its own later passes.
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Inter-query GC, OUTSIDE the timed window: the iterative queries
+    # (kmeans/pagerank/BFS/rank machinery) localCheckpoint per round, and
+    # those blocks are only reclaimed when a JVM GC lets the ContextCleaner
+    # see the dead RDDs — without this, 78 queries x 3 passes accumulate
+    # block-manager debt that lands on LATER queries' timings (r6 verdict
+    # task 1: isolated-JVM medians were 20-35% below the crowded bench on
+    # the creepers; .claude/probe_isolated.py reproduces the measurement).
+    import gc as _gc
+
+    _jvm_gc = spark.sparkContext._jvm.System.gc
+    samples["engine_search_served"] = []
     for _ in range(RUNS):
         for name in HEADLINE:
             fn = QUERIES[name]
+            _gc.collect()  # release py4j refs so dead RDDs are collectable
+            _jvm_gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
+        _gc.collect()
+        _jvm_gc()
+        t0 = time.perf_counter()
+        _engine_search_pass()
+        samples["engine_search_served"].append(time.perf_counter() - t0)
+
+    shutil.rmtree(_eng_root, ignore_errors=True)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -223,8 +282,22 @@ def main() -> None:
     if len(line) > 1900:
         # Shed the CHEAPEST queries first until the line fits — the slow
         # ones are the performance record; the full set is in the DETAIL
-        # line and BENCH_DETAIL.json either way.
-        by_cost = sorted(timings, key=lambda k: (-timings[k], k))
+        # line and BENCH_DETAIL.json either way. The flagship vector
+        # workload (BASELINE.md's k-grid + the entry() query + the parity
+        # LSH twin) is exempt from shedding: r6's driver record silently
+        # lost the k-grid because those queries are fast, and fast-but-
+        # flagship is exactly what the record must keep.
+        always_keep = {
+            "topk_cosine_brute",
+            "topk_cosine_filtered",
+            "topk_cosine_k100",
+            "lsh_topk",
+            "engine_search_served",
+        }
+        by_cost = sorted(
+            (k for k in timings if k not in always_keep),
+            key=lambda k: (-timings[k], k),
+        )
         while len(line) > 1900 and by_cost:
             dropped = by_cost.pop()
             compact["queries"].pop(dropped)

@@ -105,3 +105,33 @@ def test_isolation_snapshot_reads(store):
     store.add_chunk(lib, doc, "b", [0.0, 1.0])
     assert snapshot.count() == n_before  # old pointer, old data
     assert store.read("chunks").count() == n_before + 1
+
+
+def test_add_chunks_bulk_one_generation_one_version(spark, tmp_path):
+    """Bulk load: N chunks land as one versioned append (one library
+    version bump), deterministic ids via id_col, and the result is
+    indistinguishable from N add_chunk calls to every read path."""
+    from pyspark.sql import functions as F
+
+    from vector_db_mvp_spark.storage.store import EntityStore
+
+    store = EntityStore(spark, str(tmp_path / "bulkstore"), default_dim=4)
+    lib = store.create_library("lib")
+    doc = store.add_document(lib, "doc")
+    v0 = store.library_version(lib)
+    src = spark.range(100).select(
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        F.array(
+            F.col("id").cast("float"), F.lit(1.0), F.lit(0.0), F.lit(0.0)
+        ).alias("embedding"),
+        F.concat(F.lit("c"), F.col("id")).alias("cid"),
+    )
+    n = store.add_chunks_bulk(lib, doc, src, id_col="cid")
+    assert n == 100
+    assert store.library_version(lib) == v0 + 1  # ONE bump, not 100
+    got = store.read_chunks_library(lib)
+    assert got.count() == 100
+    row = got.filter(F.col("chunk_id") == "c7").collect()[0]
+    assert row["text"] == "text-7" and row["embedding"][0] == 7.0
+    # point-read path sees bulk rows like any other chunk
+    assert store.get_chunk(lib, "c7")["text"] == "text-7"

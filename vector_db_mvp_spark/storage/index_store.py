@@ -36,9 +36,9 @@ from pyspark.sql import functions as F
 from ..functions.lsh import (
     bucket_codes_native,
     generate_planes,
-    spark_sql_array_lit,
+    spark_sql_plane_dot,
 )
-from ..functions.vector import dot, unit_normalize
+from ..functions.vector import unit_normalize
 from ..operators.lsh import with_bucket_codes
 from .store import EntityStore
 
@@ -130,9 +130,22 @@ class ChunkIndexStore:
         return True
 
     def index_df(self, library_id: str) -> DataFrame:
-        """The fresh index frame (rebuilding first when stale)."""
+        """The fresh index frame (rebuilding first when stale). The reader
+        is memoized per built directory: ``spark.read.parquet`` costs
+        ~70 ms of driver-side listing/footer work per call, which dominates
+        serving latency when paid per query; the directory is immutable, so
+        the cached frame stays valid until the pointer moves."""
         self.refresh(library_id)
-        return self.spark.read.parquet(self._current_dir(library_id))
+        d = self._current_dir(library_id)
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        hit = cache.get(library_id)
+        if hit is not None and hit[0] == d:
+            return hit[1]
+        df = self.spark.read.parquet(d)
+        cache[library_id] = (d, df)
+        return df
 
     # ---- query paths over the precomputed columns -----------------------
 
@@ -156,7 +169,6 @@ class ChunkIndexStore:
         qvec = [float(x) for x in query_embedding]
         norm = sum(x * x for x in qvec) ** 0.5
         unit_q = [x / norm for x in qvec] if norm != 0.0 else qvec
-        q = F.expr(spark_sql_array_lit(unit_q))
         if index == "lsh":
             first = idx.select("unit_embedding").take(1)
             if first:
@@ -169,7 +181,13 @@ class ChunkIndexStore:
                 )
         elif index != "brute":
             raise ValueError(f"unknown index: {index}")
-        scored = idx.withColumn("score", dot(F.col("unit_embedding"), q))
+        # One parsed SQL string instead of Column-API lambdas: the HOF
+        # builders cost ~28 ms of py4j round-trips per query; the parsed
+        # tree is the identical aggregate(zip_with(...)) expression
+        # functions.vector.dot builds (see spark_sql_plane_dot docstring).
+        scored = idx.withColumn(
+            "score", F.expr(spark_sql_plane_dot("unit_embedding", unit_q))
+        )
         return self._pack(scored.orderBy(F.desc("score"), F.asc("chunk_id")).limit(k))
 
     @staticmethod

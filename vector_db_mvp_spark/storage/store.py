@@ -230,7 +230,7 @@ class EntityStore:
             rows = self.spark.read.schema(CHUNK_SCHEMA).parquet(new_dir).count()
         return {"dir": new_dir, "rows": int(rows)}
 
-    def _append_chunks_library(self, library_id: str, df: DataFrame, rows: int) -> None:
+    def _append_chunks_library(self, library_id: str, df: DataFrame, rows: int | None) -> None:
         """O(delta) insert: write ONLY the new rows as a fresh generation and
         append it to the library's list — no existing file is read or
         touched. The reference rewrites nothing either (in-place dict append,
@@ -338,6 +338,30 @@ class EntityStore:
         return self.read("libraries")
 
     def library_version(self, library_id: str) -> int:
+        """Metadata-plane point read. This runs on EVERY served search
+        (ChunkIndexStore.refresh's staleness check), so it must not launch
+        a Spark job: the libraries dim table is one tiny parquet directory
+        behind the pointer — read it driver-side with pyarrow (~1 ms vs
+        ~100 ms for a cluster job). Falls back to the Spark path if the
+        arrow read surprises (schema drift, remote FS)."""
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            files = _glob.glob(
+                os.path.join(self._read_pointer("libraries"), "*.parquet")
+            )
+            if files:
+                for fp in files:
+                    t = _pq.read_table(fp, columns=["library_id", "version"])
+                    ids = t.column("library_id").to_pylist()
+                    if library_id in ids:
+                        return int(t.column("version")[ids.index(library_id)].as_py())
+                raise NotFoundError(f"library {library_id}")
+        except (OSError, KeyError) as e:
+            if isinstance(e, NotFoundError):
+                raise
         return int(self.get_library(library_id)["version"])
 
     def update_library(
@@ -446,6 +470,68 @@ class EntityStore:
         self._append_chunks_library(library_id, new, rows=1)
         self._write("libraries", self._bump_library(self.read("libraries"), library_id, ts))
         return chunk_id
+
+    def add_chunks_bulk(
+        self,
+        library_id: str,
+        doc_id: str,
+        df: DataFrame,
+        *,
+        text_col: str = "text",
+        embedding_col: str | None = "embedding",
+        meta_type_col: str | None = None,
+        id_col: str | None = None,
+    ) -> int:
+        """Bulk chunk ingestion: the whole frame lands as ONE immutable
+        generation and ONE library version bump — the corpus-load scale
+        path beside :meth:`add_chunk`'s row-at-a-time reference semantic
+        (chunk_service.py's single-chunk POST). O(delta) write, no per-row
+        driver round-trips; compaction tiers absorb the generation like any
+        other.
+
+        ``id_col`` supplies deterministic chunk ids (required for exactly-
+        once semantics under task retries on a real cluster — ``uuid()``
+        re-evaluates per attempt); when omitted, ids are minted per row
+        like the reference does. Returns the number of chunks inserted."""
+        self._require("documents", library_id=library_id, doc_id=doc_id)
+        ts = _now()
+        cid = (
+            F.col(id_col).cast("string")
+            if id_col
+            else F.expr("uuid()")
+        )
+        emb = (
+            F.col(embedding_col).cast("array<float>")
+            if embedding_col
+            else F.lit(None).cast("array<float>")
+        )
+        meta = (
+            F.col(meta_type_col).cast("string")
+            if meta_type_col
+            else F.lit(None).cast("string")
+        )
+        new_rows = df.select(
+            cid.alias("chunk_id"),
+            F.lit(doc_id).alias("doc_id"),
+            F.lit(library_id).alias("library_id"),
+            F.col(text_col).cast("string").alias("text"),
+            emb.alias("embedding"),
+            meta.alias("meta_type"),
+            F.lit(ts).alias("created_at"),
+            F.lit(ts).alias("updated_at"),
+        )
+        before = sum(
+            g["rows"] for g in self._chunks_map().get(library_id, [])
+        )
+        # rows=None: the generation is written with the plan's natural
+        # parallelism and counted from parquet footers — ONE pass over the
+        # source (a pre-count would re-evaluate uuid() a second time).
+        self._append_chunks_library(library_id, new_rows, rows=None)
+        self._write(
+            "libraries", self._bump_library(self.read("libraries"), library_id, ts)
+        )
+        after = sum(g["rows"] for g in self._chunks_map().get(library_id, []))
+        return after - before
 
     def list_chunks(self, library_id: str, doc_id: str) -> DataFrame:
         return self.read_chunks_library(library_id).filter(F.col("doc_id") == doc_id)

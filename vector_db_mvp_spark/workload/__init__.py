@@ -58,6 +58,7 @@ _CHANGED_THIS_ROUND = [
     "sequence_packing_bpe",      # composed pipeline over the padded oracle
     "char_budget_mix",           # alpha domain now asserted (ADVICE r6)
     "bloom_filtered_part_revenue",  # bitset auto-sized to build cardinality
+    "corpus_curation",           # gained the URL-keeper stage (urlops)
 ]
 
 

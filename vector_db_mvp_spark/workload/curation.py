@@ -457,6 +457,130 @@ def _sql_char_budget_mix() -> str:
 
 
 # --------------------------------------------------------------------------
+# URL / domain curation (operators/urlops.py) — the stage a web-scale
+# pipeline runs BEFORE content dedup. The fixture has no URL column, so the
+# queries derive one deterministically from doc_id with a generator written
+# in the shared Spark/DuckDB SQL dialect (same technique as the PII
+# enrichment above): noise dimensions (scheme/host case, www, default
+# port, tracking params in shuffled order, fragments, trailing slashes)
+# vary on residues the canonicalizer must erase, while the canonical
+# identity (host base mod 7, TLD mod 3, path mod 5, real param mod 2)
+# varies on residues it must keep — so canonical groups are exactly the
+# residue classes and any canonicalization bug flips the oracle hash.
+# --------------------------------------------------------------------------
+
+_URL_GEN_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
+    "CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'Site-' ELSE 'site-' END || CAST(doc_id % 7 AS STRING) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' WHEN doc_id % 3 = 1 THEN '.com' ELSE '.Org' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/docs/' || CAST(doc_id % 5 AS STRING) || "
+    "CASE WHEN doc_id % 8 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '?b=' || CAST(doc_id % 2 AS STRING) || '&a=1&utm_source=feed' "
+    "WHEN doc_id % 6 = 1 THEN '?a=1&b=' || CAST(doc_id % 2 AS STRING) "
+    "WHEN doc_id % 6 = 2 THEN '?utm_medium=email&a=1&b=' || CAST(doc_id % 2 AS STRING) "
+    "WHEN doc_id % 6 = 3 THEN '?a=1&gclid=G123&b=' || CAST(doc_id % 2 AS STRING) "
+    "WHEN doc_id % 6 = 4 THEN '?b=' || CAST(doc_id % 2 AS STRING) || '&a=1&ref=home' "
+    "ELSE '?fbclid=F9&b=' || CAST(doc_id % 2 AS STRING) || '&a=1&utm_campaign=x' END || "
+    "CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END"
+)
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: canonicalize (operators/urlops.py contract — case,
+    www, default ports, tracking params, param order, fragments, trailing
+    slashes) and group; each canonical group keeps its smallest doc_id.
+    Zero-shuffle canonicalization (pure codegen regexp/array expressions)
+    + one map-side-combined groupBy — at 100 TB this is the cheapest dedup
+    pass a web pipeline runs, ahead of any content hashing."""
+    from ..operators.urlops import with_canonical_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    canon = with_canonical_url(docs.withColumn("url", F.expr(_URL_GEN_EXPR)))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    )
+
+
+def _sql_url_canonical_dedup() -> str:
+    from ..operators.urlops import sql_canonical_ctes
+
+    return f"""
+WITH urls AS (SELECT doc_id, {_URL_GEN_EXPR} AS url FROM documents),
+{sql_canonical_ctes('urls')}
+SELECT canonical_url,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT url) AS n_raw_forms,
+       MIN(doc_id) AS keep_doc_id
+FROM canon
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY canonical_url
+"""
+
+
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup with blocklist filtering: canonical host ->
+    longest-public-suffix registrable domain (broadcast PSL join over the
+    DISTINCT host map, not the corpus), anti-join a domain blocklist, then
+    per-domain corpus stats. The standard shape for domain-level quality
+    decisions (keep/downsample/block a *site*, not a URL) in web-corpus
+    curation."""
+    from ..operators.urlops import registrable_domain_map, with_canonical_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    canon = with_canonical_url(docs.withColumn("url", F.expr(_URL_GEN_EXPR)))
+    dmap = registrable_domain_map(canon.select("host"))
+    blocked = spark.createDataFrame(
+        [("site-3.co.uk",), ("site-5.org",)], "domain string"
+    )
+    return (
+        canon.join(dmap, "host")
+        .join(F.broadcast(blocked), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _sql_domain_quality_rollup() -> str:
+    from ..operators.urlops import sql_canonical_ctes, sql_domain_ctes
+
+    return f"""
+WITH urls AS (SELECT doc_id, lang, n_chars, {_URL_GEN_EXPR} AS url FROM documents),
+{sql_canonical_ctes('urls')},
+{sql_domain_ctes('canon')}
+SELECT d.domain,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT c.host) AS n_hosts,
+       COUNT(DISTINCT c.lang) AS n_langs,
+       CAST(SUM(c.n_chars) AS BIGINT) AS total_chars,
+       round(AVG(c.n_chars), 6) AS avg_chars
+FROM canon c
+JOIN dom d USING (host)
+WHERE d.domain NOT IN ('site-3.co.uk', 'site-5.org')
+GROUP BY 1
+ORDER BY d.domain
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -473,6 +597,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "decontaminate_train": q_decontaminate_train,
     "curation_report": q_curation_report,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "domain_quality_rollup": q_domain_quality_rollup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -488,4 +614,6 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_documents": _sql_chunk_documents(),
     "decontaminate_train": _sql_decontaminate_train(),
     "curation_report": _sql_curation_report(),
+    "url_canonical_dedup": _sql_url_canonical_dedup(),
+    "domain_quality_rollup": _sql_domain_quality_rollup(),
 }

@@ -318,21 +318,33 @@ def _sql_bpe_token_counts() -> str:
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data curation pipeline in ONE plan: near-dup
-    cluster keepers (MinHash-LSH -> connected components) joined with quality
-    scoring and language ID, thresholded — the keep-list a 100 TB corpus
-    build actually materializes. Every stage is an already-oracled operator;
-    this query proves they compose (and the oracle recomputes the whole
-    pipeline in SQL)."""
+    """The composed training-data curation pipeline in ONE plan: URL-level
+    dedup keepers (canonicalize -> min doc_id per canonical URL — the
+    cheapest pass, run FIRST in a real web pipeline), then near-dup
+    cluster keepers (MinHash-LSH -> connected components) joined with
+    quality scoring and language ID, thresholded — the keep-list a 100 TB
+    corpus build actually materializes. Every stage is an already-oracled
+    operator; this query proves they compose (and the oracle recomputes
+    the whole pipeline in SQL)."""
     from ..operators.cluster import dedup_clusters
+    from ..operators.urlops import with_canonical_url
 
     docs = load_table(spark, sf_dir, "documents")
+    from .curation import _URL_GEN_EXPR
+
+    urls = with_canonical_url(
+        docs.select("doc_id").withColumn("url", F.expr(_URL_GEN_EXPR))
+    )
+    url_keepers = urls.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id")
+    )
     pairs = minhash_lsh_pairs(docs, n=5, num_hashes=16, bands=4, tau=0.4)
     keepers = dedup_clusters(docs, pairs, num_partitions=8).filter("is_keeper")
     quality = token_stats(docs).select("doc_id", "quality_score")
     lang = language_id(docs).select("doc_id", "pred_lang")
     return (
-        keepers.join(quality, "doc_id")
+        keepers.join(url_keepers.select("doc_id"), "doc_id", "left_semi")
+        .join(quality, "doc_id")
         .join(lang, "doc_id")
         .filter((F.col("quality_score") >= 0.7) & (F.col("pred_lang") == "en"))
         .select("doc_id", "cluster_id", "quality_score", "pred_lang")
@@ -341,9 +353,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_corpus_curation() -> str:
+    from ..operators.urlops import sql_canonical_ctes
+    from .curation import _URL_GEN_EXPR
+
+    url_keepers = f"""
+WITH urls AS (SELECT doc_id, {_URL_GEN_EXPR} AS url FROM documents),
+{sql_canonical_ctes('urls')}
+SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY canonical_url
+"""
     return f"""
 SELECT c.doc_id, c.cluster_id, q.quality_score, l.pred_lang
 FROM ({_sql_dedup_clusters()}) c
+JOIN ({url_keepers}) u USING (doc_id)
 JOIN ({SQL_TOKEN_STATS}) q USING (doc_id)
 JOIN ({_sql_language_id()}) l USING (doc_id)
 WHERE c.is_keeper AND q.quality_score >= 0.7 AND l.pred_lang = 'en'
