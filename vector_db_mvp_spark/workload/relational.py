@@ -3999,7 +3999,12 @@ def q_price_mad_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation-arithmetic drift between engines. Scale note: windows key
     on l_suppkey (high cardinality, bounded per-group rows); for COARSE
     groups this shape would funnel and the range-bucketed rank machinery
-    (operators/rank.py) is the substitute."""
+    (operators/rank.py) is the substitute. The pass-2 join broadcasts the
+    per-supplier median frame (|suppliers| rows — fine at any TPC-H scale);
+    for key counts beyond broadcast reach (~10^8+), drop the broadcast()
+    hint and let both passes co-shuffle on l_suppkey — the second window's
+    exchange is then reused for the join and no executor holds the full
+    median table."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
