@@ -210,3 +210,57 @@ class HllIngest:
         return hll_estimate_from_state(self.state.read(), self.group_col).orderBy(
             self.group_col
         )
+
+
+class HdrIngest:
+    """foreachBatch handler maintaining per-group HDR quantile-sketch
+    state (operators/hdr.py).
+
+    The bucket-count-sum member of the sketch family: state is
+    (group, bucket, cnt) — bounded at ~16 * 64 rows per group forever —
+    merged across batches with SUM (associative and commutative; NOT
+    idempotent, so the run-scoped replay markers carry exactly-once here,
+    as with CmsIngest). Quantile reads walk the committed state's
+    cumulative counts through the same extraction as the one-shot batch
+    sketch, so maintained and from-scratch sketches are bit-identical.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        group_col: str,
+        value_sql: str,
+        *,
+        checkpoint_dir: str | None = None,
+    ):
+        from ..operators.hdr import hdr_merge, hdr_state
+
+        self.group_col = group_col
+        self.value_sql = value_sql
+        self.checkpoint_dir = checkpoint_dir
+        self.state = RollupState(
+            spark,
+            state_path,
+            [group_col, "bucket"],
+            None,
+            partial_fn=lambda df: hdr_state(df, group_col, value_sql),
+            merge_fn=lambda a, b: hdr_merge(a, b, group_col),
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        key = batch_key(self.checkpoint_dir, batch_id)
+        if not self.state.exists():
+            self.state.init(batch, batch_id=key)
+            return
+        self.state.apply_batch(batch, key)
+
+    def quantiles(self, quantiles: list[float]) -> DataFrame:
+        """(group, q, bucket, lo, hi, cum_count, n) from committed state."""
+        from ..operators.hdr import hdr_quantiles_from_state
+
+        return hdr_quantiles_from_state(
+            self.state.read(), self.group_col, quantiles
+        )

@@ -3551,6 +3551,74 @@ QUERIES["streaming_distinct_hll"] = q_streaming_distinct_hll
 ORACLE_SQL["streaming_distinct_hll"] = _sql_streaming_distinct_hll()
 
 
+_HDR_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_HDR_QS = [0.5, 0.9, 0.99, 0.999]
+
+
+def q_hdr_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style mergeable quantile sketch (operators/hdr.py): p50/p90/
+    p99/p999 of item price (in cents) per return flag, answered from
+    bounded (group, bucket, count) state with <= 6.25% relative value
+    error and EXACT reported bucket bounds. The quantile member of the
+    sketch family (KMV/CMS/HLL/MG): binning is pure integer arithmetic
+    (bit length + 4-bit mantissa — no log()/pow(), whose libm ulps differ
+    per engine), so the oracle computes the IDENTICAL sketch. Contrast
+    the exact rank machinery (global_price_median, equidepth): that pays
+    a corpus shuffle; this folds map-side into ~300 rows/group that
+    per-shard rollups merge by addition."""
+    from ..operators.hdr import hdr_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hdr_quantiles(li, "l_returnflag", _HDR_CENTS, _HDR_QS)
+
+
+def _sql_hdr_price_quantiles() -> str:
+    from ..operators.hdr import sql_hdr_quantiles
+
+    return sql_hdr_quantiles("lineitem", "l_returnflag", _HDR_CENTS, _HDR_QS)
+
+
+QUERIES["hdr_price_quantiles"] = q_hdr_price_quantiles
+ORACLE_SQL["hdr_price_quantiles"] = _sql_hdr_price_quantiles()
+
+
+def q_streaming_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED HDR quantile sketch (streaming/
+    sketch_stream.py HdrIngest): two lineitem batches fold into persisted
+    (group, bucket, count) state, merged by SUM under the exactly-once
+    replay protocol (sum is not idempotent — the markers matter here,
+    unlike HLL's max). Oracle: the one-shot batch sketch — bucket counts
+    form a sum monoid, so maintained state equals the full recompute
+    bit-for-bit."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.rollup_state import source_fingerprint
+    from ..streaming.sketch_stream import HdrIngest
+
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    fp = source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{fp}|hdr-v1".encode()).hexdigest()[:16]
+    handler = HdrIngest(
+        spark,
+        os.path.join(root, f"hdrstate-{key}"),
+        "l_returnflag",
+        _HDR_CENTS,
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    handler(li.filter(F.col("l_orderkey") % 2 == 0), 0)
+    handler(li.filter(F.col("l_orderkey") % 2 == 1), 1)
+    return handler.quantiles(_HDR_QS)
+
+
+QUERIES["streaming_price_quantiles"] = q_streaming_price_quantiles
+ORACLE_SQL["streaming_price_quantiles"] = _sql_hdr_price_quantiles()
+
+
 def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over each user's event
     sequence: for consecutive events (by ts, event_id) of the same user,
