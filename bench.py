@@ -105,6 +105,7 @@ HEADLINE = [
     "zorder_parts_curve",
     "url_canonical_dedup",
     "domain_quality_rollup",
+    "hdr_price_quantiles",
 ]
 
 
