@@ -302,3 +302,160 @@ SELECT {group_col},
 FROM r WHERE rn = LEAST(n, {k})
 ORDER BY {group_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV set similarity: Jaccard between per-group value sets from their
+# sketches. est = |S_k(A u B)  ∩  S(A)  ∩  S(B)| / k — the standard KMV
+# Jaccard estimator (Beyer et al., SIGMOD'07): the k smallest hashes of the
+# union are a uniform sample of A u B, and membership in both sketches
+# marks the intersection. Deterministic given md5, so the oracle computes
+# the IDENTICAL estimate; when |A u B| <= k the sketch holds the whole
+# union and the estimate is exact.
+#
+# Scale design: the only corpus-sized work is kmv_state_rows' salted
+# prune; everything after runs on <= k rows per group (state) and
+# <= k rows per group PAIR (union sketches). The pair frame is
+# #groups^2 / 2 — group cardinality here is a handful of categories
+# (event types, languages, sources), so the crossJoin is control-plane
+# sized by construction; for large group counts, pair selection (not the
+# sketch math) is the thing to bound first.
+# ---------------------------------------------------------------------------
+
+def kmv_jaccard(
+    df: DataFrame, group_col: str, value_col: str, k: int = 128
+) -> DataFrame:
+    """Pairwise Jaccard similarity between per-group value SETS.
+
+    Returns (group_a, group_b, k_used, n_both, jaccard_est,
+    jaccard_exact) for every unordered group pair, ordered. The exact
+    value rides along for calibration (same pattern as kmv_distinct's
+    n_exact) — at deployment scale only the estimate is computed."""
+    state = kmv_state_rows(df, group_col, value_col, k=k)
+    ga = state.select(F.col(group_col).alias("group_a"), "h")
+    gb = state.select(F.col(group_col).alias("group_b"), "h")
+    pairs = (
+        ga.select("group_a").distinct()
+        .crossJoin(gb.select("group_b").distinct())
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    # union-of-sketches per pair, k smallest
+    u = (
+        pairs.join(ga, "group_a")
+        .unionByName(pairs.join(gb, "group_b").select("group_a", "group_b", "h"))
+        .select("group_a", "group_b", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("h")
+    uk = u.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    flagged = (
+        uk.join(
+            ga.withColumn("_in_a", F.lit(1)), ["group_a", "h"], "left"
+        )
+        .join(gb.withColumn("_in_b", F.lit(1)), ["group_b", "h"], "left")
+    )
+    est_frame = flagged.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(
+            F.when(F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    # exact companion over the distinct sets
+    d = df.select(group_col, value_col).distinct()
+    da = d.select(F.col(group_col).alias("group_a"), F.col(value_col).alias("v"))
+    db = d.select(F.col(group_col).alias("group_b"), F.col(value_col).alias("v"))
+    inter = (
+        da.join(db, "v")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        pairs.join(sizes.withColumnRenamed(group_col, "group_a"), "group_a")
+        .withColumnRenamed("_n", "_na")
+        .join(sizes.withColumnRenamed(group_col, "group_b"), "group_b")
+        .withColumnRenamed("_n", "_nb")
+        .join(inter, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            (
+                F.coalesce(F.col("_ni"), F.lit(0)).cast("double")
+                / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_ni"), F.lit(0)))
+            ).alias("_jx"),
+        )
+    )
+    return (
+        est_frame.join(exact, ["group_a", "group_b"])
+        .select(
+            "group_a",
+            "group_b",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / F.col("k_used"), 6).alias("jaccard_est"),
+            F.round(F.col("_jx"), 6).alias("jaccard_exact"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+def sql_kmv_jaccard(
+    table: str, group_col: str, value_col: str, k: int = 128
+) -> str:
+    """DuckDB oracle: the identical sketch, union-k, and memberships."""
+    return f"""
+WITH d AS (SELECT DISTINCT {group_col} AS g, {value_col} AS v FROM {table}),
+h AS (SELECT g, md5(CAST(v AS VARCHAR)) AS h FROM d),
+state AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+  ) WHERE rn <= {k}
+),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b
+  FROM (SELECT DISTINCT g FROM state) a, (SELECT DISTINCT g FROM state) b
+  WHERE a.g < b.g
+),
+u AS (
+  SELECT DISTINCT group_a, group_b, h FROM (
+    SELECT p.group_a, p.group_b, s.h FROM pairs p JOIN state s ON s.g = p.group_a
+    UNION ALL
+    SELECT p.group_a, p.group_b, s.h FROM pairs p JOIN state s ON s.g = p.group_b
+  )
+),
+uk AS (
+  SELECT group_a, group_b, h FROM (
+    SELECT group_a, group_b, h,
+           ROW_NUMBER() OVER (PARTITION BY group_a, group_b ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {k}
+),
+est AS (
+  SELECT uk.group_a, uk.group_b,
+         COUNT(*) AS k_used,
+         SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_both
+  FROM uk
+  LEFT JOIN state sa ON sa.g = uk.group_a AND sa.h = uk.h
+  LEFT JOIN state sb ON sb.g = uk.group_b AND sb.h = uk.h
+  GROUP BY 1, 2
+),
+sizes AS (SELECT g, COUNT(*) AS n FROM d GROUP BY 1),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS ni
+  FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT e.group_a, e.group_b,
+       CAST(e.k_used AS BIGINT) AS k_used,
+       CAST(e.n_both AS BIGINT) AS n_both,
+       round(CAST(e.n_both AS DOUBLE) / e.k_used, 6) AS jaccard_est,
+       round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.ni, 0)), 6) AS jaccard_exact
+FROM est e
+JOIN sizes sa ON sa.g = e.group_a
+JOIN sizes sb ON sb.g = e.group_b
+LEFT JOIN inter i ON i.group_a = e.group_a AND i.group_b = e.group_b
+ORDER BY e.group_a, e.group_b
+"""

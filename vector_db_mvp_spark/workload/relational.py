@@ -3619,6 +3619,32 @@ QUERIES["streaming_price_quantiles"] = q_streaming_price_quantiles
 ORACLE_SQL["streaming_price_quantiles"] = _sql_hdr_price_quantiles()
 
 
+def q_kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-similarity (operators/sketch.py kmv_jaccard): pairwise
+    Jaccard of USER SETS across event types from k=128 min-hash sketches —
+    the Beyer et al. SIGMOD'07 estimator (k smallest union hashes sampled,
+    membership in both sketches marks the intersection), deterministic via
+    md5 so the oracle computes the IDENTICAL estimate; exact Jaccard rides
+    along for calibration. The audience-overlap question ('do error and
+    purchase users overlap?') answered from bounded per-group state a
+    coordinator can merge — at 100 TB the sketches fold map-side and only
+    k rows per group ever move."""
+    from ..operators.sketch import kmv_jaccard
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_jaccard(ev, "event_type", "user_id", k=128)
+
+
+def _sql_kmv_jaccard_event_types() -> str:
+    from ..operators.sketch import sql_kmv_jaccard
+
+    return sql_kmv_jaccard("events", "event_type", "user_id", k=128)
+
+
+QUERIES["kmv_jaccard_event_types"] = q_kmv_jaccard_event_types
+ORACLE_SQL["kmv_jaccard_event_types"] = _sql_kmv_jaccard_event_types()
+
+
 def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over each user's event
     sequence: for consecutive events (by ts, event_id) of the same user,
