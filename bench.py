@@ -106,6 +106,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "domain_quality_rollup",
     "hdr_price_quantiles",
+    "dbscan_embedding_clusters",
 ]
 
 

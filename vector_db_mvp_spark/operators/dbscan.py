@@ -1,0 +1,144 @@
+"""Density-based clustering (DBSCAN) composed from relational primitives.
+
+A training-corpus curation pipeline clusters embeddings to find dense
+topical groups and isolate outliers (noise docs are frequently boilerplate
+or junk). Classic DBSCAN (Ester et al., KDD'96) is defined procedurally —
+seed-point expansion — which is both inherently sequential and
+order-dependent for border points. This module implements the standard
+*deterministic* restatement used by parallel DBSCAN work (e.g. MR-DBSCAN):
+
+- ``core``   : point with >= ``min_pts`` points in its eps-neighborhood
+  (count includes the point itself, matching the original paper).
+- clusters  = connected components of the core points under the
+  eps-neighbor relation restricted to core-core edges; the cluster id is
+  the minimum core id in the component (stable under any execution order).
+- ``border`` : non-core point with >= 1 core neighbor; deterministically
+  assigned the MINIMUM cluster id among its core neighbors (classic DBSCAN
+  assigns whichever cluster reaches it first — nondeterministic on any
+  parallel engine and unreproducible by an oracle).
+- ``noise``  : everything else.
+
+The eps-neighborhood pairs are an INPUT (``pairs``), so the same clustering
+core composes with any neighbor generator: the exact O(N^2) cosine join for
+oracle parity, or the sub-quadratic LSH bucket join
+(``operators/dedup.py:embedding_neardup_pairs_lsh``) as the 100 TB path —
+where "eps-neighbor" then means "bucket-coincident AND cosine >= tau",
+itself a deterministic predicate both engines can evaluate identically.
+
+Scale notes (100 TB):
+- the pair graph is typically orders of magnitude smaller than the corpus
+  (bounded by bucket co-occupancy); every step here is edge-linear: one
+  symmetrize pass, one keyed degree aggregation, two semi-joins, and the
+  label-propagation loop from ``operators/cluster.py`` (one shuffle per
+  round, rounds = core-graph diameter).
+- the symmetrized edge list is localCheckpoint'ed SERIALIZED once and
+  reused by degree / core-edge / border stages — without it the upstream
+  pair-generation pipeline (band join + cosine verify) would re-execute
+  three times.
+- no step collects data to the driver beyond connected_components'
+  gated small-graph fast path (exactly the same labeling, see cluster.py).
+
+Reference capability anchor: the reference stores one embedding per row and
+serves similarity queries over them (vector_store.py, search_service.py);
+density clustering is the corpus-analysis extension of that same
+similarity structure (SURVEY.md "LLM-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dbscan(
+    points: DataFrame,
+    pairs: DataFrame,
+    *,
+    min_pts: int = 5,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Cluster ``points`` given precomputed eps-neighbor ``pairs``.
+
+    ``points``: single-column node universe (``id_col``) — every point
+    appears in the output, including isolated ones (role ``noise``).
+    ``pairs``: columns ``id1``/``id2``, each unordered neighbor pair once.
+    ``min_pts``: neighborhood size threshold INCLUDING the point itself
+    (the KDD'96 convention), so core <=> degree >= min_pts - 1.
+
+    Returns (``id_col``, role, cluster_id); cluster_id is NULL iff noise.
+    """
+    from pyspark import StorageLevel
+
+    from .cluster import connected_components
+
+    # Symmetrize in ONE pass over the pair input (see cluster.py: a union of
+    # two selects would run the expensive pair-generation pipeline twice).
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id1").alias("a"), F.col("id2").alias("b")),
+                    F.struct(F.col("id2").alias("a"), F.col("id1").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    if num_partitions is not None:
+        sym = sym.repartition(num_partitions, "a")
+    # Reused by three downstream stages; SERIALIZED storage (deserialized
+    # on-heap blocks are ~5x larger — the sf10 OOM class, see pagerank.py).
+    sym = sym.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+    # Degree = neighbor count (self excluded by construction: id1 != id2).
+    core_ids = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") >= min_pts - 1)
+        .select(F.col("a").alias(id_col))
+    )
+
+    # Core-core edges only: two semi-joins against the (small) core set.
+    core_edges = (
+        sym.join(core_ids.select(F.col(id_col).alias("a")), "a", "left_semi")
+        .join(core_ids.select(F.col(id_col).alias("b")), "b", "left_semi")
+        .select("a", "b")
+    )
+    cc = connected_components(
+        core_edges,
+        src="a",
+        dst="b",
+        nodes=core_ids,
+        id_col=id_col,
+        num_partitions=num_partitions,
+        driver_threshold=driver_threshold,
+    ).select(F.col(id_col), F.col("comp").alias("_core_cluster"))
+
+    # Border assignment: non-core endpoint -> MIN cluster over its core
+    # neighbors. One keyed aggregation; the join against cc is by core id
+    # (the small side — broadcastable at any realistic cluster count, but
+    # left as a shuffle join so the plan survives adversarial core counts).
+    border = (
+        sym.join(core_ids.select(F.col(id_col).alias("a")), "a", "left_anti")
+        .join(cc.select(F.col(id_col).alias("b"), "_core_cluster"), "b")
+        .groupBy("a")
+        .agg(F.min("_core_cluster").alias("_border_cluster"))
+        .select(F.col("a").alias(id_col), "_border_cluster")
+    )
+
+    return (
+        points.select(F.col(id_col))
+        .join(cc, id_col, "left")
+        .join(border, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_core_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_core_cluster", "_border_cluster").alias("cluster_id"),
+        )
+    )

@@ -1182,3 +1182,76 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["ann_lsh_recall"] = q_ann_lsh_recall
 ORACLE_SQL["ann_lsh_recall"] = _sql_ann_lsh_recall()
+
+
+def q_dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DBSCAN over the embedding corpus (operators/dbscan.py):
+    eps-neighborhood = LSH-bucket-coincident AND cosine >= 0.3 (the
+    sub-quadratic scale path — candidates only from shared buckets, exact
+    verify), min_pts = 5. Output: every vector's role (core/border/noise)
+    and its min-core-id cluster. The oracle reproduces the identical
+    neighbor predicate in SQL and resolves the core components with a
+    recursive CTE — an exact end-to-end check of an iterative density
+    clustering, LSH bucketing included."""
+    from ..operators.dbscan import dbscan
+    from ..operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    planes = generate_planes(64, 8, 4, seed=42)
+    pairs = embedding_neardup_pairs_lsh(emb, planes, tau=0.3, native=True).select(
+        "id1", "id2"
+    )
+    # Pair graph is corpus-bounded but tiny relative to the session's
+    # corpus-sized shuffle width; run the edge-linear stages narrow
+    # (see dedup_clusters: ~40% of CC wall time was empty-task overhead).
+    return dbscan(
+        emb.select("vec_id"), pairs, min_pts=5, id_col="vec_id", num_partitions=8
+    ).orderBy("vec_id")
+
+
+def _sql_dbscan_embedding_clusters() -> str:
+    planes = generate_planes(64, 8, 4, seed=42)
+    overlap = " OR ".join(
+        f"({sql_bucket_code('a.embedding', t)}) = ({sql_bucket_code('b.embedding', t)})"
+        for t in planes
+    )
+    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH RECURSIVE pts AS (SELECT vec_id AS id FROM embeddings WHERE embedding IS NOT NULL),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+    AND ({overlap}) AND round({cos}, 6) >= 0.3
+),
+edges AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+core AS MATERIALIZED (SELECT a AS id FROM edges GROUP BY a HAVING COUNT(*) >= 4),
+core_edges AS MATERIALIZED (
+  SELECT e.a, e.b FROM edges e
+  JOIN core c1 ON e.a = c1.id JOIN core c2 ON e.b = c2.id),
+reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.a, reach.r FROM core_edges e JOIN reach ON reach.id = e.b),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+border AS (
+  SELECT e.a AS id, MIN(cc.cluster_id) AS cluster_id
+  FROM edges e JOIN cc ON e.b = cc.id
+  WHERE e.a NOT IN (SELECT id FROM core) GROUP BY e.a)
+SELECT pts.id AS vec_id,
+  CASE WHEN cc.id IS NOT NULL THEN 'core'
+       WHEN border.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  COALESCE(cc.cluster_id, border.cluster_id) AS cluster_id
+FROM pts
+LEFT JOIN cc ON pts.id = cc.id
+LEFT JOIN border ON pts.id = border.id
+ORDER BY vec_id
+"""
+
+
+QUERIES["dbscan_embedding_clusters"] = q_dbscan_embedding_clusters
+ORACLE_SQL["dbscan_embedding_clusters"] = _sql_dbscan_embedding_clusters()
