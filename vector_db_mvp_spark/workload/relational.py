@@ -4196,3 +4196,85 @@ LIMIT 30
 
 QUERIES["price_mad_by_supplier"] = q_price_mad_by_supplier
 ORACLE_SQL["price_mad_by_supplier"] = SQL_PRICE_MAD_BY_SUPPLIER
+
+
+def q_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy-match part names (SymSpell
+    deletion-neighborhood blocking, Levenshtein<=1 verify —
+    operators/fuzzyjoin.py), resolve matched names into entities by
+    connected components (operators/cluster.py), then merge each entity's
+    member records into ONE golden record under explicit survivorship rules
+    (operators/survivorship.py): modal brand and type (ties -> smaller
+    value), largest size, best (minimum) retail price.
+
+    Scale shape: the fuzzy/CC stages run over DISTINCT NAMES (orders of
+    magnitude fewer than records); records join to their entity through a
+    broadcast of that name->entity map; survivorship is two-level keyed
+    aggregation. No step is corpus-quadratic or driver-sized."""
+    from ..operators.cluster import connected_components
+    from ..operators.fuzzyjoin import fuzzy_pairs
+    from ..operators.survivorship import golden_record
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    pairs = fuzzy_pairs(part, text_col="p_name").select(
+        F.col("name_a").alias("id1"), F.col("name_b").alias("id2")
+    )
+    entities = connected_components(
+        pairs, src="id1", dst="id2", nodes=names, id_col="name",
+        num_partitions=8,
+    ).select(F.col("name").alias("p_name"), F.col("comp").alias("entity_name"))
+    merged = part.join(F.broadcast(entities), "p_name")
+    return golden_record(
+        merged,
+        entity_col="entity_name",
+        rules={
+            "p_brand": "mode",
+            "p_type": "mode",
+            "p_size": "max",
+            "p_retailprice": "min",
+        },
+    ).orderBy("entity_name")
+
+
+SQL_PART_GOLDEN_RECORD = """
+WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+pairs AS MATERIALIZED (
+  SELECT a.name AS id1, b.name AS id2
+  FROM names a JOIN names b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+reach(id, r) AS (
+  SELECT name, name FROM names
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+cc AS (SELECT id AS p_name, MIN(r) AS entity_name FROM reach GROUP BY id),
+members AS (SELECT cc.entity_name, p.* FROM part p JOIN cc ON p.p_name = cc.p_name),
+base AS (
+  SELECT entity_name, COUNT(*) AS n_records,
+         MAX(p_size) AS p_size, MIN(p_retailprice) AS p_retailprice
+  FROM members GROUP BY 1),
+brand_mode AS (
+  SELECT entity_name, p_brand FROM (
+    SELECT entity_name, p_brand,
+           ROW_NUMBER() OVER (PARTITION BY entity_name
+                              ORDER BY COUNT(*) DESC, p_brand ASC) AS rn
+    FROM members GROUP BY entity_name, p_brand) WHERE rn = 1),
+type_mode AS (
+  SELECT entity_name, p_type FROM (
+    SELECT entity_name, p_type,
+           ROW_NUMBER() OVER (PARTITION BY entity_name
+                              ORDER BY COUNT(*) DESC, p_type ASC) AS rn
+    FROM members GROUP BY entity_name, p_type) WHERE rn = 1)
+SELECT base.entity_name, CAST(n_records AS BIGINT) AS n_records,
+       brand_mode.p_brand, type_mode.p_type, base.p_size, base.p_retailprice
+FROM base
+JOIN brand_mode USING (entity_name)
+JOIN type_mode USING (entity_name)
+ORDER BY entity_name
+"""
+
+QUERIES["part_golden_record"] = q_part_golden_record
+ORACLE_SQL["part_golden_record"] = SQL_PART_GOLDEN_RECORD
