@@ -4278,3 +4278,60 @@ ORDER BY entity_name
 
 QUERIES["part_golden_record"] = q_part_golden_record
 ORACLE_SQL["part_golden_record"] = SQL_PART_GOLDEN_RECORD
+
+
+def q_cep_chain_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing chain matcher (MATCH_RECOGNIZE-style
+    ``view -> click -> purchase`` with a 7-day bound per hop — the
+    funnel_conversion convention — ALL matches, latest-chain semantics):
+    every purchase is matched to the latest preceding click that itself
+    chains to its latest preceding view. Unlike ``funnel_conversion`` (one
+    earliest anchor per user, aggregate counts) this emits every matched
+    instance with its stage timestamps. See operators/cep.py for the
+    struct-max window construction (one exchange + one sort, two stacked
+    Window operators, pure codegen)."""
+    from ..operators.cep import chain_matches
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        chain_matches(ev, stages=("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.col("a_ts").alias("view_ts"),
+            F.col("b_ts").alias("click_ts"),
+            F.col("c_ts").alias("purchase_ts"),
+            "chain_secs",
+        )
+        .orderBy("user_id", "purchase_ts")
+    )
+
+
+SQL_CEP_CHAIN_MATCHES = """
+WITH e1 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts END)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastview
+  FROM events),
+e2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND lastview IS NOT NULL
+                  AND ts <= lastview + INTERVAL 7 DAY
+            THEN struct_pack(click_ts := ts, view_ts := lastview) END AS chain
+  FROM e1),
+e3 AS (
+  SELECT *, MAX(chain)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastchain
+  FROM e2)
+SELECT user_id,
+       lastchain.view_ts AS view_ts,
+       lastchain.click_ts AS click_ts,
+       ts AS purchase_ts,
+       (epoch_us(ts) - epoch_us(lastchain.view_ts)) // 1000000 AS chain_secs
+FROM e3
+WHERE event_type = 'purchase' AND lastchain IS NOT NULL
+  AND ts <= lastchain.click_ts + INTERVAL 7 DAY
+ORDER BY user_id, purchase_ts
+"""
+
+QUERIES["cep_chain_matches"] = q_cep_chain_matches
+ORACLE_SQL["cep_chain_matches"] = SQL_CEP_CHAIN_MATCHES
