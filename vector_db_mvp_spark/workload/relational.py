@@ -4335,3 +4335,126 @@ ORDER BY user_id, purchase_ts
 
 QUERIES["cep_chain_matches"] = q_cep_chain_matches
 ORACLE_SQL["cep_chain_matches"] = SQL_CEP_CHAIN_MATCHES
+
+
+def _ols2_exprs() -> dict[str, str]:
+    """Closed-form two-feature OLS (normal equations via Cramer's rule) as
+    SQL expression strings over the exact moment columns
+    (n, s1, s2, s11, s22, s12, sy, s1y, s2y). The SAME strings run in
+    Spark (selectExpr) and DuckDB (oracle), so the double arithmetic tree
+    — operand order and parenthesization included — is identical on both
+    engines; identical moments therefore produce identical doubles."""
+    nd, s1, s2 = "CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)"
+    s11, s22, s12 = (
+        "CAST(s11 AS DOUBLE)", "CAST(s22 AS DOUBLE)", "CAST(s12 AS DOUBLE)",
+    )
+    sy, s1y, s2y = (
+        "CAST(sy AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)",
+    )
+    # Cramer cofactors of the symmetric 3x3 normal matrix
+    #   [ n  s1  s2 ] [b0]   [ sy ]
+    #   [ s1 s11 s12] [b1] = [s1y]
+    #   [ s2 s12 s22] [b2]   [s2y]
+    det = (
+        f"({nd} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    b0 = (
+        f"(({sy} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" + {s2} * ({s1y} * {s12} - {s11} * {s2y})) / {det})"
+    )
+    b1 = (
+        f"(({nd} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2y} - {s1y} * {s2})) / {det})"
+    )
+    b2 = (
+        f"(({nd} * ({s11} * {s2y} - {s1y} * {s12})"
+        f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+        f" + {sy} * ({s1} * {s12} - {s11} * {s2})) / {det})"
+    )
+    # R^2 from the same moments: SST = syy - sy^2/n;
+    # SSR = b1*(s1y - s1*sy/n) + b2*(s2y - s2*sy/n)  (centered form)
+    syy = "CAST(syy AS DOUBLE)"
+    sst = f"({syy} - {sy} * {sy} / {nd})"
+    ssr = (
+        f"({b1} * ({s1y} - {s1} * {sy} / {nd})"
+        f" + {b2} * ({s2y} - {s2} * {sy} / {nd}))"
+    )
+    return {"b0": b0, "b1": b1, "b2": b2, "r2": f"({ssr} / {sst})"}
+
+
+def q_price_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped two-feature OLS by normal equations: per return flag, fit
+    l_extendedprice ~ b0 + b1*l_quantity + b2*l_discount and report the
+    coefficients and R². One aggregation pass accumulates the nine exact
+    DECIMAL/BIGINT moments (order-independent, map-side partial — the
+    Gram matrix X'X and X'y assembled distributively); the 3x3 system is
+    then solved in closed form (Cramer) by a shared SQL expression tree
+    (see ``_ols2_exprs``) evaluated identically by both engines. The
+    pattern scales to any row count at fixed feature dimension — the
+    shuffle carries only |groups| x 10 moment cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("decimal(38,4)").alias("s1"),
+        F.sum(d).cast("decimal(38,4)").alias("s2"),
+        F.sum(q * q).cast("decimal(38,4)").alias("s11"),
+        F.sum(d * d).cast("decimal(38,4)").alias("s22"),
+        F.sum(q * d).cast("decimal(38,4)").alias("s12"),
+        F.sum(y).cast("decimal(38,4)").alias("sy"),
+        F.sum(q * y).cast("decimal(38,4)").alias("s1y"),
+        F.sum(d * y).cast("decimal(38,4)").alias("s2y"),
+        F.sum(y * y).cast("decimal(38,4)").alias("syy"),
+    )
+    e = _ols2_exprs()
+    return m.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n_rows",
+        f"round({e['b0']}, 6) AS b0",
+        f"round({e['b1']}, 6) AS b1_quantity",
+        f"round({e['b2']}, 6) AS b2_discount",
+        f"round({e['r2']}, 6) AS r2",
+    ).orderBy("l_returnflag")
+
+
+def _sql_price_multiple_regression() -> str:
+    e = _ols2_exprs()
+    return f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s1,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s2,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s11,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s22,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s12,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s1y,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s2y,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round({e['b0']}, 6) AS b0,
+       round({e['b1']}, 6) AS b1_quantity,
+       round({e['b2']}, 6) AS b2_discount,
+       round({e['r2']}, 6) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+QUERIES["price_multiple_regression"] = q_price_multiple_regression
+ORACLE_SQL["price_multiple_regression"] = _sql_price_multiple_regression()
