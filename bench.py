@@ -110,6 +110,7 @@ HEADLINE = [
     "part_golden_record",
     "cep_chain_matches",
     "price_multiple_regression",
+    "revenue_seasonal_decomposition",
 ]
 
 

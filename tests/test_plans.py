@@ -262,6 +262,8 @@ def test_headline_plans_have_no_data_funnel(spark, sf_dir):
     bounded = {
         "monthly_growth": "|months| rows after the daily partial agg",
         "revenue_moving_avg": "|days in 1996| rows after the daily agg",
+        "revenue_seasonal_decomposition": "|days| rows after the daily agg "
+        "(trend + weekday-class windows both run on the aggregated frame)",
         "temperature_mix": "#sources quota frame",
         "char_budget_mix": "#groups water-fill frame (5 langs); the "
         "corpus-sized selection window is keyed by group",

@@ -4458,3 +4458,87 @@ FROM m ORDER BY l_returnflag
 
 QUERIES["price_multiple_regression"] = q_price_multiple_regression
 ORACLE_SQL["price_multiple_regression"] = _sql_price_multiple_regression()
+
+
+# Final-arithmetic expressions shared VERBATIM by both engines (identical
+# double operation trees; see _ols2_exprs for the technique). All inputs
+# are exact integers (cents / scaled detrended cents), so every output is
+# a few correctly-rounded double ops from exact operands.
+_SEASONAL_EXPRS = {
+    "revenue": "round(CAST(rev_c AS DOUBLE) / 100.0, 6)",
+    "trend": "round(CAST(t7 AS DOUBLE) / 700.0, 6)",
+    "seasonal":
+        "round(CAST(s_sum AS DOUBLE) / (700.0 * CAST(s_cnt AS DOUBLE)), 6)",
+    "residual":
+        "round(CAST(rev_c AS DOUBLE) / 100.0 - CAST(t7 AS DOUBLE) / 700.0"
+        " - CAST(s_sum AS DOUBLE) / (700.0 * CAST(s_cnt AS DOUBLE)), 6)",
+}
+
+
+def q_revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive seasonal decomposition of daily order revenue:
+    trend = centered 7-day moving average (full windows only), weekly
+    seasonal index = per-weekday-class mean of the detrended series,
+    residual = the rest. The numeric core stays EXACT until the last step:
+    revenue in integer cents, the detrended series as ``7*rev - Σ_window``
+    (common-denominator trick — no division until output), weekday classes
+    as ``dnum % 7`` (calendar-convention-free, both engines agree on
+    integer arithmetic). Output divisions are shared expression strings
+    (``_SEASONAL_EXPRS``) so the double trees are identical.
+
+    Scale shape: the global windows run over the DAILY AGGREGATED frame
+    (|days| rows at any corpus size — bounded-frame exemption class in
+    test_plans); the corpus-sized work is one map-side-partial groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    d2 = daily.withColumn(
+        "dnum", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    w7 = Window.orderBy("dnum").rangeBetween(-3, 3)
+    f = (
+        d2.withColumn("t7", F.sum("rev_c").over(w7))
+        .withColumn("c7", F.count(F.lit(1)).over(w7))
+        .filter(F.col("c7") == 7)
+        .withColumn("detr7", F.expr("7 * rev_c - t7"))
+        .withColumn("dow", F.expr("dnum % 7"))
+    )
+    wd = Window.partitionBy("dow")
+    s = f.withColumn("s_sum", F.sum("detr7").over(wd)).withColumn(
+        "s_cnt", F.count(F.lit(1)).over(wd)
+    )
+    return s.selectExpr(
+        "date_format(day, 'yyyy-MM-dd') AS day",
+        f"{_SEASONAL_EXPRS['revenue']} AS revenue",
+        f"{_SEASONAL_EXPRS['trend']} AS trend",
+        f"{_SEASONAL_EXPRS['seasonal']} AS seasonal",
+        f"{_SEASONAL_EXPRS['residual']} AS residual",
+    ).orderBy("day")
+
+
+SQL_REVENUE_SEASONAL_DECOMPOSITION = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1),
+d2 AS (SELECT strftime(day, '%Y-%m-%d') AS day, rev_c,
+              date_diff('day', DATE '1970-01-01', day) AS dnum FROM daily),
+w AS (
+  SELECT *, SUM(rev_c) OVER win AS t7, COUNT(*) OVER win AS c7
+  FROM d2 WINDOW win AS (ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+f AS (SELECT *, 7 * rev_c - t7 AS detr7, dnum % 7 AS dow FROM w WHERE c7 = 7),
+s AS (SELECT *, SUM(detr7) OVER (PARTITION BY dow) AS s_sum,
+               COUNT(*) OVER (PARTITION BY dow) AS s_cnt FROM f)
+SELECT day,
+       {_SEASONAL_EXPRS['revenue']} AS revenue,
+       {_SEASONAL_EXPRS['trend']} AS trend,
+       {_SEASONAL_EXPRS['seasonal']} AS seasonal,
+       {_SEASONAL_EXPRS['residual']} AS residual
+FROM s ORDER BY day
+"""
+
+QUERIES["revenue_seasonal_decomposition"] = q_revenue_seasonal_decomposition
+ORACLE_SQL["revenue_seasonal_decomposition"] = SQL_REVENUE_SEASONAL_DECOMPOSITION
