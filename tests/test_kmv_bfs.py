@@ -111,3 +111,38 @@ def test_kmv_no_single_partition_exchange(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = kmv_distinct(ev, "event_type", "user_id", k=64)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_cheapest_paths_multihop_beats_direct(spark):
+    from vector_db_mvp_spark.operators.bfs import cheapest_paths
+
+    # 1 -(10)- 4 direct, but 1 -(2)- 2 -(3)- 4 is cheaper (5 vs 10); node 5
+    # via the cheap route needs 3 hops (cost 6); node 6 is reachable within
+    # the bound ONLY via the expensive direct edge (10+1+1) — pinning that
+    # the hop bound applies per-path, not to the final relaxed cost.
+    raw = [(1, 4, 10), (1, 2, 2), (2, 4, 3), (4, 5, 1), (5, 6, 1)]
+    edges = spark.createDataFrame(
+        raw + [(b, a, w) for a, b, w in raw], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["cost"]
+        for r in cheapest_paths(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 2, 4: 5, 5: 6, 6: 12}
+
+
+def test_cheapest_paths_multi_source_and_bound(spark):
+    from vector_db_mvp_spark.operators.bfs import cheapest_paths
+
+    raw = [(1, 2, 5), (10, 2, 1), (2, 3, 1)]
+    edges = spark.createDataFrame(
+        raw + [(b, a, w) for a, b, w in raw], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {
+        r["node"]: r["cost"]
+        for r in cheapest_paths(edges, seeds, max_hops=1).collect()
+    }
+    # node 2 takes the cheaper seed (10); node 3 is beyond the 1-hop bound
+    assert got == {1: 0, 10: 0, 2: 1}

@@ -58,3 +58,49 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
         visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop)))
         frontier = nxt
     return visited
+
+
+def cheapest_paths(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Bounded-hop single/multi-source cheapest paths (Bellman-Ford rounds).
+
+    ``edges`` is DataFrame[src, dst, w] (integer weights — exact min, no
+    float-accumulation ambiguity; both directions present for undirected
+    graphs); ``seeds`` is DataFrame[node]. Returns DataFrame[node, cost]
+    with the minimum total weight over any path of <= ``max_hops`` edges
+    from any seed (0 for seeds).
+
+    Scale shape: identical to :func:`bfs_hops` — per round one equi-join
+    of the distance frame against the (DISK_ONLY-checkpointed) edge table
+    plus one min-aggregation; unlike BFS the frame does NOT shrink (a
+    relaxation can improve an already-reached node), so each round is
+    bounded by |reached| + |out-edges of reached|. Rounds are fixed at
+    ``max_hops`` — the bounded-radius variant a pipeline actually asks for
+    ("cheapest affinity route within k links"), which also caps the plan
+    depth; unbounded Bellman-Ford would iterate to |V|-1 with the same
+    per-round shape.
+    """
+    from pyspark import StorageLevel
+
+    edges = edges.select("src", "dst", "w").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        cand = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

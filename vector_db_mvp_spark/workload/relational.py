@@ -4542,3 +4542,66 @@ FROM s ORDER BY day
 
 QUERIES["revenue_seasonal_decomposition"] = q_revenue_seasonal_decomposition
 ORACLE_SQL["revenue_seasonal_decomposition"] = SQL_REVENUE_SEASONAL_DECOMPOSITION
+
+
+def q_part_cheapest_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/bfs.py ``cheapest_paths``) over
+    the co-purchase graph: edge weight = 1000000 // co-purchase-count
+    (inverse affinity — strongly co-bought parts are cheap to traverse, so
+    a 2-hop route through popular pairings can undercut a rare direct
+    link: genuinely non-metric weights, unlike any node-potential
+    difference). Reports the 30 parts cheapest to reach from seed part 1
+    within 3 hops. Integer-cent weights keep every cost exact — min over
+    paths has no float-accumulation ambiguity. Edge build is the
+    part_reachability basket-bounded join plus a per-pair count."""
+    from ..operators.bfs import cheapest_paths
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .withColumn("w", F.expr("1000000 div co"))
+    )
+    edges = pairs.select("src", "dst", "w").unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = spark.range(1, 2).select(F.col("id").alias("node"))
+    return (
+        cheapest_paths(edges, seeds, max_hops=3)
+        .select(F.col("node").alias("p_partkey"), "cost")
+        .orderBy("cost", "p_partkey")
+        .limit(30)
+    )
+
+
+SQL_PART_CHEAPEST_ROUTES = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             1000000 // COUNT(*) AS w
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+e AS (SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
+walk(node, cost, hop) AS (
+  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, walk.cost + e.w, walk.hop + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hop < 3)
+SELECT node AS p_partkey, MIN(cost) AS cost
+FROM walk GROUP BY 1 ORDER BY cost, p_partkey LIMIT 30
+"""
+
+QUERIES["part_cheapest_routes"] = q_part_cheapest_routes
+ORACLE_SQL["part_cheapest_routes"] = SQL_PART_CHEAPEST_ROUTES
