@@ -40,7 +40,10 @@ def _rate_stream(spark, rows_per_second: int = 2000):
     )
 
 
-def _await_batches(query, handler, min_rows: int, timeout: float = 60.0) -> None:
+def _await_batches(query, handler, min_rows: int, timeout: float = 180.0) -> None:
+    # 180 s: a rate-stream micro-batch normally lands in seconds, but this
+    # test shares the machine with whatever else CI runs — under full-core
+    # contention 60 s produced rare spurious timeouts.
     """Wait until the persisted state covers at least ``min_rows`` source
     rows (i.e. some micro-batches actually committed)."""
     deadline = time.time() + timeout
