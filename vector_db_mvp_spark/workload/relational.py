@@ -4605,3 +4605,91 @@ FROM walk GROUP BY 1 ORDER BY cost, p_partkey LIMIT 30
 
 QUERIES["part_cheapest_routes"] = q_part_cheapest_routes
 ORACLE_SQL["part_cheapest_routes"] = SQL_PART_CHEAPEST_ROUTES
+
+
+# Chi-square term over exact-integer contingency cells (o, r, c, n as
+# DOUBLE-cast BIGINT columns) — shared verbatim by both engines.
+_CHI2_TERM = (
+    "((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+    " * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+    " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+
+
+def q_event_type_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and weekday
+    class (``dnum % 7`` — calendar-convention-free), plus Cramér's V.
+    Everything upstream of the statistic is EXACT: the contingency table,
+    row/column totals and N are BIGINTs from one map-side-partial
+    aggregation (+ windows over the |types|×7 control-plane frame). The
+    statistic itself is Σ (O·N − R·C)²/(R·C·N) — per-cell terms from a
+    SHARED expression string (``_CHI2_TERM``), summed in a PINNED order
+    (cells sorted by (type, dow); Spark: array_sort(collect_list(struct))
+    + sequential aggregate() fold; DuckDB: list(term ORDER BY ...) +
+    list_reduce — 0.0+x ≡ x makes the folds identical). sqrt is IEEE
+    correctly-rounded, so Cramér's V inherits cross-engine determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.withColumn(
+            "dow", F.expr("datediff(to_date(ts), to_date('1970-01-01')) % 7")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .withColumn("r", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy(F.lit(1))))
+        .withColumn("term", F.expr(_CHI2_TERM))
+    )
+    ks = ev.withColumn(
+        "dow", F.expr("datediff(to_date(ts), to_date('1970-01-01')) % 7")
+    ).agg(
+        F.countDistinct("event_type").alias("k_types"),
+        F.countDistinct("dow").alias("k_dow"),
+    )
+    chi = cells.groupBy("n").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type, dow, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"
+        ).alias("chi2_raw")
+    )
+    return chi.crossJoin(F.broadcast(ks)).selectExpr(
+        "CAST(n AS BIGINT) AS n_events",
+        "round(chi2_raw, 6) AS chi2",
+        "round(sqrt(chi2_raw / (CAST(n AS DOUBLE)"
+        " * (CAST(least(k_types, k_dow) AS DOUBLE) - 1.0))), 6) AS cramers_v",
+    )
+
+
+SQL_EVENT_TYPE_DOW_CHI2 = f"""
+WITH cells AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT *,
+         SUM(o) OVER (PARTITION BY event_type) AS r,
+         SUM(o) OVER (PARTITION BY dow) AS c,
+         SUM(o) OVER () AS n
+  FROM cells),
+terms AS (SELECT *, {_CHI2_TERM} AS term FROM tot),
+chi AS (
+  SELECT n, list_reduce(list(term ORDER BY event_type, dow),
+                        (acc, t) -> acc + t) AS chi2_raw
+  FROM terms GROUP BY n),
+ks AS (
+  SELECT COUNT(DISTINCT event_type) AS k_types,
+         COUNT(DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7)
+           AS k_dow
+  FROM events)
+SELECT CAST(n AS BIGINT) AS n_events,
+       round(chi2_raw, 6) AS chi2,
+       round(sqrt(chi2_raw / (CAST(n AS DOUBLE)
+             * (CAST(least(k_types, k_dow) AS DOUBLE) - 1.0))), 6) AS cramers_v
+FROM chi CROSS JOIN ks
+"""
+
+QUERIES["event_type_dow_chi2"] = q_event_type_dow_chi2
+ORACLE_SQL["event_type_dow_chi2"] = SQL_EVENT_TYPE_DOW_CHI2
