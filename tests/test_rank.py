@@ -89,3 +89,30 @@ def test_equal_values_share_bucket_and_rank_by_tiebreak(spark):
     rows = {r["id"]: r["rn"] for r in ranked.collect()}
     assert rows[99] == 1 and rows[100] == n
     assert sorted(rows[i] for i in range(50)) == list(range(2, 52))
+
+
+def test_global_prefix_sums_exact_and_partition_invariant(spark):
+    import random
+
+    from vector_db_mvp_spark.operators.rank import global_prefix_sums
+
+    rng = random.Random(7)
+    vals = rng.sample(range(10_000), 500)
+    rows = [(float(v), v % 5, (v * 7) % 3) for v in vals]
+    df = spark.createDataFrame(rows, "v double, a long, b long")
+
+    expected = {}
+    ca = cb = 0
+    for v, a, b in sorted(rows):
+        ca += a
+        cb += b
+        expected[v] = (ca, cb)
+
+    for parts, buckets in ((3, 8), (17, 64)):
+        got = {
+            r["v"]: (r["cum_a"], r["cum_b"])
+            for r in global_prefix_sums(
+                df.repartition(parts), "v", ["a", "b"], buckets=buckets
+            ).collect()
+        }
+        assert got == expected

@@ -175,3 +175,62 @@ def running_min_before(
     return bucketed.withColumn(
         out_col, F.least(F.element_at(prefix_map, F.col("_gb")), local)
     ).drop("_gb")
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    value_col: str,
+    sum_cols: list[str],
+    *,
+    buckets: int = 64,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact inclusive prefix sums of ``sum_cols`` over the global total
+    order ``value_col ASC`` — the distributed twin of
+    ``sum(c).over(Window.orderBy(value))`` without the single-partition
+    exchange. Requires ``value_col`` values to be UNIQUE (aggregate to one
+    row per value first); the running-CDF/K-S machinery below satisfies
+    this by construction.
+
+    Two-phase, same shape as :func:`global_row_number`: range-bucket on
+    sampled boundaries, per-bucket totals to the driver (O(buckets)
+    control plane), then per-bucket window cumsums shifted by broadcast
+    bucket offsets. Adds ``cum_<col>`` columns (LONG).
+    """
+    from pyspark import StorageLevel
+
+    base = (
+        df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        if materialize
+        else df
+    )
+    bounds = _boundaries(base, value_col, buckets)
+    bucketed = base.withColumn("_gb", _bucket_expr(F.col(value_col), bounds))
+    totals = (
+        bucketed.groupBy("_gb")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    out = bucketed
+    w = (
+        Window.partitionBy("_gb")
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in sum_cols:
+        per_bucket = {r["_gb"]: r[c] for r in totals}
+        offsets, acc = {}, 0
+        for b in sorted(per_bucket):
+            offsets[b] = acc
+            acc += per_bucket[b]
+        off_map = F.create_map(
+            *[F.lit(x) for b in offsets for x in (b, offsets[b])]
+        )
+        out = out.withColumn(
+            f"cum_{c}",
+            (
+                F.coalesce(F.element_at(off_map, F.col("_gb")), F.lit(0))
+                + F.sum(c).over(w)
+            ).cast("long"),
+        )
+    return out.drop("_gb")

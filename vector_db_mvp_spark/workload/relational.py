@@ -4693,3 +4693,75 @@ FROM chi CROSS JOIN ks
 
 QUERIES["event_type_dow_chi2"] = q_event_type_dow_chi2
 ORACLE_SQL["event_type_dow_chi2"] = SQL_EVENT_TYPE_DOW_CHI2
+
+
+def q_ks_test_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test: D = max_v |F_A(v) −
+    F_R(v)| between the extended-price distributions of return flags A and
+    R. The statistic stays EXACT until the final division: per-value
+    sample counts are BIGINTs, the running CDFs are distributed prefix
+    sums (operators/rank.py ``global_prefix_sums`` — range-bucketed
+    two-phase, NO single-partition exchange over the corpus), and the max
+    is taken over |cumA·n_R − cumR·n_A| (cross-multiplied integers — no
+    float CDF comparison ambiguity). One TakeOrderedAndProject picks the
+    argmax (ties → smallest value). D itself is one correctly-rounded
+    double division at the end."""
+    from ..operators.rank import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    vals = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("b_cnt"),
+    )
+    pref = global_prefix_sums(vals, "v", ["a_cnt", "b_cnt"])
+    totals = li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        pref.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_diff", F.abs(F.col("cum_a_cnt") * F.col("n_b") - F.col("cum_b_cnt") * F.col("n_a"))
+        )
+        .orderBy(F.desc("_diff"), F.asc("v"))
+        .limit(1)
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "round(CAST(_diff AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d",
+            "round(v, 2) AS ks_at_value",
+        )
+    )
+
+
+SQL_KS_TEST_PRICE_BY_FLAG = """
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a_cnt,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b_cnt
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+c AS (
+  SELECT v,
+         CAST(SUM(a_cnt) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(SUM(b_cnt) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM s),
+t AS (
+  SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a, CAST(SUM(b_cnt) AS BIGINT) AS n_b
+  FROM s)
+SELECT n_a, n_b,
+       round(CAST(ABS(ca * n_b - cb * n_a) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d,
+       round(v, 2) AS ks_at_value
+FROM c CROSS JOIN t
+ORDER BY ABS(ca * n_b - cb * n_a) DESC, v ASC LIMIT 1
+"""
+
+QUERIES["ks_test_price_by_flag"] = q_ks_test_price_by_flag
+ORACLE_SQL["ks_test_price_by_flag"] = SQL_KS_TEST_PRICE_BY_FLAG
