@@ -111,6 +111,9 @@ HEADLINE = [
     "cep_chain_matches",
     "price_multiple_regression",
     "revenue_seasonal_decomposition",
+    "part_cheapest_routes",
+    "event_type_dow_chi2",
+    "ks_test_price_by_flag",
 ]
 
 

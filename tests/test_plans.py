@@ -264,6 +264,8 @@ def test_headline_plans_have_no_data_funnel(spark, sf_dir):
         "revenue_moving_avg": "|days in 1996| rows after the daily agg",
         "revenue_seasonal_decomposition": "|days| rows after the daily agg "
         "(trend + weekday-class windows both run on the aggregated frame)",
+        "event_type_dow_chi2": "|event types|x7 contingency frame — the "
+        "marginal/N windows and the pinned-order fold all run on it",
         "temperature_mix": "#sources quota frame",
         "char_budget_mix": "#groups water-fill frame (5 langs); the "
         "corpus-sized selection window is keyed by group",
