@@ -169,3 +169,33 @@ def test_stratified_sample_keeps_schema(spark):
     out = stratified_sample(df, group_col="grp", id_col="doc_id", quota=1)
     assert out.columns == df.columns
     assert out.count() == 2
+
+
+def test_phrase_search_positional_semantics(spark):
+    from vector_db_mvp_spark.operators.phrase import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),        # two matches of "a b"
+            (2, "a a a"),            # overlapping "a a": positions 0,1 -> 2
+            (3, "b a"),              # reversed order: no match
+            (4, "a x b"),            # non-adjacent: no match
+            (5, "x a b c y"),        # 3-term phrase match
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, "a b").collect()
+    }
+    assert got == {1: 2, 5: 1}
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, "a a").collect()
+    }
+    assert got2 == {2: 2}  # overlapping occurrences count individually
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, "a b c").collect()
+    }
+    assert got3 == {1: 1, 5: 1}

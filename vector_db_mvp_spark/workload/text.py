@@ -1162,3 +1162,32 @@ def _sql_frequent_tokens_guaranteed() -> str:
 
 QUERIES["frequent_tokens_guaranteed"] = q_frequent_tokens_guaranteed
 ORACLE_SQL["frequent_tokens_guaranteed"] = _sql_frequent_tokens_guaranteed()
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("value table" as CONSECUTIVE tokens) via a
+    positional inverted index (operators/phrase.py): term postings from
+    one posexplode pass, offset-aligned equi-joins on (doc, position).
+    The oracle is the definitionally-positional list-lambda scan, so the
+    index path is checked against the semantics, not a lookalike
+    (space-replace counting would undercount adjacent repeats)."""
+    from ..operators.phrase import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "value table").orderBy("doc_id")
+
+
+SQL_PHRASE_SEARCH = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks)),
+                         i -> toks[i] = 'value' AND toks[i + 1] = 'table'))
+           AS n_occurrences
+  FROM t)
+SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM m WHERE n_occurrences > 0 ORDER BY doc_id
+"""
+
+QUERIES["phrase_search"] = q_phrase_search
+ORACLE_SQL["phrase_search"] = SQL_PHRASE_SEARCH
