@@ -4765,3 +4765,90 @@ ORDER BY ABS(ca * n_b - cb * n_a) DESC, v ASC LIMIT 1
 
 QUERIES["ks_test_price_by_flag"] = q_ks_test_price_by_flag
 ORACLE_SQL["ks_test_price_by_flag"] = SQL_KS_TEST_PRICE_BY_FLAG
+
+
+def q_mannwhitney_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (rank-sum) test between the A and R return
+    flags' extended-price distributions, ties handled by midranks and the
+    tie-corrected normal approximation. Everything before the final
+    statistic is INTEGER-exact: per-value counts, distributed prefix sums
+    (``global_prefix_sums``), doubled midranks (2·before + t + 1 — the
+    ×2 scaling keeps .5 midranks integral), the doubled rank-sum, and the
+    tie term Σ(t³−t). U and the z-score are then a few correctly-rounded
+    double ops from those BIGINTs via shared expression strings. Scale
+    shape identical to the K-S query: one keyed agg + two-phase prefix
+    sums + keyless final fold; no corpus funnel."""
+    from ..operators.rank import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    vals = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("b_cnt"),
+    )
+    pref = global_prefix_sums(vals, "v", ["a_cnt", "b_cnt"]).withColumn(
+        "t", F.col("a_cnt") + F.col("b_cnt")
+    )
+    agg = pref.select(
+        (F.col("a_cnt") * (
+            2 * (F.col("cum_a_cnt") - F.col("a_cnt")
+                 + F.col("cum_b_cnt") - F.col("b_cnt"))
+            + F.col("t") + 1
+        )).alias("r1_2_term"),
+        (F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+        "a_cnt",
+        "b_cnt",
+    ).agg(
+        F.sum("r1_2_term").cast("long").alias("r1_2"),
+        F.sum("tie_term").cast("long").alias("ties"),
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        f"round({_MW_U_EXPR}, 6) AS u_a",
+        f"round({_MW_Z_EXPR}, 6) AS z",
+    )
+
+
+# Shared final-arithmetic strings (see _ols2_exprs for the technique).
+# u2 = 2*U_A = r1_2 - 2*(n_a*(n_a+1)/2)*... : r1_2 is the DOUBLED rank sum,
+# so U_A = (r1_2 - n_a*(n_a+1)) / 2.
+_MW_U_EXPR = "(CAST(r1_2 - n_a * (n_a + 1) AS DOUBLE) / 2.0)"
+_MW_Z_EXPR = (
+    "((CAST(r1_2 - n_a * (n_a + 1) AS DOUBLE) / 2.0"
+    " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+    " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+    "   * (CAST(n_a + n_b + 1 AS DOUBLE)"
+    "      - CAST(ties AS DOUBLE)"
+    "        / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))))"
+)
+
+SQL_MANNWHITNEY_PRICE_BY_FLAG = f"""
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a_cnt,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b_cnt
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+c AS (
+  SELECT v, a_cnt, b_cnt, a_cnt + b_cnt AS t,
+         CAST(SUM(a_cnt) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(SUM(b_cnt) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM s),
+agg AS (
+  SELECT CAST(SUM(a_cnt * (2 * (ca - a_cnt + cb - b_cnt) + t + 1)) AS BIGINT)
+           AS r1_2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties,
+         CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+         CAST(SUM(b_cnt) AS BIGINT) AS n_b
+  FROM c)
+SELECT n_a, n_b,
+       round({_MW_U_EXPR}, 6) AS u_a,
+       round({_MW_Z_EXPR}, 6) AS z
+FROM agg
+"""
+
+QUERIES["mannwhitney_price_by_flag"] = q_mannwhitney_price_by_flag
+ORACLE_SQL["mannwhitney_price_by_flag"] = SQL_MANNWHITNEY_PRICE_BY_FLAG
