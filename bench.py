@@ -114,6 +114,8 @@ HEADLINE = [
     "part_cheapest_routes",
     "event_type_dow_chi2",
     "ks_test_price_by_flag",
+    "mannwhitney_price_by_flag",
+    "phrase_search",
 ]
 
 
