@@ -4716,13 +4716,11 @@ def q_ks_test_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("b_cnt"),
     )
     pref = global_prefix_sums(vals, "v", ["a_cnt", "b_cnt"])
-    totals = li.agg(
-        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
-        .cast("long")
-        .alias("n_a"),
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-        .cast("long")
-        .alias("n_b"),
+    # totals from the (checkpointed) per-value frame — NOT a second corpus
+    # scan of lineitem
+    totals = pref.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
     )
     return (
         pref.crossJoin(F.broadcast(totals))
