@@ -4850,3 +4850,65 @@ FROM agg
 
 QUERIES["mannwhitney_price_by_flag"] = q_mannwhitney_price_by_flag
 ORACLE_SQL["mannwhitney_price_by_flag"] = SQL_MANNWHITNEY_PRICE_BY_FLAG
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for a release candidate: k-anonymity of the customer
+    table under the quasi-identifier (nation, market segment, account-
+    balance band of 1000). Reports the dataset's k (smallest equivalence
+    class), how many classes and rows fall below the k=5 release bar, and
+    the share of rows at re-identification risk. Companion to the PII
+    detection family (operators/pii.py): PII scrubbing removes direct
+    identifiers; this measures the INDIRECT identification risk that
+    remains. One map-side-partial groupBy to class sizes (|classes| rows),
+    then a keyless fold — all exact integers until the final share
+    division."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_5"),
+        F.sum("k").cast("long").alias("n_rows"),
+    ).selectExpr(
+        "n_classes",
+        "min_k",
+        "classes_below_5",
+        "rows_below_5",
+        "round(CAST(rows_below_5 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)"
+        " AS at_risk_share",
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS k
+  FROM customer GROUP BY 1, 2, 3),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(MIN(k) AS BIGINT) AS min_k,
+         CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_below_5,
+         CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+           AS rows_below_5,
+         CAST(SUM(k) AS BIGINT) AS n_rows
+  FROM classes)
+SELECT n_classes, min_k, classes_below_5, rows_below_5,
+       round(CAST(rows_below_5 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS at_risk_share
+FROM agg
+"""
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+ORACLE_SQL["k_anonymity_audit"] = SQL_K_ANONYMITY_AUDIT
