@@ -1191,3 +1191,76 @@ FROM m WHERE n_occurrences > 0 ORDER BY doc_id
 
 QUERIES["phrase_search"] = q_phrase_search
 ORACLE_SQL["phrase_search"] = SQL_PHRASE_SEARCH
+
+
+def q_doc_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two corpus halves' document
+    length distributions (100-char bands) — the standard drift gate a
+    data pipeline runs between snapshots/shards before accepting a batch.
+    PSI = Σ_bins (p−q)·ln(p/q), with the halves split by doc_id parity
+    (deterministic). Bin counts are exact BIGINTs from one pass; shares
+    are single divisions; ln parity between engines is established by the
+    TF-IDF/DSIR operators. The per-bin terms are summed in a PINNED order
+    (sorted-struct aggregate() fold ≡ DuckDB ordered list_reduce — the
+    chi2 technique), so the float accumulation is identical. Laplace-
+    smoothed by adding 1 to every bin count on both sides (PSI is
+    undefined on empty bins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bins = (
+        docs.withColumn("half", F.expr("CAST(doc_id % 2 AS INT)"))
+        .withColumn("band", F.floor(F.length("text") / 100))
+        .groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+        )
+    )
+    tot = bins.agg(
+        F.sum(F.col("a") + 1).cast("long").alias("na"),
+        F.sum(F.col("b") + 1).cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).withColumn(
+        "term",
+        F.expr(
+            "(CAST(a + 1 AS DOUBLE) / CAST(na AS DOUBLE)"
+            " - CAST(b + 1 AS DOUBLE) / CAST(nb AS DOUBLE))"
+            " * ln((CAST(a + 1 AS DOUBLE) / CAST(na AS DOUBLE))"
+            "      / (CAST(b + 1 AS DOUBLE) / CAST(nb AS DOUBLE)))"
+        ),
+    )
+    return terms.groupBy("n_bins").agg(
+        F.expr(
+            "round(aggregate(array_sort(collect_list(struct(band, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term), 6)"
+        ).alias("psi")
+    ).select(F.col("n_bins"), "psi")
+
+
+SQL_DOC_LENGTH_PSI = """
+WITH bins AS (
+  SELECT CAST(FLOOR(length(text) / 100) AS BIGINT) AS band,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(a + 1) AS BIGINT) AS na,
+         CAST(SUM(b + 1) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM bins),
+terms AS (
+  SELECT band,
+         (CAST(a + 1 AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(b + 1 AS DOUBLE) / CAST(nb AS DOUBLE))
+         * ln((CAST(a + 1 AS DOUBLE) / CAST(na AS DOUBLE))
+              / (CAST(b + 1 AS DOUBLE) / CAST(nb AS DOUBLE))) AS term,
+         n_bins
+  FROM bins CROSS JOIN tot)
+SELECT n_bins,
+       round(list_reduce(list(term ORDER BY band), (acc, t) -> acc + t), 6)
+         AS psi
+FROM terms GROUP BY n_bins
+"""
+
+QUERIES["doc_length_psi"] = q_doc_length_psi
+ORACLE_SQL["doc_length_psi"] = SQL_DOC_LENGTH_PSI
