@@ -4912,3 +4912,286 @@ FROM agg
 
 QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
 ORACLE_SQL["k_anonymity_audit"] = SQL_K_ANONYMITY_AUDIT
+
+
+def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order spend — the inequality /
+    concentration audit run over any usage or revenue distribution. Uses
+    the rank formula G = (2*Sum(i*x_i) - (n+1)*Sum(x_i)) / (n*Sum(x_i))
+    over the ascending total order (spend, custkey); equal spends make
+    Sum(i*x_i) invariant under tie order, so any strict tie-break yields
+    the same statistic. The global rank comes from the range-bucketed
+    two-phase machinery (operators/rank.py global_row_number — O(buckets)
+    control plane, no single-partition exchange); spend is exact cents
+    (BIGINT), each rank*cents product fits BIGINT (rank<=2^33 x cents<=
+    2^60/2^33), and the sums accumulate as DECIMAL(38,0) — everything is
+    exact until one final double division."""
+    from ..operators.rank import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    spend = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    ranked, n = global_row_number(spend, "cents", ["o_custkey"])
+    sums = ranked.agg(
+        F.sum(F.col("rn").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("six"),
+        F.sum(F.col("cents").cast("decimal(19,0)")).cast("decimal(38,0)").alias("sx"),
+    )
+    return sums.selectExpr(
+        f"CAST({n} AS BIGINT) AS n_customers",
+        f"round(CAST(2 * six - {n + 1} * sx AS DOUBLE)"
+        f" / CAST({n} * sx AS DOUBLE), 6) AS gini",
+    )
+
+
+SQL_GINI_CUSTOMER_SPEND = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS rn
+  FROM spend),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(rn AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS six,
+         CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx
+  FROM ranked)
+SELECT n AS n_customers,
+       round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM sums
+"""
+
+QUERIES["gini_customer_spend"] = q_gini_customer_spend
+ORACLE_SQL["gini_customer_spend"] = SQL_GINI_CUSTOMER_SPEND
+
+
+# Benford expected shares computed ONCE in Python and injected as identical
+# double literals into both engines (the HLL-alpha technique — never
+# re-derive a constant from arithmetic whose type rules differ per engine).
+_BENFORD_EXPECTED = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / anomaly screen for financial columns. The leading
+    digit comes from the decimal STRING form (no float log10 at bucket
+    boundaries); observed shares are exact BIGINT counts with one double
+    division; expected shares are Python-computed literals (see
+    _BENFORD_EXPECTED). Map-side partial agg to 9 rows, broadcast total
+    join — one corpus scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    exp = F.create_map(
+        *[F.lit(x) for d, e in _BENFORD_EXPECTED.items() for x in (d, e)]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("exp_share", F.element_at(exp, F.col("digit")))
+        .selectExpr(
+            "digit",
+            "n",
+            "round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share",
+            "round(exp_share, 6) AS exp_share",
+            "round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp_share), 6)"
+            " AS abs_dev",
+        )
+        .orderBy("digit")
+    )
+
+
+def _sql_benford_price_audit() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {e!r}" for d, e in _BENFORD_EXPECTED.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+e AS (
+  SELECT digit, n, total,
+         CASE digit {cases} END AS exp_share
+  FROM counts CROSS JOIN tot)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+       round(exp_share, 6) AS exp_share,
+       round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp_share), 6)
+         AS abs_dev
+FROM e ORDER BY digit
+"""
+
+
+QUERIES["benford_price_audit"] = q_benford_price_audit
+ORACLE_SQL["benford_price_audit"] = _sql_benford_price_audit()
+
+
+def q_nation_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue within
+    each nation: HHI = Sum(share_i^2) = Sum(r_i^2) / (Sum(r_i))^2. Per-
+    supplier revenue is an exact DECIMAL(18,4) (per-supplier revenue is
+    scale-invariant — both total revenue and supplier count grow linearly
+    with SF — so r^2 at DECIMAL(38,8) never overflows even at 100 TB;
+    operands widened to (19,4) so DuckDB multiplies in hugeint, not int64);
+    numerator and denominator sums stay exact decimals, then ONE double
+    division in a pinned expression shape. Two map-side-partial
+    aggregations; the supplier->nation join broadcasts the dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _revenue()
+    per_sup = (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("r"))
+    )
+    r19 = F.col("r").cast("decimal(19,4)")
+    per_nation = per_sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(r19 * r19).cast("decimal(38,8)").alias("sq"),
+        F.sum("r").cast("decimal(38,4)").alias("t"),
+        F.max("r").cast("decimal(18,4)").alias("top_r"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            per_nation.s_nationkey == nation.n_nationkey,
+        )
+        .selectExpr(
+            "n_name",
+            "n_suppliers",
+            "round(CAST(sq AS DOUBLE)"
+            " / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi",
+            "round(CAST(top_r AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share",
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_NATION_MARKET_HHI = """
+WITH per_sup AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(5,2))) AS DECIMAL(18,4)) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+per_nation AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(r AS DECIMAL(19,4)) * CAST(r AS DECIMAL(19,4)))
+              AS DECIMAL(38,8)) AS sq,
+         CAST(SUM(r) AS DECIMAL(38,4)) AS t,
+         CAST(MAX(r) AS DECIMAL(18,4)) AS top_r
+  FROM per_sup GROUP BY 1)
+SELECT n.n_name, p.n_suppliers,
+       round(CAST(sq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+         AS hhi,
+       round(CAST(top_r AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share
+FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
+ORDER BY n_name
+"""
+
+QUERIES["nation_market_hhi"] = q_nation_market_hhi
+ORACLE_SQL["nation_market_hhi"] = SQL_NATION_MARKET_HHI
+
+
+# Final-arithmetic expressions shared VERBATIM by both engines: every input
+# is an exact BIGINT/DECIMAL, so each output is a few correctly-rounded
+# double ops from exact operands (the _ols2_exprs technique).
+_CUSUM_EXPRS = {
+    "cusum_peak": "round(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)",
+    "mean_before": "round(CAST(c AS DOUBLE) / (CAST(t AS DOUBLE) * 100.0), 6)",
+    "mean_after":
+        "round(CAST(s1 - c AS DOUBLE)"
+        " / (CAST(n - t AS DOUBLE) * 100.0), 6)",
+}
+
+
+def q_revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily order revenue: the day t
+    maximizing |Sum_{i<=t}(x_i - mean)| — the standard single-changepoint
+    location statistic. EXACT via the common-denominator trick (the
+    seasonal-decomposition technique): n*CUSUM_t = n*C_t - t*S1 where C_t
+    is the running cents sum, so the argmax is over exact DECIMAL(38,0)
+    values — no float mean ever enters the comparison; ties break to the
+    earliest day. The running sum is a window over the BOUNDED daily frame
+    (|days| rows, not corpus — map-side partial agg reduces first);
+    reported means divide exact integers once each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = orders.groupBy("o_orderdate").agg(F.sum(cents).alias("x"))
+    tot = daily.agg(
+        F.sum("x").cast("long").alias("s1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy("o_orderdate").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.withColumn("c", F.sum("x").over(w).cast("long"))
+        .withColumn("t", F.row_number().over(Window.orderBy("o_orderdate")).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "d",
+            F.col("n").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+            - F.col("t").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)"),
+        )
+    )
+    return (
+        cum.orderBy(F.abs(F.col("d")).desc(), F.col("o_orderdate").asc())
+        .limit(1)
+        .selectExpr(
+            "o_orderdate AS change_day",
+            "CAST(n AS BIGINT) AS n_days",
+            f"{_CUSUM_EXPRS['cusum_peak']} AS cusum_peak",
+            f"{_CUSUM_EXPRS['mean_before']} AS mean_before",
+            f"{_CUSUM_EXPRS['mean_after']} AS mean_after",
+        )
+    )
+
+
+def _sql_revenue_cusum_changepoint() -> str:
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s1, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily),
+cum AS (
+  SELECT o_orderdate,
+         CAST(SUM(x) OVER (ORDER BY o_orderdate
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate) AS BIGINT) AS t,
+         s1, n,
+         CAST(n AS DECIMAL(19,0)) * CAST(SUM(x) OVER (ORDER BY o_orderdate
+                           ROWS UNBOUNDED PRECEDING) AS DECIMAL(19,0))
+           - CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate) AS DECIMAL(19,0))
+             * CAST(s1 AS DECIMAL(19,0)) AS d
+  FROM daily CROSS JOIN tot)
+SELECT o_orderdate AS change_day,
+       n AS n_days,
+       {_CUSUM_EXPRS['cusum_peak']} AS cusum_peak,
+       {_CUSUM_EXPRS['mean_before']} AS mean_before,
+       {_CUSUM_EXPRS['mean_after']} AS mean_after
+FROM cum
+ORDER BY abs(d) DESC, o_orderdate ASC
+LIMIT 1
+"""
+
+
+QUERIES["revenue_cusum_changepoint"] = q_revenue_cusum_changepoint
+ORACLE_SQL["revenue_cusum_changepoint"] = _sql_revenue_cusum_changepoint()
