@@ -746,3 +746,102 @@ SELECT doc_id,
        round({ent}, 6) AS entropy
 FROM tot WHERE n > 0
 """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (Church & Hanks): PMI(x,y) = ln(c_xy * N / (c_x * c_y)) with N the
+    corpus token count — the standard phrase-mining signal feeding
+    tokenizer vocab curation. Bigram and unigram counts are exact BIGINTs
+    from explode → map-side-partial hash aggs over the spread token
+    barrier (operators/dedup.py _spread_tokens); the pair→unigram joins
+    are pre-aggregated one-row-per-word frames (shuffle joins on the word
+    key — no corpus-sized side), and the final PMI is ONE pinned-shape
+    double expression, so round(.., 6) hash-matches the oracle. Top-k
+    runs as TakeOrderedAndProject on (pmi DESC, pair ASC)."""
+    from .dedup import _spread_tokens
+
+    spread = _spread_tokens(df, text_col, id_col)
+    uni = (
+        spread.select(F.explode(F.col("_t")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nw = uni.agg(F.sum("c").cast("long").alias("nw"))
+    big = (
+        spread.select(F.explode(shingles(F.col("_t"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .withColumn("w1", F.split(F.col("pair"), " ")[0])
+        .withColumn("w2", F.split(F.col("pair"), " ")[1])
+    )
+    joined = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(nw))
+    )
+    return (
+        joined.selectExpr(
+            "pair",
+            "c_xy",
+            "CAST(cx AS BIGINT) AS cx",
+            "CAST(cy AS BIGINT) AS cy",
+            "round(ln((CAST(c_xy AS DOUBLE) * CAST(nw AS DOUBLE))"
+            " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6) AS pmi",
+        )
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+# Flesch constants injected as identical literals into both engines'
+# expression trees (the shared-expression-tree float discipline).
+_FRE_EXPR = (
+    "206.835 - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))"
+    " - 84.6 * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE))"
+)
+
+
+def reading_ease(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease score per document — the classic readability
+    quality signal (joins the Gopher/entropy/perplexity family as a
+    difficulty axis). Words = maximal non-space runs, sentences =
+    [.!?]+ runs floored at 1, syllables = maximal vowel-group runs
+    (the standard cheap heuristic). All three are single regexp_count
+    scans — map-only whole-stage codegen, no explode, no shuffle; the
+    score is one pinned-shape double expression (_FRE_EXPR) with Python-
+    literal constants, so round(.., 6) hash-matches the oracle. Banding
+    compares the UNROUNDED score against literal cutoffs — identical
+    doubles both engines."""
+    nw = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    ns = F.greatest(F.lit(1), F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")))
+    nsyl = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+    return (
+        df.select(
+            F.col(id_col),
+            nw.cast("long").alias("nw"),
+            ns.cast("long").alias("ns"),
+            nsyl.cast("long").alias("nsyl"),
+        )
+        .filter(F.col("nw") > 0)
+        .selectExpr(
+            id_col,
+            "nw AS n_words",
+            "ns AS n_sentences",
+            "nsyl AS n_syllables",
+            f"round({_FRE_EXPR}, 6) AS fre",
+            f"CASE WHEN {_FRE_EXPR} >= 70.0 THEN 'easy'"
+            f" WHEN {_FRE_EXPR} >= 50.0 THEN 'standard'"
+            " ELSE 'difficult' END AS band",
+        )
+    )

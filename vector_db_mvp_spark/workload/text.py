@@ -1264,3 +1264,76 @@ FROM terms GROUP BY n_bins
 
 QUERIES["doc_length_psi"] = q_doc_length_psi
 ORACLE_SQL["doc_length_psi"] = SQL_DOC_LENGTH_PSI
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word PMI collocations (operators/textops.py
+    pmi_collocations)."""
+    from ..operators.textops import pmi_collocations
+
+    return pmi_collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, k=20
+    )
+
+
+def _sql_pmi_collocations(min_count: int, k: int) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+nw AS (SELECT CAST(SUM(c) AS BIGINT) AS nw FROM uc),
+big AS (
+  SELECT unnest({sql_shingles("t", 2)}) AS pair FROM toks),
+bc AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_xy FROM big
+  GROUP BY 1 HAVING COUNT(*) >= {min_count}),
+j AS (
+  SELECT b.pair, b.c_xy, u1.c AS cx, u2.c AS cy, nw.nw
+  FROM bc b
+  JOIN uc u1 ON u1.w = string_split(b.pair, ' ')[1]
+  JOIN uc u2 ON u2.w = string_split(b.pair, ' ')[2]
+  CROSS JOIN nw)
+SELECT pair, c_xy, cx, cy,
+       round(ln((CAST(c_xy AS DOUBLE) * CAST(nw AS DOUBLE))
+                / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6) AS pmi
+FROM j
+ORDER BY pmi DESC, pair ASC
+LIMIT {k}
+"""
+
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLE_SQL["pmi_collocations"] = _sql_pmi_collocations(5, 20)
+
+
+def q_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc (operators/textops.py reading_ease)."""
+    from ..operators.textops import reading_ease
+
+    return reading_ease(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sql_reading_ease() -> str:
+    from ..operators.textops import _FRE_EXPR
+
+    return f"""
+WITH counts AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+           AS ns,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS nsyl
+  FROM documents)
+SELECT doc_id, nw AS n_words, ns AS n_sentences, nsyl AS n_syllables,
+       round({_FRE_EXPR}, 6) AS fre,
+       CASE WHEN {_FRE_EXPR} >= 70.0 THEN 'easy'
+            WHEN {_FRE_EXPR} >= 50.0 THEN 'standard'
+            ELSE 'difficult' END AS band
+FROM counts WHERE nw > 0
+ORDER BY doc_id
+"""
+
+
+QUERIES["reading_ease"] = q_reading_ease
+ORACLE_SQL["reading_ease"] = _sql_reading_ease()
