@@ -5195,3 +5195,190 @@ LIMIT 1
 
 QUERIES["revenue_cusum_changepoint"] = q_revenue_cusum_changepoint
 ORACLE_SQL["revenue_cusum_changepoint"] = _sql_revenue_cusum_changepoint()
+
+
+# Final ACF arithmetic shared VERBATIM by both engines: all inputs are
+# exact BIGINT/DECIMAL moments, so the estimate is a fixed tree of
+# correctly-rounded double ops (the _ols2_exprs technique). m is the global
+# series mean; r_k expands Sum((x_t-m)(x_{t+k}-m)) distributively so no
+# float enters any aggregation.
+_ACF_EXPRS = {
+    "m": "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))",
+}
+_ACF_EXPRS["acf"] = (
+    "round((CAST(sxy AS DOUBLE)"
+    f" - {_ACF_EXPRS['m']} * CAST(sl AS DOUBLE)"
+    f" - {_ACF_EXPRS['m']} * CAST(sr AS DOUBLE)"
+    f" + CAST(nk AS DOUBLE) * {_ACF_EXPRS['m']} * {_ACF_EXPRS['m']})"
+    " / (CAST(sxx AS DOUBLE)"
+    f" - CAST(n AS DOUBLE) * {_ACF_EXPRS['m']} * {_ACF_EXPRS['m']}), 6)"
+)
+
+
+def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily order revenue — the seasonality /
+    momentum diagnostic behind the weekly decomposition
+    (q_revenue_seasonal_decomposition). Standard ACF estimator r_k =
+    Sum_t((x_t-m)(x_{t+k}-m)) / Sum_t((x_t-m)^2) with m the full-series
+    mean, expanded distributively so every aggregate is an EXACT
+    DECIMAL/BIGINT moment over integer cents: per lag (pairs joined on
+    day+k after a 7-row lag explode) nk, Sum x_t, Sum x_{t+k},
+    Sum x_t*x_{t+k}; globally n, S1, Sum x^2. The final estimate is one
+    shared double expression tree (_ACF_EXPRS). The daily frame is
+    map-side-partial aggregated first (|days| rows), so the lag self-join
+    and moments are bounded-frame work at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = orders.groupBy("o_orderdate").agg(F.sum(cents).alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    left = daily.crossJoin(F.broadcast(lags)).withColumn(
+        "pair_day", F.timestamp_add("DAY", F.col("lag"), F.col("o_orderdate"))
+    )
+    right = daily.select(
+        F.col("o_orderdate").alias("pair_day"), F.col("x").alias("xr")
+    )
+    pairs = left.join(right, "pair_day")
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("x").cast("long").alias("sl"),
+        F.sum("xr").cast("long").alias("sr"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("xr").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    return (
+        per_lag.crossJoin(F.broadcast(tot))
+        .selectExpr("lag", "nk AS n_pairs", f"{_ACF_EXPRS['acf']} AS acf")
+        .orderBy("lag")
+    )
+
+
+def _sql_revenue_autocorrelation() -> str:
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM daily),
+lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+pairs AS (
+  SELECT l.lag, a.x AS x, b.x AS xr
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.o_orderdate = a.o_orderdate + INTERVAL (l.lag) DAY),
+per_lag AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(x) AS BIGINT) AS sl,
+         CAST(SUM(xr) AS BIGINT) AS sr,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(xr AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy
+  FROM pairs GROUP BY 1)
+SELECT lag, nk AS n_pairs, {_ACF_EXPRS['acf']} AS acf
+FROM per_lag CROSS JOIN tot
+ORDER BY lag
+"""
+
+
+QUERIES["revenue_autocorrelation"] = q_revenue_autocorrelation
+ORACLE_SQL["revenue_autocorrelation"] = _sql_revenue_autocorrelation()
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    standard marketing-analytics cut. Per customer: last order epoch,
+    order count, exact cents spend; each axis is quintiled with exact
+    NTILE(5) semantics over a strict total order (value, custkey) using
+    the range-bucketed global row number (operators/rank.py — O(buckets)
+    control plane, no single-partition window at any scale; the
+    |customers| frame is checkpointed ONCE and re-used by all three rank
+    passes). Recency/frequency order DESC (best = tile 1) via value
+    negation. Output is the <=125-segment rollup with exact-integer
+    average spend (one double division per segment)."""
+    from pyspark import StorageLevel
+
+    from ..operators.rank import global_row_number, ntile_from_rn
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_timestamp("o_orderdate")).cast("long").alias("last_epoch"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(cents).alias("cents"),
+        )
+        .withColumn("neg_recency", -F.col("last_epoch"))
+        .withColumn("neg_freq", -F.col("freq"))
+        .withColumn("neg_cents", -F.col("cents"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    ranked, n = global_row_number(
+        per_cust, "neg_recency", ["o_custkey"], rn_col="rn_r", materialize=False
+    )
+    ranked, _ = global_row_number(
+        ranked, "neg_freq", ["o_custkey"], rn_col="rn_f", materialize=True
+    )
+    ranked, _ = global_row_number(
+        ranked, "neg_cents", ["o_custkey"], rn_col="rn_m", materialize=True
+    )
+    seg = ranked.select(
+        (
+            ntile_from_rn(F.col("rn_r"), n, 5) * 100
+            + ntile_from_rn(F.col("rn_f"), n, 5) * 10
+            + ntile_from_rn(F.col("rn_m"), n, 5)
+        )
+        .cast("int")
+        .alias("segment"),
+        "cents",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum("cents").cast("long").alias("sum_cents"))
+        .selectExpr(
+            "segment",
+            "n_customers",
+            "round(CAST(sum_cents AS DOUBLE)"
+            " / (CAST(n_customers AS DOUBLE) * 100.0), 6) AS avg_spend",
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_epoch,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT cents,
+         NTILE(5) OVER (ORDER BY -last_epoch ASC, o_custkey ASC) AS r,
+         NTILE(5) OVER (ORDER BY -freq ASC, o_custkey ASC) AS f,
+         NTILE(5) OVER (ORDER BY -cents ASC, o_custkey ASC) AS m
+  FROM per_cust)
+SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0), 6) AS avg_spend
+FROM tiled
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLE_SQL["rfm_segments"] = SQL_RFM_SEGMENTS
