@@ -469,3 +469,51 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cosine") >= tau)
         .select("id1", "id2", "cosine")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    tau: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (id1 < id2) with n-gram-shingle OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) >= tau — the asymmetric companion to
+    :func:`ngram_jaccard_pairs` that catches quote/subset relationships
+    Jaccard misses (a short doc fully embedded in a long one has high
+    containment but low Jaccard, since the union is dominated by the long
+    doc). Same plan shape: inverted-index postings -> shingle equi-join ->
+    common counts -> size join -> threshold filter; the optional
+    stop-shingle prune affects candidate recall only, never the score."""
+    post = _distinct_shingles(
+        _spread_tokens(df, text_col, id_col), n
+    ).localCheckpoint(eager=True)
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand_post = post
+    if max_doc_freq is not None:
+        hot = (
+            post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        cand_post = post.join(F.broadcast(hot), "s", "left_anti")
+    a, b = cand_post.alias("a"), cand_post.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("_id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("_id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "id1").join(s2, "id2")
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least(F.col("n1"), F.col("n2")), 6),
+        )
+        .filter(F.col("containment") >= tau)
+        .select("id1", "id2", "containment")
+    )

@@ -845,3 +845,52 @@ def reading_ease(
             " ELSE 'difficult' END AS band",
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 3,
+    iters: int = 3,
+    k: int = 30,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    corpus-wide word co-occurrence graph — nodes are clean lowercase words
+    (>= 4 letters), edges are adjacent-word pairs seen >= min_pair_count
+    times, symmetrized. Composes operators/pagerank.py (one shuffle per
+    round, |V|-sized share table, per-edge contributions pinned at 12
+    decimals for cross-engine bit-parity); the edge build is the same
+    map-side-partial bigram aggregation as pmi_collocations, so the graph
+    is pair-count-bounded, never corpus-sized. Top-k keywords by rank run
+    as TakeOrderedAndProject."""
+    from .dedup import _spread_tokens
+    from .pagerank import pagerank
+
+    spread = _spread_tokens(df, text_col, id_col)
+    word = r"^[a-z]{4,}$"
+    pairs = (
+        spread.select(F.explode(shingles(F.col("_t"), 2)).alias("pair"))
+        .withColumn("w1", F.split(F.col("pair"), " ")[0])
+        .withColumn("w2", F.split(F.col("pair"), " ")[1])
+        .filter(
+            (F.col("w1") != F.col("w2"))
+            & F.col("w1").rlike(word)
+            & F.col("w2").rlike(word)
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_pair_count)
+    )
+    edges = (
+        pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank(edges, iters, assume_distinct=True)
+    return (
+        pr.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(k)
+        .select(F.col("node").alias("keyword"), "rank")
+    )

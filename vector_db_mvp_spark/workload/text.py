@@ -1337,3 +1337,71 @@ ORDER BY doc_id
 
 QUERIES["reading_ease"] = q_reading_ease
 ORACLE_SQL["reading_ease"] = _sql_reading_ease()
+
+
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient containment pairs (operators/dedup.py
+    ngram_containment_pairs) — the quote/subset detector Jaccard misses."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, tau=0.6
+    ).orderBy("id1", "id2")
+
+
+def _sql_containment(n: int, tau: float) -> str:
+    sh = sql_shingles("t", n)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+post AS (SELECT DISTINCT doc_id, u.s AS s
+         FROM toks, UNNEST({sh}) AS u(s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM post GROUP BY 1),
+common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id1, id2,
+       round(common::DOUBLE / LEAST(s1.n_sh, s2.n_sh), 6) AS containment
+FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+WHERE round(common::DOUBLE / LEAST(s1.n_sh, s2.n_sh), 6) >= {tau}
+ORDER BY id1, id2
+"""
+
+
+QUERIES["dedup_ngram_containment"] = q_dedup_ngram_containment
+ORACLE_SQL["dedup_ngram_containment"] = _sql_containment(5, 0.6)
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 TextRank keywords (operators/textops.py textrank_keywords)."""
+    from ..operators.textops import textrank_keywords
+
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"), min_pair_count=3, iters=3, k=30
+    )
+
+
+def _sql_textrank_keywords(min_pair_count: int, iters: int, k: int) -> str:
+    from ..operators.pagerank import sql_pagerank
+
+    edges = f"""
+  WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+  big AS (SELECT unnest({sql_shingles("t", 2)}) AS pair FROM toks),
+  p AS (SELECT string_split(pair, ' ')[1] AS w1,
+               string_split(pair, ' ')[2] AS w2 FROM big),
+  pc AS (SELECT w1, w2, COUNT(*) AS c FROM p
+         WHERE w1 <> w2
+           AND regexp_matches(w1, '^[a-z]{{4,}}$')
+           AND regexp_matches(w2, '^[a-z]{{4,}}$')
+         GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair_count}),
+  sym AS (SELECT w1 AS src, w2 AS dst FROM pc
+          UNION ALL SELECT w2, w1 FROM pc)
+  SELECT DISTINCT src, dst FROM sym
+"""
+    return (
+        sql_pagerank(edges, iters)
+        + f"\nORDER BY rank DESC, node ASC LIMIT {k}"
+    ).replace("SELECT node, rank FROM", "SELECT node AS keyword, rank FROM")
+
+
+QUERIES["textrank_keywords"] = q_textrank_keywords
+ORACLE_SQL["textrank_keywords"] = _sql_textrank_keywords(3, 3, 30)
