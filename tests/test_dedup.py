@@ -89,6 +89,56 @@ def test_stop_shingle_pruning_guards_skew_without_changing_scores(spark):
         assert v == full[k]
 
 
+def _pruned_score_fixture(spark):
+    """Four docs where shingle 'x y z' is hot (df=4, pruned at
+    max_doc_freq=3) while pair (0,1) ALSO shares low-df shingles, so the
+    pair survives pruning as a candidate but loses one common shingle from
+    the pruned postings. Counting common from pruned postings (the ADVICE
+    r7 flaw) undercounts (0,1)'s score; exact recount from full postings
+    must not."""
+    rows = [
+        (0, "x y z a b c d e f g"),
+        (1, "x y z a b c d e q r"),
+        (2, "x y z completely different tokens over here now okay fine"),
+        (3, "x y z other words that differ entirely from previous docs"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pruned_jaccard_scores_exact_for_surviving_pairs(spark):
+    df = _pruned_score_fixture(spark)
+    full = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, tau=0.05).collect()
+    }
+    pruned = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, tau=0.05, max_doc_freq=3).collect()
+    }
+    assert (0, 1) in pruned  # non-vacuous: the pair survives the prune
+    assert set(pruned) <= set(full)
+    for k, v in pruned.items():
+        assert v == full[k], (k, v, full[k])
+
+
+def test_pruned_containment_scores_exact_for_surviving_pairs(spark):
+    from vector_db_mvp_spark.operators.dedup import ngram_containment_pairs
+
+    df = _pruned_score_fixture(spark)
+    full = {
+        (r["id1"], r["id2"]): r["containment"]
+        for r in ngram_containment_pairs(df, n=3, tau=0.05).collect()
+    }
+    pruned = {
+        (r["id1"], r["id2"]): r["containment"]
+        for r in ngram_containment_pairs(df, n=3, tau=0.05, max_doc_freq=3).collect()
+    }
+    assert (0, 1) in pruned
+    assert set(pruned) <= set(full)
+    for k, v in pruned.items():
+        assert v == full[k], (k, v, full[k])
+
+
 def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {

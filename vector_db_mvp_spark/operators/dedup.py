@@ -145,9 +145,13 @@ def ngram_jaccard_pairs(
 
     Plan: postings -> (optional stop-shingle prune at document frequency >
     max_doc_freq, the skew guard at scale) -> self equi-join on shingle ->
-    count common -> join per-doc set sizes -> Jaccard filter. Jaccard uses
-    FULL set sizes even when pruning candidates, so pruning only affects
-    recall of candidate generation, never the reported score.
+    count common -> join per-doc set sizes -> Jaccard filter. Under
+    pruning, the pruned postings generate CANDIDATE pairs only; common
+    counts and set sizes are both recomputed from the FULL postings (the
+    minhash_lsh_pairs discipline), so the prune affects recall only —
+    reported scores are exact for every surviving pair. (Counting common
+    from pruned postings would undercount whenever a pruned shingle is
+    shared — the ADVICE r7 flaw.)
     """
     # eager localCheckpoint, not .cache(): same reuse (sizes + both join
     # sides), but no permanent CacheManager entry per invocation (see
@@ -155,16 +159,11 @@ def ngram_jaccard_pairs(
     post = _distinct_shingles(
         _spread_tokens(df, text_col, id_col), n
     ).localCheckpoint(eager=True)
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand_post = post
     if max_doc_freq is not None:
-        hot = (
-            post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("s")
-        )
-        cand_post = post.join(F.broadcast(hot), "s", "left_anti")
-    a, b = cand_post.alias("a"), cand_post.alias("b")
+        cands = _pruned_candidates(post, max_doc_freq)
+        return _jaccard_verify(cands, post, tau)
+    a, b = post.alias("a"), post.alias("b")
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
@@ -180,6 +179,25 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= tau)
         .select("id1", "id2", "jaccard")
+    )
+
+
+def _pruned_candidates(post: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Distinct candidate pairs (id1 < id2) sharing >= 1 shingle whose
+    document frequency is <= max_doc_freq. Candidate generation ONLY —
+    callers recompute exact counts from the full postings, so the prune is
+    a recall/score-exactness trade made explicitly at the verify step."""
+    hot = (
+        post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("s")
+    )
+    cand_post = post.join(F.broadcast(hot), "s", "left_anti")
+    a, b = cand_post.alias("a"), cand_post.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
     )
 
 
@@ -486,26 +504,31 @@ def ngram_containment_pairs(
     Jaccard misses (a short doc fully embedded in a long one has high
     containment but low Jaccard, since the union is dominated by the long
     doc). Same plan shape: inverted-index postings -> shingle equi-join ->
-    common counts -> size join -> threshold filter; the optional
-    stop-shingle prune affects candidate recall only, never the score."""
+    common counts -> size join -> threshold filter. Under pruning,
+    candidate pairs come from the pruned postings but common counts and
+    set sizes are recomputed from the FULL postings (see
+    ngram_jaccard_pairs), so reported containment is exact for every
+    surviving pair — the prune trades recall only (ADVICE r7)."""
     post = _distinct_shingles(
         _spread_tokens(df, text_col, id_col), n
     ).localCheckpoint(eager=True)
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand_post = post
     if max_doc_freq is not None:
-        hot = (
-            post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("s")
-        )
-        cand_post = post.join(F.broadcast(hot), "s", "left_anti")
-    a, b = cand_post.alias("a"), cand_post.alias("b")
+        return _containment_verify(_pruned_candidates(post, max_doc_freq), post, tau)
+    a, b = post.alias("a"), post.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    return _containment_from_common(common, post, tau)
+
+
+def _containment_from_common(
+    common: DataFrame, post: DataFrame, tau: float
+) -> DataFrame:
+    """Attach FULL per-doc set sizes to (id1, id2, common) counts and apply
+    the overlap-coefficient threshold."""
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = sizes.select(F.col("_id").alias("id1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("_id").alias("id2"), F.col("n_sh").alias("n2"))
     return (
@@ -517,3 +540,16 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= tau)
         .select("id1", "id2", "containment")
     )
+
+
+def _containment_verify(cands: DataFrame, post: DataFrame, tau: float) -> DataFrame:
+    """Exact-containment verification of candidate pairs against the FULL
+    shingle postings — the overlap-coefficient twin of _jaccard_verify."""
+    pa, pb = post.alias("pa"), post.alias("pb")
+    common = (
+        cands.join(pa, F.col("pa._id") == F.col("id1"))
+        .join(pb, (F.col("pb._id") == F.col("id2")) & (F.col("pa.s") == F.col("pb.s")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _containment_from_common(common, post, tau)

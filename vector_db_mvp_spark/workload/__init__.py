@@ -50,15 +50,12 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 7
-    "hll_distinct_users",        # alpha now a shared Python double (ADVICE r6)
-    "streaming_distinct_hll",    # same alpha fix
-    "bpe_train_merges",          # oracle early-exhaustion pad (ADVICE r6)
-    "bpe_token_counts",          # oracle early-exhaustion pad
-    "sequence_packing_bpe",      # composed pipeline over the padded oracle
-    "char_budget_mix",           # alpha domain now asserted (ADVICE r6)
-    "bloom_filtered_part_revenue",  # bitset auto-sized to build cardinality
-    "corpus_curation",           # gained the URL-keeper stage (urlops)
+    # round 8
+    "revenue_cusum_changepoint",  # mean_after NULL guard at n == t (ADVICE r7)
+    "rfm_segments",               # recency axis now a tz-independent day ordinal
+    "textrank_keywords",          # oracle alias-replace now asserted non-noop
+    "dedup_ngram_containment",    # pruned-candidate/exact-score split (ADVICE r7)
+    "dedup_ngram_jaccard",        # same restructure (None path plan-identical)
 ]
 
 

@@ -5115,9 +5115,13 @@ ORACLE_SQL["nation_market_hhi"] = SQL_NATION_MARKET_HHI
 _CUSUM_EXPRS = {
     "cusum_peak": "round(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)",
     "mean_before": "round(CAST(c AS DOUBLE) / (CAST(t AS DOUBLE) * 100.0), 6)",
+    # n == t (changepoint on the last/only day) would divide by zero —
+    # Spark doubles yield NaN while DuckDB's behavior depends on
+    # ieee_floating_point_ops, so the degenerate frame must short-circuit
+    # to NULL identically in both engines (ADVICE r7).
     "mean_after":
-        "round(CAST(s1 - c AS DOUBLE)"
-        " / (CAST(n - t AS DOUBLE) * 100.0), 6)",
+        "CASE WHEN n > t THEN round(CAST(s1 - c AS DOUBLE)"
+        " / (CAST(n - t AS DOUBLE) * 100.0), 6) ELSE NULL END",
 }
 
 
@@ -5298,8 +5302,8 @@ ORACLE_SQL["revenue_autocorrelation"] = _sql_revenue_autocorrelation()
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation — the
-    standard marketing-analytics cut. Per customer: last order epoch,
-    order count, exact cents spend; each axis is quintiled with exact
+    standard marketing-analytics cut. Per customer: last order day ordinal
+    (timezone-independent), order count, exact cents spend; each axis is quintiled with exact
     NTILE(5) semantics over a strict total order (value, custkey) using
     the range-bucketed global row number (operators/rank.py — O(buckets)
     control plane, no single-partition window at any scale; the
@@ -5313,14 +5317,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    # Recency axis is a timezone-independent day ordinal (days since
+    # 1970-01-01): unix_timestamp() is session-timezone dependent while the
+    # oracle's epoch() is UTC — safe only while the column stays internal;
+    # datediff removes the latent divergence outright (ADVICE r7).
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(
-            F.max(F.unix_timestamp("o_orderdate")).cast("long").alias("last_epoch"),
+            F.max(F.datediff("o_orderdate", F.lit("1970-01-01")))
+            .cast("long")
+            .alias("last_day"),
             F.count(F.lit(1)).cast("long").alias("freq"),
             F.sum(cents).alias("cents"),
         )
-        .withColumn("neg_recency", -F.col("last_epoch"))
+        .withColumn("neg_recency", -F.col("last_day"))
         .withColumn("neg_freq", -F.col("freq"))
         .withColumn("neg_cents", -F.col("cents"))
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
@@ -5361,14 +5371,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RFM_SEGMENTS = """
 WITH per_cust AS (
   SELECT o_custkey,
-         CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_epoch,
+         CAST(date_diff('day', DATE '1970-01-01', MAX(o_orderdate))
+              AS BIGINT) AS last_day,
          CAST(COUNT(*) AS BIGINT) AS freq,
          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
               AS BIGINT) AS cents
   FROM orders GROUP BY 1),
 tiled AS (
   SELECT cents,
-         NTILE(5) OVER (ORDER BY -last_epoch ASC, o_custkey ASC) AS r,
+         NTILE(5) OVER (ORDER BY -last_day ASC, o_custkey ASC) AS r,
          NTILE(5) OVER (ORDER BY -freq ASC, o_custkey ASC) AS f,
          NTILE(5) OVER (ORDER BY -cents ASC, o_custkey ASC) AS m
   FROM per_cust)

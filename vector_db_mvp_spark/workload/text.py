@@ -1397,10 +1397,18 @@ def _sql_textrank_keywords(min_pair_count: int, iters: int, k: int) -> str:
           UNION ALL SELECT w2, w1 FROM pc)
   SELECT DISTINCT src, dst FROM sym
 """
-    return (
+    raw = (
         sql_pagerank(edges, iters)
         + f"\nORDER BY rank DESC, node ASC LIMIT {k}"
-    ).replace("SELECT node, rank FROM", "SELECT node AS keyword, rank FROM")
+    )
+    aliased = raw.replace(
+        "SELECT node, rank FROM", "SELECT node AS keyword, rank FROM"
+    )
+    # If sql_pagerank's final-select text ever drifts, the replace becomes
+    # a silent no-op and the oracle schema stays `node` — fail loudly here
+    # instead of as an opaque driver schema mismatch (ADVICE r7).
+    assert aliased != raw, "sql_pagerank tail changed; keyword alias not applied"
+    return aliased
 
 
 QUERIES["textrank_keywords"] = q_textrank_keywords
