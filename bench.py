@@ -107,6 +107,7 @@ HEADLINE = [
     "domain_quality_rollup",
     "hdr_price_quantiles",
     "dbscan_embedding_clusters",
+    "dbscan_knn_clusters",
     "part_golden_record",
     "cep_chain_matches",
     "price_multiple_regression",

@@ -92,6 +92,41 @@ def test_min_pts_sweep(spark):
     assert got[6] == ("noise", None)
 
 
+def test_knn_edges_cap_and_selection(spark, sf_dir):
+    """knn_edges_lsh must equal the brute-force trim of the bucket
+    candidate set: per src, keep the k best by (cosine DESC, dst ASC),
+    union-symmetrize — and the result is bounded by N*k edges."""
+    from vector_db_mvp_spark.functions.lsh import generate_planes
+    from vector_db_mvp_spark.operators.dbscan import knn_edges_lsh
+    from vector_db_mvp_spark.operators.dedup import embedding_neardup_pairs_lsh
+    from vector_db_mvp_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    planes = generate_planes(64, 4, 4, seed=42)
+    k = 3
+    got = {
+        (r["id1"], r["id2"])
+        for r in knn_edges_lsh(emb, planes, k=k, tau=0.3).collect()
+    }
+
+    # Brute force from the (undirected) bucket-candidate pairs of the
+    # independent dedup-operator path: directed ranking per endpoint.
+    cand = embedding_neardup_pairs_lsh(emb, planes, tau=0.3).collect()
+    directed: dict[int, list[tuple[float, int]]] = {}
+    for r in cand:
+        directed.setdefault(r["id1"], []).append((-r["cosine"], r["id2"]))
+        directed.setdefault(r["id2"], []).append((-r["cosine"], r["id1"]))
+    expected = set()
+    for src, lst in directed.items():
+        for _, dst in sorted(lst)[:k]:
+            expected.add((min(src, dst), max(src, dst)))
+    assert got == expected
+    n = emb.count()
+    assert len(got) <= n * k
+
+
 def test_matches_bruteforce_on_fixture(spark, sf_dir):
     """Definition check on real data: run dbscan on the fixture's exact
     cosine pairs and re-derive roles/clusters with a pure-Python

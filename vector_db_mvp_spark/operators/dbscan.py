@@ -46,7 +46,7 @@ similarity structure (SURVEY.md "LLM-pipeline operators").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -141,4 +141,87 @@ def dbscan(
             .alias("role"),
             F.coalesce("_core_cluster", "_border_cluster").alias("cluster_id"),
         )
+    )
+
+
+def knn_edges_lsh(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    *,
+    k: int = 10,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k-NN-graph pair generator for :func:`dbscan` — the bounded-degree
+    scale path.
+
+    The bucket-coincidence generator (dedup.py
+    ``embedding_neardup_pairs_lsh``) has edge count Θ(N · density) at a
+    fixed tau: as a corpus densifies, pairs-per-vector grows without bound
+    (measured 5.2 -> 65.1 across one decade, BENCH_sf10.md). Capping each
+    point's out-edges at its k best candidates bounds the graph at N·k
+    edges REGARDLESS of density — the standard k-NN-graph DBSCAN
+    restatement — while keeping every step deterministic:
+
+    - candidates: directed (src, dst), src != dst, sharing an LSH bucket in
+      >= 1 table AND round(cosine, 6) >= tau;
+    - per src keep the k best by (cosine DESC, dst ASC) — total order, so
+      the retained edge set is unique (an oracle can replay it with
+      ROW_NUMBER);
+    - symmetrize by UNION (a pair survives if EITHER endpoint ranked it),
+      emitted once as id1 < id2.
+
+    One shuffle keyed by (table, code), one keyed window per src (never a
+    global window), one distinct. Output feeds :func:`dbscan` unchanged —
+    "eps-neighbor" just becomes "mutually-or-singly ranked k-NN edge".
+    """
+    from ..functions.lsh import bucket_codes_native
+    from ..functions.vector import cosine_similarity
+
+    codes = bucket_codes_native(embedding_col, planes)
+    coded = df.filter(F.col(embedding_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(embedding_col).alias("_e"),
+        F.posexplode(codes).alias("table_id", "code"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("src"),
+            F.col("b._id").alias("dst"),
+            F.col("a._e").alias("_e1"),
+            F.col("b._e").alias("_e2"),
+        )
+    )
+    # The ranked graph is tiny relative to the session's corpus-sized
+    # shuffle width; one explicit narrow hash on src satisfies BOTH the
+    # dropDuplicates clustering (src is a prefix of (src, dst)) and the
+    # window's per-src distribution — no further exchange, no empty-task
+    # overhead (the dedup_clusters lesson).
+    if num_partitions is not None:
+        cand = cand.repartition(num_partitions, "src")
+    cand = (
+        cand.dropDuplicates(["src", "dst"])
+        .withColumn(
+            "c", F.round(cosine_similarity(F.col("_e1"), F.col("_e2")), 6)
+        )
+        .filter(F.col("c") >= tau)
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.least("src", "dst").alias("id1"),
+            F.greatest("src", "dst").alias("id2"),
+        )
+        .distinct()
     )

@@ -56,6 +56,7 @@ _CHANGED_THIS_ROUND = [
     "textrank_keywords",          # oracle alias-replace now asserted non-noop
     "dedup_ngram_containment",    # pruned-candidate/exact-score split (ADVICE r7)
     "dedup_ngram_jaccard",        # same restructure (None path plan-identical)
+    "dbscan_embedding_clusters",  # re-picked 4x6 codes (was degenerate 8x4)
 ]
 
 

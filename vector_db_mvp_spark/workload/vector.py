@@ -1184,6 +1184,19 @@ QUERIES["ann_lsh_recall"] = q_ann_lsh_recall
 ORACLE_SQL["ann_lsh_recall"] = _sql_ann_lsh_recall()
 
 
+# (tables, bits) for the registered bucket-DBSCAN instance. Round 7 froze
+# 8x4 (16 buckets/table) — so dense on the fixture that EVERY label fused
+# into one component (1979 core / 1 cluster / 0 noise: degenerate) while
+# generating 10,448 candidate pairs. Re-picked for the fixture density at
+# 4x6: 2,965 pairs (-72%), 15 real clusters with core/border/noise all
+# populated, and the headline cost drops ~2.5x. The oracle derives its
+# bucket predicate from the SAME constants, so it follows automatically.
+_DBSCAN_TABLES, _DBSCAN_BITS = 4, 6
+# The k-NN variant trades bucket recall back up (8 tables) because its
+# degree cap — not bucket occupancy — bounds the edge set.
+_KNN_TABLES, _KNN_BITS, _KNN_K = 8, 6, 10
+
+
 def q_dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DBSCAN over the embedding corpus (operators/dbscan.py):
     eps-neighborhood = LSH-bucket-coincident AND cosine >= 0.3 (the
@@ -1199,7 +1212,7 @@ def q_dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    planes = generate_planes(64, 8, 4, seed=42)
+    planes = generate_planes(64, _DBSCAN_TABLES, _DBSCAN_BITS, seed=42)
     pairs = embedding_neardup_pairs_lsh(emb, planes, tau=0.3, native=True).select(
         "id1", "id2"
     )
@@ -1211,24 +1224,17 @@ def q_dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _sql_dbscan_embedding_clusters() -> str:
-    planes = generate_planes(64, 8, 4, seed=42)
-    overlap = " OR ".join(
-        f"({sql_bucket_code('a.embedding', t)}) = ({sql_bucket_code('b.embedding', t)})"
-        for t in planes
-    )
-    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+def _sql_dbscan_from_pairs(pairs_cte: str, *, min_pts: int = 5) -> str:
+    """Shared DBSCAN oracle tail: given a SQL body producing (id1, id2)
+    neighbor pairs (id1 < id2, each pair once), resolve core / border /
+    noise roles and min-core-id clusters with a recursive CTE — the exact
+    mirror of operators/dbscan.py's relational restatement."""
     return f"""
 WITH RECURSIVE pts AS (SELECT vec_id AS id FROM embeddings WHERE embedding IS NOT NULL),
-pairs AS MATERIALIZED (
-  SELECT a.vec_id AS id1, b.vec_id AS id2
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
-    AND ({overlap}) AND round({cos}, 6) >= 0.3
-),
+pairs AS MATERIALIZED ({pairs_cte}),
 edges AS MATERIALIZED (
   SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
-core AS MATERIALIZED (SELECT a AS id FROM edges GROUP BY a HAVING COUNT(*) >= 4),
+core AS MATERIALIZED (SELECT a AS id FROM edges GROUP BY a HAVING COUNT(*) >= {min_pts - 1}),
 core_edges AS MATERIALIZED (
   SELECT e.a, e.b FROM edges e
   JOIN core c1 ON e.a = c1.id JOIN core c2 ON e.b = c2.id),
@@ -1253,5 +1259,74 @@ ORDER BY vec_id
 """
 
 
+def _sql_dbscan_embedding_clusters() -> str:
+    planes = generate_planes(64, _DBSCAN_TABLES, _DBSCAN_BITS, seed=42)
+    overlap = " OR ".join(
+        f"({sql_bucket_code('a.embedding', t)}) = ({sql_bucket_code('b.embedding', t)})"
+        for t in planes
+    )
+    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    return _sql_dbscan_from_pairs(
+        f"""
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+    AND ({overlap}) AND round({cos}, 6) >= 0.3
+""",
+        min_pts=5,
+    )
+
+
 QUERIES["dbscan_embedding_clusters"] = q_dbscan_embedding_clusters
 ORACLE_SQL["dbscan_embedding_clusters"] = _sql_dbscan_embedding_clusters()
+
+
+def q_dbscan_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the k-NN graph (operators/dbscan.py knn_edges_lsh):
+    each vector keeps only its k=10 best bucket-coincident neighbors
+    (cosine >= 0.3, ranked cosine DESC then id ASC — a total order), and
+    the pair set is the union-symmetrized k-NN graph. This is the
+    bounded-degree fix for bucket-DBSCAN's densification hazard: the edge
+    set is <= N*k at ANY corpus density (bucket-DBSCAN's grew 5.2 -> 65.1
+    pairs/vector across one decade, BENCH_sf10.md). The oracle replays the
+    identical ranked trim with ROW_NUMBER and resolves components with the
+    shared recursive-CTE tail — end-to-end exact, degree cap included."""
+    from ..operators.dbscan import dbscan, knn_edges_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    planes = generate_planes(64, _KNN_TABLES, _KNN_BITS, seed=42)
+    pairs = knn_edges_lsh(emb, planes, k=_KNN_K, tau=0.3, num_partitions=8)
+    return dbscan(
+        emb.select("vec_id"), pairs, min_pts=5, id_col="vec_id", num_partitions=8
+    ).orderBy("vec_id")
+
+
+def _sql_dbscan_knn_clusters() -> str:
+    planes = generate_planes(64, _KNN_TABLES, _KNN_BITS, seed=42)
+    overlap = " OR ".join(
+        f"({sql_bucket_code('a.embedding', t)}) = ({sql_bucket_code('b.embedding', t)})"
+        for t in planes
+    )
+    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    return _sql_dbscan_from_pairs(
+        f"""
+  SELECT LEAST(src, dst) AS id1, GREATEST(src, dst) AS id2
+  FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn
+    FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst, round({cos}, 6) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+        AND ({overlap}) AND round({cos}, 6) >= 0.3))
+  WHERE rn <= {_KNN_K}
+  GROUP BY 1, 2
+""",
+        min_pts=5,
+    )
+
+
+QUERIES["dbscan_knn_clusters"] = q_dbscan_knn_clusters
+ORACLE_SQL["dbscan_knn_clusters"] = _sql_dbscan_knn_clusters()
