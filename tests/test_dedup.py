@@ -139,6 +139,25 @@ def test_pruned_containment_scores_exact_for_surviving_pairs(spark):
         assert v == full[k], (k, v, full[k])
 
 
+def test_prefix_filter_is_lossless(spark, sf_dir):
+    """prefix_filter_jaccard_pairs must reproduce the brute-force join
+    EXACTLY at every tau — the prefix prune is provably complete, so
+    unlike MinHash banding there is no recall slack to tolerate."""
+    from vector_db_mvp_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    for tau in (0.3, 0.6, 0.9):
+        exact = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, n=5, tau=tau).collect()
+        }
+        pf = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in prefix_filter_jaccard_pairs(docs, n=5, tau=tau).collect()
+        }
+        assert pf == exact, (tau, set(exact) ^ set(pf))
+
+
 def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {

@@ -27,7 +27,7 @@ MinHash literature) which also mirrors into the SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -199,6 +199,64 @@ def _pruned_candidates(post: DataFrame, max_doc_freq: int) -> DataFrame:
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    tau: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram-Jaccard pair join via PREFIX FILTERING (AllPairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — same
+    output as :func:`ngram_jaccard_pairs`, sub-quadratic candidate set,
+    ZERO recall loss (unlike MinHash banding, the prune here is provably
+    complete).
+
+    Canonical order: shingles sorted by global document frequency
+    ascending, ties by shingle text — rarest first, so prefixes index the
+    least-common shingles and the candidate self-join fans out minimally.
+    Per doc x the prefix is its first |x| - ceil(tau*|x|) + 1 shingles.
+    Completeness: if J(x,y) >= tau, let w be the canonically-smallest
+    shared shingle; were w past x's prefix, all prefix shingles of x would
+    be missing from y, so |x∩y| <= |x| - prefix_len = ceil(tau*|x|) - 1
+    < tau*|x| <= tau*|x∪y| <= |x∩y| — contradiction. Hence w lies in BOTH
+    prefixes and the prefix-postings equi-join finds every qualifying
+    pair; the exact-Jaccard verify then recomputes true scores from full
+    postings (candidates are a superset, never a substitute).
+
+    Scale: one df-count aggregation, one per-doc window (keyed by doc —
+    never global), a self-join on RARE shingles only (the hot shingles a
+    max_doc_freq prune would drop land past the prefix automatically for
+    any tau > 0 as corpus frequency grows), then _jaccard_verify. The
+    prefix-length ceil gets a 1e-9 slack so float rounding can only
+    LENGTHEN a prefix (keeping completeness), never shorten it.
+    """
+    post = _distinct_shingles(
+        _spread_tokens(df, text_col, id_col), n
+    ).localCheckpoint(eager=True)
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("_id").orderBy("_df", "s")
+    pref = (
+        post.join(dfreq, "s")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(
+            F.col("_pos")
+            <= F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh") - F.lit(1e-9)) + 1
+        )
+        .select("_id", "s")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    return _jaccard_verify(cands, post, tau)
 
 
 def minhash_lsh_pairs(

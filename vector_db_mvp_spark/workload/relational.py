@@ -4852,6 +4852,242 @@ QUERIES["mannwhitney_price_by_flag"] = q_mannwhitney_price_by_flag
 ORACLE_SQL["mannwhitney_price_by_flag"] = SQL_MANNWHITNEY_PRICE_BY_FLAG
 
 
+# Final Spearman arithmetic shared VERBATIM by both engines: every operand
+# is an exact BIGINT/DECIMAL moment, so rho is a fixed tree of correctly-
+# rounded double ops (the _ols2_exprs technique). Doubling the midranks
+# keeps .5 tie-midranks integral, and scaling both rank vectors by 2
+# leaves the correlation unchanged.
+_SPEARMAN_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between lineitem quantity
+    and extended price — Pearson over midranks, the standard robust
+    association measure. Midranks per DISTINCT value come from the same
+    two-phase distributed prefix sums as the K-S / Mann-Whitney queries
+    (doubled: m2 = 2*cum - t + 1, integral under ties); each row then
+    joins its two rank-map rows (keyed equi-joins — the quantity map is
+    tiny, the price map |distinct prices|, never a corpus funnel) and one
+    keyless fold accumulates the five moments. Products are summed as
+    DECIMAL(38,0): 4n^3 bounds the doubled-rank product sum, exact to
+    n ~ 2.9e12 rows — beyond a 100 TB lineitem."""
+    from ..operators.rank import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rank_map(col: str) -> DataFrame:
+        vals = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        return global_prefix_sums(vals, "v", ["t"]).select(
+            F.col("v"),
+            (2 * F.col("cum_t") - F.col("t") + 1).cast("long").alias("m2"),
+        )
+
+    xr = rank_map("l_quantity").withColumnsRenamed({"v": "vx", "m2": "rx2"})
+    yr = rank_map("l_extendedprice").withColumnsRenamed({"v": "vy", "m2": "ry2"})
+    joined = (
+        li.select(F.col("l_quantity").alias("vx"), F.col("l_extendedprice").alias("vy"))
+        .join(xr, "vx")
+        .join(yr, "vy")
+    )
+    d18 = "decimal(18,0)"
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2").cast(d18) * F.col("rx2").cast(d18))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("ry2").cast(d18) * F.col("ry2").cast(d18))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("rx2").cast(d18) * F.col("ry2").cast(d18))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    return agg.selectExpr("n AS n_rows", f"{_SPEARMAN_EXPR} AS rho")
+
+
+SQL_SPEARMAN_QUANTITY_PRICE = f"""
+WITH xr AS (
+  SELECT v, CAST(2 * SUM(t) OVER (ORDER BY v) - t + 1 AS BIGINT) AS m2
+  FROM (SELECT l_quantity AS v, COUNT(*) AS t FROM lineitem GROUP BY 1)),
+yr AS (
+  SELECT v, CAST(2 * SUM(t) OVER (ORDER BY v) - t + 1 AS BIGINT) AS m2
+  FROM (SELECT l_extendedprice AS v, COUNT(*) AS t FROM lineitem GROUP BY 1)),
+r AS (
+  SELECT xr.m2 AS rx2, yr.m2 AS ry2
+  FROM lineitem l
+  JOIN xr ON l.l_quantity = xr.v
+  JOIN yr ON l.l_extendedprice = yr.v),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx,
+         CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(CAST(rx2 AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(ry2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(rx2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxy
+  FROM r)
+SELECT n AS n_rows, {_SPEARMAN_EXPR} AS rho
+FROM agg
+"""
+
+QUERIES["spearman_quantity_price"] = q_spearman_quantity_price
+ORACLE_SQL["spearman_quantity_price"] = SQL_SPEARMAN_QUANTITY_PRICE
+
+
+_MAD_FLAGS = ("A", "N", "R")
+
+
+def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median / MAD (median absolute deviation) robust
+    outlier audit: per return flag, the median extended price, the MAD,
+    and how many rows deviate more than 3 MADs — the robust-statistics
+    alternative to the z-score anomaly family (immune to the outliers it
+    hunts). EXACT at scale with no per-group single-task window: prices
+    become integer cents, each flag's CDF comes from ONE value-aggregated
+    frame with per-flag count columns run through the distributed
+    two-phase prefix sums (the K-S/Mann-Whitney machinery); lower/upper
+    medians are conditional MIN folds over that frame (2*cum >= N and
+    2*cum >= N+1), DOUBLED so tie-midpoints stay integral. The deviation
+    pass repeats the same shape on e = |2c - med2| and the outlier count
+    is a fold over the ALREADY-AGGREGATED deviation frame (2e > 3*mad4 is
+    an all-integer restatement of |c - med| > 3*MAD — the oracle's double
+    comparison is exact because every operand is dyadic below 2^53). Two
+    corpus passes, both map-side reduced to distinct values first."""
+    from pyspark import StorageLevel
+
+    from ..operators.rank import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    rows = li.select(F.col("l_returnflag").alias("f"), cents.alias("c"))
+    rows = rows.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+    cnt_cols = [f"{f}_cnt" for f in _MAD_FLAGS]
+
+    def flag_cdf(frame: DataFrame, valcol: str) -> DataFrame:
+        vals = frame.groupBy(F.col(valcol).alias("v")).agg(
+            *[
+                F.sum(F.when(F.col("f") == f, 1).otherwise(0)).alias(f"{f}_cnt")
+                for f in _MAD_FLAGS
+            ]
+        )
+        return global_prefix_sums(vals, "v", cnt_cols)
+
+    def med2_folds(pref: DataFrame, out_prefix: str) -> DataFrame:
+        """One-row frame: doubled median (lower+upper) and N per flag."""
+        tot = pref.agg(
+            *[F.sum(f"{f}_cnt").cast("long").alias(f"N_{f}") for f in _MAD_FLAGS]
+        )
+        p = pref.crossJoin(F.broadcast(tot))
+        return p.agg(
+            *[
+                (
+                    F.min(
+                        F.when(
+                            2 * F.col(f"cum_{f}_cnt") >= F.col(f"N_{f}"), F.col("v")
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            2 * F.col(f"cum_{f}_cnt") >= F.col(f"N_{f}") + 1,
+                            F.col("v"),
+                        )
+                    )
+                )
+                .cast("long")
+                .alias(f"{out_prefix}_{f}")
+                for f in _MAD_FLAGS
+            ],
+            *[F.min(f"N_{f}").cast("long").alias(f"N{out_prefix}_{f}") for f in _MAD_FLAGS],
+        )
+
+    p1 = flag_cdf(rows, "c")
+    meds = med2_folds(p1, "med2")  # med2_f = L+U, median = med2/2 cents
+
+    med2_case = F.lit(None).cast("long")
+    for f in _MAD_FLAGS:
+        med2_case = F.when(F.col("f") == f, F.col(f"med2_{f}")).otherwise(med2_case)
+    rows2 = rows.crossJoin(F.broadcast(meds)).select(
+        "f", F.abs(2 * F.col("c") - med2_case).alias("e")
+    )
+    p2 = flag_cdf(rows2, "e").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    mads = med2_folds(p2, "mad4")  # mad4_f = Le+Ue over e; MAD = mad4/4 cents
+
+    outs = p2.crossJoin(F.broadcast(mads)).agg(
+        *[
+            F.sum(
+                F.when(2 * F.col("v") > 3 * F.col(f"mad4_{f}"), F.col(f"{f}_cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"out_{f}")
+            for f in _MAD_FLAGS
+        ]
+    )
+
+    assembled = meds.crossJoin(mads).crossJoin(outs).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("returnflag"),
+                        F.col(f"Nmed2_{f}").alias("n_rows"),
+                        F.col(f"med2_{f}").alias("med2"),
+                        F.col(f"mad4_{f}").alias("mad4"),
+                        F.col(f"out_{f}").alias("n_outliers"),
+                    )
+                    for f in _MAD_FLAGS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return assembled.selectExpr(
+        "returnflag",
+        "n_rows",
+        "round(CAST(med2 AS DOUBLE) / 200.0, 6) AS median_price",
+        "round(CAST(mad4 AS DOUBLE) / 400.0, 6) AS mad_price",
+        "n_outliers",
+    ).orderBy("returnflag")
+
+
+SQL_PRICE_MAD_BY_FLAG = """
+WITH cents AS (
+  SELECT l_returnflag AS f,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM lineitem),
+m AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         median(c) AS med, mad(c) AS mad
+  FROM cents GROUP BY 1)
+SELECT m.f AS returnflag, m.n_rows,
+       round(m.med / 100.0, 6) AS median_price,
+       round(m.mad / 100.0, 6) AS mad_price,
+       CAST(SUM(CASE WHEN abs(c.c - m.med) > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM cents c JOIN m ON c.f = m.f
+GROUP BY 1, 2, 3, 4
+ORDER BY returnflag
+"""
+
+QUERIES["price_mad_by_flag"] = q_price_mad_by_flag
+ORACLE_SQL["price_mad_by_flag"] = SQL_PRICE_MAD_BY_FLAG
+
+
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy audit for a release candidate: k-anonymity of the customer
     table under the quasi-identifier (nation, market segment, account-

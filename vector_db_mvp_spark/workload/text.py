@@ -76,6 +76,19 @@ ORDER BY id1, id2
 """
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via lossless prefix filtering (operators/dedup.py
+    prefix_filter_jaccard_pairs). The oracle is the brute-force all-pairs
+    SQL at the same (n, tau): the prefix-filter plan must reproduce it
+    VERBATIM — candidate pruning with zero recall loss, unlike the banded
+    MinHash twin whose recall is probabilistic."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, tau=0.5
+    ).orderBy("id1", "id2")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=5, num_hashes=16, bands=4, tau=0.4
@@ -980,6 +993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1013,6 +1027,7 @@ ORACLE_SQL: dict[str, str] = {
     "weighted_sample": _sql_weighted_sample(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _sql_jaccard(5, 0.4),
+    "dedup_prefix_filter": _sql_jaccard(5, 0.5),
     "dedup_minhash_lsh": _sql_minhash(5, 16, 4, 0.4),
     "dedup_simhash": _sql_simhash_pairs(3),
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
