@@ -241,6 +241,25 @@ def main() -> None:
 
     shutil.rmtree(_eng_root, ignore_errors=True)
 
+    # Residual-contention probe (BENCH_CREEP.md part B): part_reachability's
+    # per-round DISK_ONLY checkpoints contend with neighboring queries'
+    # spill/page-cache traffic, leaving ~1 s of crowd effects in its
+    # crowded-pass number even after the GC fix. Re-time it after the crowd
+    # has finished, same JVM, full GC between passes — DETAIL records the
+    # quiet number beside the protocol number so plan cost and protocol
+    # cost are separately trackable (r7 verdict task 7).
+    ISOLATED_PROBE = ["part_reachability"]
+    isolated: dict[str, list[float]] = {}
+    for name in ISOLATED_PROBE:
+        vals = []
+        for _ in range(RUNS):
+            _gc.collect()
+            _jvm_gc()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            vals.append(time.perf_counter() - t0)
+        isolated[name] = [round(v, 4) for v in vals]
+
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         mid = len(s) // 2
@@ -271,6 +290,10 @@ def main() -> None:
         # not regression; the served twins are the scale path. The bench
         # guard skips ratio checks for these.
         "parity_only": ["lsh_topk"],
+        # Quiet-JVM re-times of the DISK_ONLY-checkpoint queries (see the
+        # ISOLATED_PROBE comment above): crowded median minus quiet median
+        # is the residual contention, comparable against "spread".
+        "isolated": isolated,
     }
     try:
         with open(
