@@ -199,3 +199,38 @@ def test_phrase_search_positional_semantics(spark):
         for r in phrase_search(docs, "a b c").collect()
     }
     assert got3 == {1: 1, 5: 1}
+
+
+def test_boolean_search_and_not_semantics(spark):
+    import pytest
+
+    from vector_db_mvp_spark.operators.phrase import boolean_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),        # both musts, no not -> hits 3
+            (2, "alpha beta gamma"),        # contains the NOT term -> out
+            (3, "alpha alpha"),             # missing beta -> out
+            (4, "beta"),                    # missing alpha -> out
+            (5, "delta epsilon"),           # matches nothing -> out
+            (6, "beta alpha"),              # order irrelevant -> hits 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in boolean_search(
+            docs, must=["alpha", "beta"], must_not=["gamma"]
+        ).collect()
+    }
+    assert got == {1: 3, 6: 2}
+    # no must_not: NOT filter vacuous
+    got2 = {
+        r["doc_id"]: r["hits"]
+        for r in boolean_search(docs, must=["alpha", "beta"]).collect()
+    }
+    assert got2 == {1: 3, 2: 2, 6: 2}
+    with pytest.raises(ValueError):
+        boolean_search(docs, must=[])
+    with pytest.raises(ValueError):
+        boolean_search(docs, must=["alpha"], must_not=["alpha"])

@@ -60,3 +60,57 @@ def phrase_search(
     return acc.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def boolean_search(
+    docs: DataFrame,
+    must: list[str],
+    must_not: list[str] = (),
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean keyword retrieval: documents containing EVERY ``must`` term
+    and NONE of the ``must_not`` terms, with the total occurrence count of
+    the must terms as a ranking signal — the classic inverted-index
+    AND/NOT query (the retrieval primitive under BM25's scoring, see
+    operators/bm25.py; reference capability anchor: search_service.py's
+    metadata-filtered retrieval, the text-side analog).
+
+    Plan: one token explode pruned to the query's terms (postings-sized,
+    never corpus-sized — the phrase_search prune), one per-doc conditional
+    aggregation, one filter. A doc with must terms but no must_not rows
+    aggregates their counts to 0, so NOT needs no anti-join; docs matching
+    nothing never enter the aggregation at all.
+    """
+    must = list(must)
+    must_not = list(must_not)
+    if not must:
+        raise ValueError("boolean_search: at least one must term required")
+    overlap = set(must) & set(must_not)
+    if overlap:
+        raise ValueError(f"boolean_search: terms both must and must_not: {overlap}")
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok").isin(must + must_not))
+    counts = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"_c{i}")
+            for i, t in enumerate(must)
+        ],
+        F.sum(
+            F.when(F.col("tok").isin(must_not), 1).otherwise(0)
+            if must_not
+            else F.lit(0)
+        ).alias("_cnot"),
+    )
+    keep = F.col("_cnot") == 0
+    hits = None
+    for i in range(len(must)):
+        keep = keep & (F.col(f"_c{i}") > 0)
+        hits = F.col(f"_c{i}") if hits is None else hits + F.col(f"_c{i}")
+    return counts.filter(keep).select(
+        F.col(id_col), hits.cast("long").alias("hits")
+    )

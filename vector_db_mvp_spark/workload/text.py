@@ -1208,6 +1208,39 @@ QUERIES["phrase_search"] = q_phrase_search
 ORACLE_SQL["phrase_search"] = SQL_PHRASE_SEARCH
 
 
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND/NOT keyword retrieval (operators/phrase.py
+    boolean_search): docs containing BOTH 'query' and 'vector' but never
+    'stream', ranked signal = total must-term occurrences. One
+    postings-pruned explode + one conditional aggregation — the NOT is a
+    zero-count filter, not an anti-join."""
+    from ..operators.phrase import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, must=["query", "vector"], must_not=["stream"]
+    ).orderBy("doc_id")
+
+
+SQL_BOOLEAN_SEARCH = f"""
+WITH toks AS (SELECT doc_id, u.t AS t
+              FROM (SELECT doc_id, {_TOKS} AS ts FROM documents),
+                   UNNEST(ts) AS u(t)),
+f AS (
+  SELECT doc_id,
+         SUM(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN t = 'stream' THEN 1 ELSE 0 END) AS cn
+  FROM toks WHERE t IN ('query', 'vector', 'stream') GROUP BY 1)
+SELECT doc_id, CAST(c0 + c1 AS BIGINT) AS hits
+FROM f WHERE c0 > 0 AND c1 > 0 AND cn = 0
+ORDER BY doc_id
+"""
+
+QUERIES["boolean_search"] = q_boolean_search
+ORACLE_SQL["boolean_search"] = SQL_BOOLEAN_SEARCH
+
+
 def q_doc_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the two corpus halves' document
     length distributions (100-char bands) — the standard drift gate a
