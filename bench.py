@@ -117,6 +117,10 @@ HEADLINE = [
     "ks_test_price_by_flag",
     "mannwhitney_price_by_flag",
     "phrase_search",
+    "dedup_prefix_filter",
+    "spearman_quantity_price",
+    "price_mad_by_flag",
+    "boolean_search",
 ]
 
 

@@ -181,12 +181,28 @@ def knn_edges_lsh(
     from ..functions.vector import cosine_similarity
 
     codes = bucket_codes_native(embedding_col, planes)
-    coded = df.filter(F.col(embedding_col).isNotNull()).select(
-        F.col(id_col).alias("_id"),
-        F.col(embedding_col).alias("_e"),
-        F.posexplode(codes).alias("table_id", "code"),
+    base = df.filter(F.col(embedding_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e")
+    )
+    # Compute-spreading repartition (explicit count — AQE cannot coalesce
+    # it): the plane-dot coding + per-collision cosine is the CPU-heavy
+    # stage, and a single parquet file otherwise pins it to the scan's 1-2
+    # input partitions (a 44 s sf0.1 probe leg dropped to seconds once
+    # spread). The shuffled payload is just (id, embedding) — N rows.
+    if num_partitions is not None:
+        base = base.repartition(num_partitions)
+    coded = base.select(
+        "_id", "_e", F.posexplode(codes).alias("table_id", "code")
     )
     a, b = coded.alias("a"), coded.alias("b")
+    # Cosine is computed IN the join projection and the embeddings dropped
+    # immediately: a pair colliding in t tables scores t times (a modest
+    # flop overhead at typical table overlap), but every downstream
+    # shuffle then carries (src, dst, c) — ~24 bytes — instead of two
+    # 64-float vectors (~20x smaller rows). The embedding-carrying variant
+    # spent its sf10 probe wall time shuffling ~13 GB of vectors through
+    # dropDuplicates; the score is deterministic, so the per-table
+    # duplicate rows are bit-identical and the dedup result is exact.
     cand = (
         a.join(
             b,
@@ -197,9 +213,11 @@ def knn_edges_lsh(
         .select(
             F.col("a._id").alias("src"),
             F.col("b._id").alias("dst"),
-            F.col("a._e").alias("_e1"),
-            F.col("b._e").alias("_e2"),
+            F.round(
+                cosine_similarity(F.col("a._e"), F.col("b._e")), 6
+            ).alias("c"),
         )
+        .filter(F.col("c") >= tau)
     )
     # The ranked graph is tiny relative to the session's corpus-sized
     # shuffle width; one explicit narrow hash on src satisfies BOTH the
@@ -208,13 +226,7 @@ def knn_edges_lsh(
     # overhead (the dedup_clusters lesson).
     if num_partitions is not None:
         cand = cand.repartition(num_partitions, "src")
-    cand = (
-        cand.dropDuplicates(["src", "dst"])
-        .withColumn(
-            "c", F.round(cosine_similarity(F.col("_e1"), F.col("_e2")), 6)
-        )
-        .filter(F.col("c") >= tau)
-    )
+    cand = cand.dropDuplicates(["src", "dst"])
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst").asc())
     return (
         cand.withColumn("rn", F.row_number().over(w))
