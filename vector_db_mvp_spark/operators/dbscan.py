@@ -180,10 +180,14 @@ def knn_edges_lsh(
     from ..functions.lsh import bucket_codes_native
     from ..functions.vector import cosine_similarity
 
-    codes = bucket_codes_native(embedding_col, planes)
     base = df.filter(F.col(embedding_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e")
     )
+    # Codes MUST reference the post-rename column "_e" — they are applied
+    # to `base`/`coded`, where the embedding column no longer exists under
+    # its original name (r8 regression: building against embedding_col
+    # made every invocation fail analysis with UNRESOLVED_COLUMN).
+    codes = bucket_codes_native("_e", planes)
     # Compute-spreading repartition (explicit count — AQE cannot coalesce
     # it): the plane-dot coding + per-collision cosine is the CPU-heavy
     # stage, and a single parquet file otherwise pins it to the scan's 1-2

@@ -50,13 +50,10 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 8
-    "revenue_cusum_changepoint",  # mean_after NULL guard at n == t (ADVICE r7)
-    "rfm_segments",               # recency axis now a tz-independent day ordinal
-    "textrank_keywords",          # oracle alias-replace now asserted non-noop
-    "dedup_ngram_containment",    # pruned-candidate/exact-score split (ADVICE r7)
-    "dedup_ngram_jaccard",        # same restructure (None path plan-identical)
-    "dbscan_embedding_clusters",  # re-picked 4x6 codes (was degenerate 8x4)
+    # round 9
+    "dbscan_knn_clusters",        # r8 UNRESOLVED_COLUMN regression fixed (codes vs _e)
+    "spearman_quantity_price",    # sx/sy now DECIMAL(38,0) (int64 wrap at n~3e9)
+    "price_mad_by_flag",          # med2 folds NULL-guard empty groups (N_f == 0)
 ]
 
 

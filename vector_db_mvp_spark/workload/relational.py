@@ -4899,10 +4899,13 @@ def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(yr, "vy")
     )
     d18 = "decimal(18,0)"
+    # sx/sy total n(n+1) — past int64 at n ~ 3e9 rows (sub-sf1000), so they
+    # accumulate as DECIMAL(38,0) like the second moments; all five feed a
+    # DOUBLE cast in the shared rho expression, so the type is free.
     agg = joined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx2").cast("long").alias("sx"),
-        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2").cast(d18)).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("ry2").cast(d18)).cast("decimal(38,0)").alias("sy"),
         F.sum(F.col("rx2").cast(d18) * F.col("rx2").cast(d18))
         .cast("decimal(38,0)")
         .alias("sxx"),
@@ -4930,8 +4933,8 @@ r AS (
   JOIN yr ON l.l_extendedprice = yr.v),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(rx2) AS BIGINT) AS sx,
-         CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(ry2) AS DECIMAL(38,0)) AS sy,
          CAST(SUM(CAST(rx2 AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(18,0)))
               AS DECIMAL(38,0)) AS sxx,
          CAST(SUM(CAST(ry2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)))
@@ -4992,9 +4995,12 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.sum(f"{f}_cnt").cast("long").alias(f"N_{f}") for f in _MAD_FLAGS]
         )
         p = pref.crossJoin(F.broadcast(tot))
+        # N_f = 0 would make 2*cum >= N_f true on EVERY row and fabricate
+        # min(v)-over-the-domain as a "median"; empty groups yield NULL.
         return p.agg(
             *[
-                (
+                F.when(
+                    F.min(f"N_{f}") > 0,
                     F.min(
                         F.when(
                             2 * F.col(f"cum_{f}_cnt") >= F.col(f"N_{f}"), F.col("v")
@@ -5005,7 +5011,7 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                             2 * F.col(f"cum_{f}_cnt") >= F.col(f"N_{f}") + 1,
                             F.col("v"),
                         )
-                    )
+                    ),
                 )
                 .cast("long")
                 .alias(f"{out_prefix}_{f}")
