@@ -5020,7 +5020,13 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.min(f"N_{f}").cast("long").alias(f"N{out_prefix}_{f}") for f in _MAD_FLAGS],
         )
 
-    p1 = flag_cdf(rows, "c")
+    # p1 is read by med2_folds TWICE (tot + the fold) and meds itself is
+    # consumed twice (the deviation pass's broadcast and the final
+    # assembly) — un-checkpointed, the ~|distinct prices| CDF would be
+    # recomputed 4x (measured +6 s at sf0.1).
+    p1 = flag_cdf(rows, "c").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     meds = med2_folds(p1, "med2")  # med2_f = L+U, median = med2/2 cents
 
     med2_case = F.lit(None).cast("long")
