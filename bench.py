@@ -121,6 +121,9 @@ HEADLINE = [
     "spearman_quantity_price",
     "price_mad_by_flag",
     "boolean_search",
+    "kendall_quantity_discount",
+    "mutual_information_flag_status",
+    "last_touch_attribution",
 ]
 
 

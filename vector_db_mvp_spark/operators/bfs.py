@@ -20,8 +20,20 @@ first reached, which IS its BFS distance.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Serialized in memory, spilling to disk under pressure. The corpus-sized
+# edge table must never be cached DESERIALIZED (the on-heap row format is
+# ~5x the serialized size — a 48 GiB heap OOM'd at the sf10 probe's ~180M
+# edges, BENCH_sf10.md), but pure DISK_ONLY made every small-SF run pay
+# checkpoint-write + read-back disk traffic it didn't need — ~1 s of
+# page-cache contention in the crowded bench (BENCH_CREEP.md part B).
+# Serialized memory-first keeps small graphs entirely in RAM (serialized
+# size ~= disk size, so the 5x blowup cannot recur) and degrades to the
+# DISK_ONLY behavior exactly when memory pressure forces eviction.
+_EDGE_LEVEL = StorageLevel(True, True, False, False)
 
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
@@ -31,18 +43,15 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     undirected graphs; ``seeds`` is DataFrame[node]. Returns
     DataFrame[node, hop] where hop is the BFS distance (0 for seeds).
 
-    The edge table is checkpointed DISK_ONLY: it is corpus-sized (a
-    co-purchase graph carries ~|baskets|·k² rows), and the default
-    deserialized on-heap block format is ~5x the serialized size — at the
-    sf10 probe (~180M edges) that OOM'd a 48 GiB heap before this change
-    (BENCH_sf10.md). Serialized-on-disk blocks stream back per-partition
-    at a cost the 3 reuse rounds amortize; control-plane-sized frontiers
-    stay in memory.
+    The edge table is checkpointed serialized, memory-first with disk
+    spill (``_EDGE_LEVEL``): corpus-sized (a co-purchase graph carries
+    ~|baskets|·k² rows), so it must never sit on-heap DESERIALIZED (~5x
+    the serialized size — OOM'd a 48 GiB heap at the sf10 probe's ~180M
+    edges, BENCH_sf10.md), but small graphs now stay in RAM with zero
+    disk traffic. Control-plane-sized frontiers stay in memory.
     """
-    from pyspark import StorageLevel
-
     edges = edges.select("src", "dst").localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+        eager=True, storageLevel=_EDGE_LEVEL
     )
     seeds = seeds.select("node").distinct().localCheckpoint(eager=True)
     visited = seeds.withColumn("hop", F.lit(0))
@@ -72,7 +81,7 @@ def cheapest_paths(
     from any seed (0 for seeds).
 
     Scale shape: identical to :func:`bfs_hops` — per round one equi-join
-    of the distance frame against the (DISK_ONLY-checkpointed) edge table
+    of the distance frame against the (serialized-checkpointed) edge table
     plus one min-aggregation; unlike BFS the frame does NOT shrink (a
     relaxation can improve an already-reached node), so each round is
     bounded by |reached| + |out-edges of reached|. Rounds are fixed at
@@ -81,10 +90,8 @@ def cheapest_paths(
     depth; unbounded Bellman-Ford would iterate to |V|-1 with the same
     per-round shape.
     """
-    from pyspark import StorageLevel
-
     edges = edges.select("src", "dst", "w").localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+        eager=True, storageLevel=_EDGE_LEVEL
     )
     dist = (
         seeds.select("node")

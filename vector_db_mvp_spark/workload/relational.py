@@ -5641,3 +5641,306 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["rfm_segments"] = q_rfm_segments
 ORACLE_SQL["rfm_segments"] = SQL_RFM_SEGMENTS
+
+
+def q_kendall_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall's tau-b rank correlation between lineitem quantity and
+    discount — the third exact association measure beside Pearson-style OLS
+    and Spearman (reference surface: SURVEY.md §2.8 statistics family).
+
+    Naive Kendall is O(N²) pairs; here both variables are LOW-CARDINALITY
+    (50 quantities × 11 discount steps), so the corpus collapses to a
+    contingency-cell frame in ONE map-side-partial groupBy and every pair
+    statistic becomes cell arithmetic that is independent of N:
+
+    - concordant/discordant: a broadcast self-join of the ≤550-cell frame
+      on x1 < x2 visits each unordered cell pair with distinct x exactly
+      once (~150k pairs — fixed cost at ANY corpus size); C adds n1·n2
+      where y1 < y2, D where y1 > y2;
+    - tie terms n1 = Σ t_x(t_x−1)/2 and n2 = Σ t_y(t_y−1)/2 come from the
+      two marginal frames; n0 = n(n−1)/2;
+    - all products accumulate as DECIMAL(38,0) (n·(n−1) overflows int64
+      past n ≈ 4.3e9 — below a 100 TB lineitem), and tau_b divides
+      (C−D) by sqrt(n0−n1)·sqrt(n0−n2) in DOUBLE only at the very end
+      (the factored sqrt keeps every operand below DOUBLE's 2^53 exactness
+      loss from mattering: IEEE sqrt/divide are correctly rounded, and
+      both engines fold the same decimals).
+
+    For continuous variables the same operator applies after an equi-width
+    discretization; the cell-pair join cost is |X|·|Y| squared, never N².
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d18 = "decimal(18,0)"
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("int").alias("x"),
+            F.round(F.col("l_discount") * 100).cast("int").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast(d18).alias("t"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.y") < F.col("b.y"), F.col("a.t") * F.col("b.t")
+                ).otherwise(F.lit(0).cast(d18))
+            )
+            .cast("decimal(38,0)")
+            .alias("c_pairs"),
+            F.sum(
+                F.when(
+                    F.col("a.y") > F.col("b.y"), F.col("a.t") * F.col("b.t")
+                ).otherwise(F.lit(0).cast(d18))
+            )
+            .cast("decimal(38,0)")
+            .alias("d_pairs"),
+        )
+    )
+    xm = cells.groupBy("x").agg(F.sum("t").cast(d18).alias("tx"))
+    ym = cells.groupBy("y").agg(F.sum("t").cast(d18).alias("ty"))
+    n1 = xm.agg(
+        (F.sum(F.col("tx") * (F.col("tx") - 1)) / 2)
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("k_x"),
+    )
+    n2 = ym.agg(
+        (F.sum(F.col("ty") * (F.col("ty") - 1)) / 2)
+        .cast("decimal(38,0)")
+        .alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("k_y"),
+    )
+    n0 = li.agg(F.count(F.lit(1)).cast(d18).alias("n")).select(
+        F.col("n").cast("long").alias("n_rows"),
+        ((F.col("n") * (F.col("n") - 1)) / 2).cast("decimal(38,0)").alias("n0"),
+    )
+    return (
+        n0.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .selectExpr(
+            "n_rows",
+            "k_x",
+            "k_y",
+            "round(CAST(c_pairs - d_pairs AS DOUBLE)"
+            " / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))),"
+            " 6) AS tau_b",
+        )
+    )
+
+
+SQL_KENDALL_QUANTITY_DISCOUNT = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS INT) AS x,
+         CAST(round(l_discount * 100) AS INT) AS y,
+         CAST(COUNT(*) AS DECIMAL(18,0)) AS t
+  FROM lineitem GROUP BY 1, 2),
+cd AS (
+  SELECT CAST(SUM(CASE WHEN a.y < b.y THEN a.t * b.t
+                       ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0))
+           AS c_pairs,
+         CAST(SUM(CASE WHEN a.y > b.y THEN a.t * b.t
+                       ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0))
+           AS d_pairs
+  FROM cells a JOIN cells b ON a.x < b.x),
+n1 AS (
+  SELECT CAST(SUM(tx * (tx - 1)) / 2 AS DECIMAL(38,0)) AS n1,
+         CAST(COUNT(*) AS BIGINT) AS k_x
+  FROM (SELECT x, CAST(SUM(t) AS DECIMAL(18,0)) AS tx FROM cells GROUP BY 1)),
+n2 AS (
+  SELECT CAST(SUM(ty * (ty - 1)) / 2 AS DECIMAL(38,0)) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS k_y
+  FROM (SELECT y, CAST(SUM(t) AS DECIMAL(18,0)) AS ty FROM cells GROUP BY 1)),
+n0 AS (
+  SELECT CAST(n AS BIGINT) AS n_rows,
+         CAST(n * (n - 1) / 2 AS DECIMAL(38,0)) AS n0
+  FROM (SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS n FROM lineitem))
+SELECT n_rows, k_x, k_y,
+       round(CAST(c_pairs - d_pairs AS DOUBLE)
+             / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))),
+             6) AS tau_b
+FROM n0 CROSS JOIN cd CROSS JOIN n1 CROSS JOIN n2
+"""
+
+QUERIES["kendall_quantity_discount"] = q_kendall_quantity_discount
+ORACLE_SQL["kendall_quantity_discount"] = SQL_KENDALL_QUANTITY_DISCOUNT
+
+
+# Per-cell MI term and per-marginal entropy term, shared verbatim between the
+# Spark fold and the DuckDB oracle so both engines evaluate the identical
+# DOUBLE expression (counts are exact BIGINTs until these casts).
+_MI_TERM = (
+    "(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))"
+    "      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+)
+_H_TERM = (
+    "-(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+
+
+def q_mutual_information_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information (nats) between return flag and line status,
+    with both marginal entropies and the normalized MI — the standard
+    dependence screen a feature-selection / data-audit pass runs over every
+    categorical column pair.
+
+    One map-side-partial groupBy collapses the corpus to the |X|·|Y|
+    contingency cells (6 here); marginals come from two folds over that
+    control-plane frame, broadcast back. Every count is an exact BIGINT;
+    the DOUBLE log terms are summed in a PINNED order (array_sort over the
+    cell structs + sequential aggregate() fold; DuckDB list_reduce over
+    list(term ORDER BY ...)) so both engines execute the identical
+    float-addition sequence — the chi-square determinism recipe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("xv"), F.col("l_linestatus").alias("yv")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    xm = cells.groupBy("xv").agg(F.sum("o").alias("r"))
+    ym = cells.groupBy("yv").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(F.broadcast(xm), "xv")
+        .join(F.broadcast(ym), "yv")
+        .crossJoin(F.broadcast(n))
+        .withColumn("term", F.expr(_MI_TERM))
+    )
+    mi = terms.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(xv, yv, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"
+        ).alias("mi_raw"),
+        F.max("n").alias("n"),
+    )
+    hx = (
+        xm.crossJoin(F.broadcast(n))
+        .withColumn("m", F.col("r"))
+        .withColumn("term", F.expr(_H_TERM))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(xv, term))),"
+                " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"
+            ).alias("h_x")
+        )
+    )
+    hy = (
+        ym.crossJoin(F.broadcast(n))
+        .withColumn("m", F.col("c"))
+        .withColumn("term", F.expr(_H_TERM))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(yv, term))),"
+                " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"
+            ).alias("h_y")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_rows",
+            "round(mi_raw, 6) AS mi_nats",
+            "round(h_x, 6) AS h_flag",
+            "round(h_y, 6) AS h_status",
+            "round(mi_raw / sqrt(h_x * h_y), 6) AS nmi",
+        )
+    )
+
+
+SQL_MUTUAL_INFORMATION_FLAG_STATUS = f"""
+WITH cells AS (
+  SELECT l_returnflag AS xv, l_linestatus AS yv, COUNT(*) AS o
+  FROM lineitem GROUP BY 1, 2),
+xm AS (SELECT xv, SUM(o) AS r FROM cells GROUP BY 1),
+ym AS (SELECT yv, SUM(o) AS c FROM cells GROUP BY 1),
+nn AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT cells.xv, cells.yv, {_MI_TERM} AS term
+  FROM cells JOIN xm USING (xv) JOIN ym USING (yv) CROSS JOIN nn),
+mi AS (
+  SELECT list_reduce(list(term ORDER BY xv, yv), (acc, t) -> acc + t)
+           AS mi_raw
+  FROM terms),
+hx AS (
+  SELECT list_reduce(list(term ORDER BY xv), (acc, t) -> acc + t) AS h_x
+  FROM (SELECT xv, {_H_TERM} AS term
+        FROM (SELECT xv, r AS m FROM xm) CROSS JOIN nn)),
+hy AS (
+  SELECT list_reduce(list(term ORDER BY yv), (acc, t) -> acc + t) AS h_y
+  FROM (SELECT yv, {_H_TERM} AS term
+        FROM (SELECT yv, c AS m FROM ym) CROSS JOIN nn))
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(mi_raw, 6) AS mi_nats,
+       round(h_x, 6) AS h_flag,
+       round(h_y, 6) AS h_status,
+       round(mi_raw / sqrt(h_x * h_y), 6) AS nmi
+FROM nn CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+QUERIES["mutual_information_flag_status"] = q_mutual_information_flag_status
+ORACLE_SQL["mutual_information_flag_status"] = SQL_MUTUAL_INFORMATION_FLAG_STATUS
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value is credited to
+    the user's most recent PRIOR non-purchase event type (the "channel");
+    purchases with no prior touch credit "(direct)". The canonical
+    marketing/product-analytics query over an event stream.
+
+    One keyed window per user (ordered by ts, event_id — a total order, so
+    the carried channel is unique) computes a running last-non-null over
+    the preceding frame; revenue sums as exact integer cents
+    (DECIMAL(18,2)·100 per row), never a float fold. Scale: the window is
+    partitioned by user_id — billions of small per-user frames, no global
+    exchange; AQE handles the skewed power-user tail."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events)
+SELECT COALESCE(channel, '(direct)') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["last_touch_attribution"] = q_last_touch_attribution
+ORACLE_SQL["last_touch_attribution"] = SQL_LAST_TOUCH_ATTRIBUTION
