@@ -124,6 +124,7 @@ HEADLINE = [
     "kendall_quantity_discount",
     "mutual_information_flag_status",
     "last_touch_attribution",
+    "quality_rater_kappa",
 ]
 
 

@@ -1461,3 +1461,81 @@ def _sql_textrank_keywords(min_pair_count: int, iters: int, k: int) -> str:
 
 QUERIES["textrank_keywords"] = q_textrank_keywords
 ORACLE_SQL["textrank_keywords"] = _sql_textrank_keywords(3, 3, 30)
+
+
+def q_quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document-quality raters — the standard
+    inter-annotator agreement check a labeling/filtering pipeline runs
+    before trusting a heuristic gate (kappa corrects raw agreement for the
+    agreement two independent raters would reach by chance).
+
+    Rater A passes docs with >= 50 tokens (length gate); rater B passes
+    docs with stopword_ratio >= 0.2 (fluency gate). Both derive from the
+    SAME token_stats frame (one corpus pass, map-side heuristics), so the
+    2x2 contingency counts come from a single keyless aggregate — exact
+    BIGINTs, with po/pe/kappa computed in DOUBLE only at the end from one
+    shared expression. N-independent beyond the one corpus pass."""
+    from ..operators.textops import token_stats
+
+    ts = token_stats(load_table(spark, sf_dir, "documents"))
+    flags = ts.select(
+        (F.col("n_tokens") >= 50).cast("int").alias("a"),
+        (F.col("stopword_ratio") >= 0.2).cast("int").alias("b"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("a_pos"),
+        F.sum("b").cast("long").alias("b_pos"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("both_pos"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("both_neg"),
+    )
+    return agg.selectExpr(
+        "n AS n_docs",
+        "a_pos",
+        "b_pos",
+        "both_pos",
+        "both_neg",
+        "round(CAST(both_pos + both_neg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po",
+        "round((CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE)"
+        "       + CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE))"
+        "      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe",
+        "round((CAST(both_pos + both_neg AS DOUBLE) / CAST(n AS DOUBLE)"
+        "       - (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE)"
+        "          + CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE))"
+        "         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+        "      / (1.0 - (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE)"
+        "                + CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE))"
+        "               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa",
+    )
+
+
+SQL_QUALITY_RATER_KAPPA = f"""
+WITH ts AS ({SQL_TOKEN_STATS}),
+flags AS (
+  SELECT CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS a,
+         CASE WHEN stopword_ratio >= 0.2 THEN 1 ELSE 0 END AS b
+  FROM ts),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS a_pos,
+         CAST(SUM(b) AS BIGINT) AS b_pos,
+         CAST(SUM(a * b) AS BIGINT) AS both_pos,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS both_neg
+  FROM flags)
+SELECT n AS n_docs, a_pos, b_pos, both_pos, both_neg,
+       round(CAST(both_pos + both_neg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       round((CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE)
+              + CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       round((CAST(both_pos + both_neg AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE)
+                 + CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE)
+                       + CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+FROM agg
+"""
+
+QUERIES["quality_rater_kappa"] = q_quality_rater_kappa
+ORACLE_SQL["quality_rater_kappa"] = SQL_QUALITY_RATER_KAPPA
