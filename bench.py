@@ -125,6 +125,7 @@ HEADLINE = [
     "mutual_information_flag_status",
     "last_touch_attribution",
     "quality_rater_kappa",
+    "ann_ivf_recall_curve",
 ]
 
 

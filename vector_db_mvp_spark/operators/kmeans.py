@@ -104,6 +104,33 @@ def _update_centroids(
     return nxt
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run ``iters`` Lloyd rounds; return the final assignment frame
+    (keeping ``vec_col`` for downstream scoring) AND the fitted centroids
+    — callers like the IVF recall curve rank probe order against them.
+    Centroid state is k x d floats on the driver (bounded control-plane,
+    same class as the per-iteration collect)."""
+    base = df.filter(F.col(vec_col).isNotNull())
+    seed_rows = (
+        base.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [[_round6(float(x)) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = assign_clusters(base, centroids, id_col=id_col, vec_col=vec_col)
+        centroids = _update_centroids(assigned, centroids, vec_col=vec_col)
+    return (
+        assign_clusters(base, centroids, id_col=id_col, vec_col=vec_col),
+        centroids,
+    )
+
+
 def kmeans_assignments(
     df: DataFrame,
     k: int,
@@ -114,20 +141,11 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Run ``iters`` Lloyd rounds and return the final assignment
     ``(id_col, cluster, dist)`` (dist = squared L2, rounded to 6)."""
-    base = df.filter(F.col(vec_col).isNotNull())
-    seed_rows = (
-        base.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
-    )
-    centroids = [[_round6(float(x)) for x in r[vec_col]] for r in seed_rows]
-    for _ in range(iters):
-        assigned = assign_clusters(base, centroids, id_col=id_col, vec_col=vec_col)
-        centroids = _update_centroids(assigned, centroids, vec_col=vec_col)
-    return assign_clusters(base, centroids, id_col=id_col, vec_col=vec_col).select(
-        id_col, "cluster", "dist"
-    )
+    assigned, _ = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
+    return assigned.select(id_col, "cluster", "dist")
 
 
-def sql_kmeans_assignments(
+def sql_kmeans_ctes(
     k: int,
     iters: int,
     *,
@@ -135,9 +153,10 @@ def sql_kmeans_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """DuckDB unrolled-iteration mirror of :func:`kmeans_assignments` —
-    identical init, distance math, decimal-exact means, rounding, and tie
-    rules, so assignments hash-match bit-for-bit."""
+    """The CTE body of :func:`sql_kmeans_assignments` (no ``WITH``, no final
+    SELECT): ``base`` (vid, v), ``c{iters}`` (fitted centroids), ``final``
+    (vid, cluster, d). Composable by oracles that need the fitted model —
+    e.g. the IVF recall curve ranks probe order against ``c{iters}``."""
     dist = (
         "ROUND(list_sum(list_transform(list_zip(b.v, c.c), "
         "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
@@ -191,8 +210,7 @@ def sql_kmeans_assignments(
 )"""
         )
     return (
-        "WITH "
-        + ",\n".join(parts)
+        ",\n".join(parts)
         + f""",
 final AS (
   SELECT vid, cluster, d FROM (
@@ -200,6 +218,20 @@ final AS (
     FROM base b CROSS JOIN c{iters} c
   ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vid
                                ORDER BY d ASC, cluster ASC) = 1
-)
-SELECT vid AS {id_col}, cluster, d AS dist FROM final"""
+)"""
     )
+
+
+def sql_kmeans_assignments(
+    k: int,
+    iters: int,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB unrolled-iteration mirror of :func:`kmeans_assignments` —
+    identical init, distance math, decimal-exact means, rounding, and tie
+    rules, so assignments hash-match bit-for-bit."""
+    ctes = sql_kmeans_ctes(k, iters, table=table, id_col=id_col, vec_col=vec_col)
+    return f"WITH {ctes}\nSELECT vid AS {id_col}, cluster, d AS dist FROM final"

@@ -1330,3 +1330,151 @@ def _sql_dbscan_knn_clusters() -> str:
 
 QUERIES["dbscan_knn_clusters"] = q_dbscan_knn_clusters
 ORACLE_SQL["dbscan_knn_clusters"] = _sql_dbscan_knn_clusters()
+
+
+# --------------------------------------------------------------------------
+# IVF recall-vs-nprobe curve
+# --------------------------------------------------------------------------
+
+_IVF_CURVE_K, _IVF_CURVE_ITERS = 8, 3
+_IVF_CURVE_NPROBES = (1, 2, 4, 8)
+
+
+def q_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF probing at nprobe ∈ {1, 2, 4, 8} against the exact
+    brute-force top-10 — the accuracy/latency trade-off curve every IVF
+    deployment publishes beside its index (nprobe = k degrades to exact,
+    recall 1.0 by construction; the curve shows what each probed cluster
+    buys).
+
+    The partitioning is the SQL-reproducible Lloyd's k-means
+    (operators/kmeans.py, fixed lowest-id init, decimal-exact means), so
+    the oracle replays the ENTIRE pipeline — fit, probe ranking, per-leg
+    top-10, recall join — bit-for-bit; probe order ranks clusters by
+    round(cosine(query, fitted centroid), 6) with cluster-id tie-break
+    (sequential folds on both engines). Scale: the fit is the k-means
+    cost; scoring is ONE corpus pass materialized once (eager checkpoint)
+    and re-read by the 4 bounded legs + the brute leg; at deployment the
+    legs are partition-pruned scans of an existing partitionBy(cluster)
+    layout (operators/served.py) — this query is the QUALITY instrument,
+    not the serving path."""
+    import math
+
+    from pyspark import StorageLevel
+
+    from ..functions.vector import cosine_similarity
+    from ..operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_fit(emb, _IVF_CURVE_K, _IVF_CURVE_ITERS)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]
+    ]
+
+    def _pycos(c: list[float]) -> float:
+        # Sequential left fold in doubles — mirrors the engines' folds.
+        dot = 0.0
+        for x, y in zip(c, qv):
+            dot += x * y
+        na = 0.0
+        for x in c:
+            na += x * x
+        nb = 0.0
+        for y in qv:
+            nb += y * y
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    probe_order = sorted(
+        range(len(centroids)), key=lambda c: (-round(_pycos(centroids[c]), 6), c)
+    )
+    qcol = F.array(*[F.lit(x) for x in qv])
+    scored = assigned.select(
+        "vec_id",
+        "cluster",
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
+        ).alias("score"),
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    brute = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("_h"))
+    )
+    legs = []
+    for np_ in _IVF_CURVE_NPROBES:
+        allowed = probe_order[:np_]
+        legs.append(
+            scored.filter(F.col("cluster").isin(allowed))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(10)
+            .join(F.broadcast(brute), "vec_id", "left")
+            .agg(F.sum(F.coalesce("_h", F.lit(0))).cast("long").alias("n_hits"))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall_at_10"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("nprobe")
+
+
+def _sql_ann_ivf_recall_curve() -> str:
+    from ..operators.kmeans import sql_kmeans_ctes
+
+    it = _IVF_CURVE_ITERS
+    cos_cq = _DUCK_COS.format(a="c.c", b="q.q")
+    cos_vq = _DUCK_COS.format(a="b.v", b="q.q")
+    leg_ctes = []
+    leg_rows = []
+    for np_ in _IVF_CURVE_NPROBES:
+        leg_ctes.append(
+            f"""leg{np_} AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rk
+    FROM scored
+    WHERE cluster IN (SELECT cluster FROM probe WHERE prank <= {np_})
+  ) WHERE rk <= 10
+)"""
+        )
+        leg_rows.append(
+            f"""SELECT CAST({np_} AS INT) AS nprobe,
+       CAST((SELECT COUNT(*) FROM leg{np_} JOIN brute USING (vec_id)) AS BIGINT)
+         AS n_hits,
+       ROUND((SELECT COUNT(*) FROM leg{np_} JOIN brute USING (vec_id))::DOUBLE
+             / 10.0, 6) AS recall_at_10"""
+        )
+    ctes = ",\n".join(leg_ctes)
+    rows = "\nUNION ALL\n".join(leg_rows)
+    return f"""
+WITH {sql_kmeans_ctes(_IVF_CURVE_K, it)},
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cluster,
+         ROW_NUMBER() OVER (ORDER BY ROUND({cos_cq}, 6) DESC, cluster ASC)
+           AS prank
+  FROM c{it} c CROSS JOIN qv q
+),
+scored AS (
+  SELECT f.vid AS vec_id, f.cluster, ROUND({cos_vq}, 6) AS score
+  FROM final f JOIN base b ON b.vid = f.vid CROSS JOIN qv q
+),
+brute AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+{ctes}
+{rows}
+ORDER BY nprobe
+"""
+
+
+QUERIES["ann_ivf_recall_curve"] = q_ann_ivf_recall_curve
+ORACLE_SQL["ann_ivf_recall_curve"] = _sql_ann_ivf_recall_curve()
