@@ -42,5 +42,14 @@ def get_spark(app_name: str = "vector_db_mvp_spark", shuffle_partitions: int | N
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Whole-stage-codegen source cache (static conf, default 100
+        # entries). A workload of ~100+ distinct plans evicts every
+        # compiled class between repeat invocations, so each re-run pays
+        # javac + fresh JIT again (~2-6 s on the expression-heavy
+        # rank/CDF plans — measured: price_mad_by_flag 11.1 s crowded vs
+        # 4.7 s isolated, ks_test 4.1 vs 1.9, purely cache-eviction).
+        # 5000 entries is a few hundred MB of class metadata at worst and
+        # lets a many-query session compile each plan exactly once.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     return builder.getOrCreate()
