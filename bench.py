@@ -126,6 +126,7 @@ HEADLINE = [
     "last_touch_attribution",
     "quality_rater_kappa",
     "ann_ivf_recall_curve",
+    "proximity_search",
 ]
 
 

@@ -114,3 +114,75 @@ def boolean_search(
     return counts.filter(keep).select(
         F.col(id_col), hits.cast("long").alias("hits")
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR/k retrieval: documents where ``term_a`` and ``term_b`` occur
+    within ``window`` token positions of each other, with the qualifying
+    pair count and the minimum distance as ranking signals — the classic
+    proximity operator between exact phrase (distance == fixed offsets)
+    and boolean AND (distance == anywhere).
+
+    Plan: one tokenize pass pruned to the two query terms (postings-sized,
+    the phrase_search prune), then the positions band-join via the
+    range_join_events bin trick — term A's postings explode into the
+    {b-1, b, b+1} bins of width ``window`` and equi-join term B's single
+    bin on (doc, bin), so the join stays hash-keyed on high-cardinality
+    keys at ANY posting density (a raw |posA − posB| <= w theta-join would
+    be a per-doc nested loop). Each qualifying position pair is emitted
+    exactly once (B's bin is unique). At 100 TB the tokenize pass
+    dominates, as with phrase_search.
+    """
+    if window < 1:
+        raise ValueError("proximity_search: window must be >= 1")
+    if term_a == term_b:
+        raise ValueError("proximity_search: terms must differ")
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).filter(F.col("tok").isin([term_a, term_b]))
+    pa = toks.filter(F.col("tok") == term_a).select(
+        F.col(id_col), F.col("pos").alias("pa")
+    )
+    pb = toks.filter(F.col("tok") == term_b).select(
+        F.col(id_col), F.col("pos").alias("pb")
+    )
+    w = F.lit(window)
+
+    def _bin(c):
+        # floor BEFORE the integer cast: a plain cast truncates toward
+        # zero, mis-binning positions below the window width.
+        return F.floor(c / w).cast("long")
+
+    pa_binned = pa.withColumn(
+        "_bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    _bin(F.col("pa") - w), _bin(F.col("pa")), _bin(F.col("pa") + w)
+                )
+            )
+        ),
+    )
+    pb_binned = pb.withColumn("_bin", _bin(F.col("pb")))
+    # No distinct needed: B carries ONE bin per posting and A's bins are
+    # array_distinct-ed, so each qualifying (pa, pb) pair joins exactly once.
+    pairs = (
+        pa_binned.join(pb_binned, [id_col, "_bin"])
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= w)
+        .select(id_col, "pa", "pb")
+    )
+    return pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_distance"),
+    )

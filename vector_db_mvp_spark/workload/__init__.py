@@ -53,7 +53,10 @@ _CHANGED_THIS_ROUND = [
     # round 9
     "dbscan_knn_clusters",        # r8 UNRESOLVED_COLUMN regression fixed (codes vs _e)
     "spearman_quantity_price",    # sx/sy now DECIMAL(38,0) (int64 wrap at n~3e9)
-    "price_mad_by_flag",          # med2 folds NULL-guard empty groups (N_f == 0)
+    "price_mad_by_flag",          # med2 folds NULL-guard empty groups; p1 checkpointed
+    "part_reachability",          # BFS edge checkpoint DISK_ONLY -> serialized mem+disk
+    "part_cheapest_routes",       # same _EDGE_LEVEL change
+    "kmeans_clusters",            # kmeans_fit refactor (behavior-identical, re-pin)
 ]
 
 

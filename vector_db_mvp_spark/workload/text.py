@@ -1539,3 +1539,39 @@ FROM agg
 
 QUERIES["quality_rater_kappa"] = q_quality_rater_kappa
 ORACLE_SQL["quality_rater_kappa"] = SQL_QUALITY_RATER_KAPPA
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/5 proximity retrieval (operators/phrase.py proximity_search):
+    docs where 'spark' and 'join' occur within 5 token positions, with the
+    qualifying pair count and minimum distance. The postings band-join
+    runs through the range_join_events bin trick — hash-keyed on
+    (doc, bin), never a per-doc nested loop. The oracle is the brute
+    definitional pair scan over per-doc positions (correct at oracle
+    scale; the operator's bin join is the part that survives 100 TB)."""
+    from ..operators.phrase import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, "spark", "join", 5).orderBy("doc_id")
+
+
+SQL_PROXIMITY_SEARCH = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS p
+  FROM t),
+pa AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+pb AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+pairs AS (
+  SELECT pa.doc_id, abs(pa.p - pb.p) AS d
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+  WHERE abs(pa.p - pb.p) <= 5)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(d) AS BIGINT) AS min_distance
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["proximity_search"] = q_proximity_search
+ORACLE_SQL["proximity_search"] = SQL_PROXIMITY_SEARCH
