@@ -127,6 +127,7 @@ HEADLINE = [
     "quality_rater_kappa",
     "ann_ivf_recall_curve",
     "proximity_search",
+    "dedup_weighted_jaccard",
 ]
 
 

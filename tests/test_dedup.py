@@ -217,3 +217,58 @@ def test_simhash_exploded_agg_matches_expression_form(spark, sf_dir):
         code = term if code is None else code + term
     agg_form = {r["_id"]: r["sh"] for r in votes.select("_id", code.alias("sh")).collect()}
     assert agg_form == expr_form
+
+
+def test_weighted_prefix_filter_is_lossless(spark, sf_dir):
+    """weighted_jaccard_pairs' weighted prefix prune must reproduce the
+    brute-force weighted join EXACTLY at every tau — same completeness
+    contract as the unweighted prefix filter. The brute reference is the
+    operator with the prefix stage bypassed (all postings as candidates)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_mvp_spark.operators.dedup import (
+        _distinct_shingles,
+        _spread_tokens,
+        weighted_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = _distinct_shingles(_spread_tokens(docs, "text", "doc_id"), 5)
+    nd = post.agg(F.countDistinct("_id").alias("_nd"))
+    wts = (
+        post.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "s",
+            (F.floor(F.log(F.col("_nd") / F.col("_df")) * 1e6) + 1)
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    wpost = post.join(wts, "s")
+    tot = wpost.groupBy("_id").agg(F.sum("_w").alias("_wtot"))
+    a, b = wpost.alias("a"), wpost.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .agg(F.sum("a._w").alias("_wi"))
+    )
+    t1 = tot.select(F.col("_id").alias("id1"), F.col("_wtot").alias("_w1"))
+    t2 = tot.select(F.col("_id").alias("id2"), F.col("_wtot").alias("_w2"))
+    scored = (
+        inter.join(t1, "id1").join(t2, "id2")
+        .withColumn(
+            "wjaccard",
+            F.round(F.col("_wi") / (F.col("_w1") + F.col("_w2") - F.col("_wi")), 6),
+        )
+    )
+    for tau in (0.3, 0.6, 0.9):
+        exact = {
+            (r["id1"], r["id2"]): r["wjaccard"]
+            for r in scored.filter(F.col("wjaccard") >= tau).collect()
+        }
+        pf = {
+            (r["id1"], r["id2"]): r["wjaccard"]
+            for r in weighted_jaccard_pairs(docs, n=5, tau=tau).collect()
+        }
+        assert pf == exact, (tau, set(exact) ^ set(pf))

@@ -611,3 +611,101 @@ def _containment_verify(cands: DataFrame, post: DataFrame, tau: float) -> DataFr
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return _containment_from_common(common, post, tau)
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    tau: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact WEIGHTED-Jaccard pair join — J_w(x,y) = W(x∩y)/W(x∪y) with
+    per-shingle IDF weights — via the weighted generalization of the
+    prefix filter (Chaudhuri et al. ICDE'06 signature scheme). Weighted
+    Jaccard is the dedup measure that stops boilerplate from dominating:
+    two docs sharing only ubiquitous shingles score near 0 however many
+    they share, while a shared rare passage scores high.
+
+    Weights are INTEGER-scaled IDF — w_s = floor(ln(N/df_s)·1e6) + 1 —
+    so every downstream sum (doc totals, intersection weight) is an exact
+    BIGINT on both engines and the only float step is the final division
+    (ln parity per the TF-IDF/DSIR precedent; +1 keeps corpus-saturated
+    shingles at positive weight, so W(x) > 0 always).
+
+    Canonical order: (df ASC, shingle ASC) — identical to the unweighted
+    prefix join since IDF is monotone in df. Per doc, position j stays in
+    the prefix iff the suffix weight INCLUDING j is >= tau·W(x) (1e-6
+    absolute slack against integer weights: float rounding can only
+    LENGTHEN a prefix). Completeness: if J_w(x,y) >= tau, the canonically
+    first shared shingle t lies in BOTH prefixes — were every shared
+    shingle past x's prefix, W(x∩y) <= W(suffix_x) < tau·W(x) <=
+    tau·W(x∪y) <= W(x∩y), a contradiction; symmetrically for y. The
+    prefix-postings equi-join therefore finds every qualifying pair, and
+    the verify recomputes exact integer weights from FULL postings
+    (candidates are a superset, never a substitute).
+
+    Scale shape mirrors prefix_filter_jaccard_pairs: one df aggregation,
+    one keyed per-doc window, a self-join on rare-prefix shingles only,
+    then an exact verify keyed by candidate pairs.
+    """
+    post = _distinct_shingles(
+        _spread_tokens(df, text_col, id_col), n
+    ).localCheckpoint(eager=True)
+    nd = post.agg(F.countDistinct("_id").alias("_nd"))
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    wts = dfreq.crossJoin(F.broadcast(nd)).select(
+        "s",
+        "_df",
+        (F.floor(F.log(F.col("_nd") / F.col("_df")) * 1e6) + 1)
+        .cast("long")
+        .alias("_w"),
+    )
+    # Reused by the prefix pass, both verify legs, and the totals — one
+    # materialization, same reasoning as the p1 checkpoint in
+    # price_mad_by_flag (un-checkpointed, the join re-derives per consumer).
+    wpost = post.join(wts, "s").localCheckpoint(eager=True)
+    tot = wpost.groupBy("_id").agg(F.sum("_w").alias("_wtot"))
+    win = (
+        Window.partitionBy("_id")
+        .orderBy("_df", "s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = (
+        wpost.withColumn("_cum", F.sum("_w").over(win))
+        .join(tot, "_id")
+        .filter(
+            (F.col("_wtot") - F.col("_cum") + F.col("_w")).cast("double")
+            >= F.lit(tau) * F.col("_wtot") - F.lit(1e-6)
+        )
+        .select("_id", "s")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    pa = wpost.select(F.col("_id").alias("id1"), "s", F.col("_w").alias("_wa"))
+    pb = wpost.select(F.col("_id").alias("id2"), "s")
+    inter = (
+        cands.join(pa, "id1")
+        .join(pb, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.sum("_wa").alias("_wi"))
+    )
+    t1 = tot.select(F.col("_id").alias("id1"), F.col("_wtot").alias("_w1"))
+    t2 = tot.select(F.col("_id").alias("id2"), F.col("_wtot").alias("_w2"))
+    return (
+        inter.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn(
+            "wjaccard",
+            F.round(
+                F.col("_wi") / (F.col("_w1") + F.col("_w2") - F.col("_wi")), 6
+            ),
+        )
+        .filter(F.col("wjaccard") >= tau)
+        .select("id1", "id2", "wjaccard")
+    )

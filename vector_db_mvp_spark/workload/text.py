@@ -1575,3 +1575,43 @@ FROM pairs GROUP BY 1 ORDER BY 1
 
 QUERIES["proximity_search"] = q_proximity_search
 ORACLE_SQL["proximity_search"] = SQL_PROXIMITY_SEARCH
+
+
+def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact IDF-weighted Jaccard near-dup pairs via the weighted prefix
+    filter (operators/dedup.py weighted_jaccard_pairs) — the dedup measure
+    where shared boilerplate scores ~0 and shared rare passages score
+    high. The oracle is the brute-force all-pairs weighted join at the
+    same (n, tau): the prefix prune must reproduce it verbatim (lossless,
+    like dedup_prefix_filter). All weights integer-scaled IDF, so both
+    engines sum exact BIGINTs and divide once at the end."""
+    from ..operators.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, tau=0.5
+    ).orderBy("id1", "id2")
+
+
+def _sql_weighted_jaccard(n: int, tau: float) -> str:
+    sh = sql_shingles("t", n)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+post AS (SELECT DISTINCT doc_id, u.s AS s
+         FROM toks, UNNEST({sh}) AS u(s)),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS _nd FROM post),
+wts AS (SELECT s, CAST(floor(ln(_nd / _df) * 1e6) + 1 AS BIGINT) AS w
+        FROM (SELECT s, COUNT(*) AS _df FROM post GROUP BY 1) CROSS JOIN nd),
+wpost AS (SELECT doc_id, post.s AS s, w FROM post JOIN wts USING (s)),
+tot AS (SELECT doc_id, SUM(w) AS wtot FROM wpost GROUP BY 1),
+common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.w) AS wi
+           FROM wpost a JOIN wpost b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id1, id2,
+       round(wi::DOUBLE / (t1.wtot + t2.wtot - wi), 6) AS wjaccard
+FROM common JOIN tot t1 ON id1 = t1.doc_id JOIN tot t2 ON id2 = t2.doc_id
+WHERE round(wi::DOUBLE / (t1.wtot + t2.wtot - wi), 6) >= {tau}
+ORDER BY id1, id2
+"""
+
+QUERIES["dedup_weighted_jaccard"] = q_dedup_weighted_jaccard
+ORACLE_SQL["dedup_weighted_jaccard"] = _sql_weighted_jaccard(5, 0.5)
