@@ -1338,11 +1338,17 @@ ORACLE_SQL["dbscan_knn_clusters"] = _sql_dbscan_knn_clusters()
 
 _IVF_CURVE_K, _IVF_CURVE_ITERS = 8, 3
 _IVF_CURVE_NPROBES = (1, 2, 4, 8)
+# top-k = 100 > the fixture's per-cluster neighbor count, so the exact
+# top-k SPANS clusters and the curve is informative (recall < 1 at small
+# nprobe). At top-10 every neighbor shared the query's cluster and the
+# curve degenerated to 1.0 at every nprobe — an instrument that cannot
+# catch a probe-ordering bug (the r7 dbscan degenerate-instance lesson).
+_IVF_CURVE_TOPK = 100
 
 
 def q_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of IVF probing at nprobe ∈ {1, 2, 4, 8} against the exact
-    brute-force top-10 — the accuracy/latency trade-off curve every IVF
+    """Recall@100 of IVF probing at nprobe ∈ {1, 2, 4, 8} against the exact
+    brute-force top-100 — the accuracy/latency trade-off curve every IVF
     deployment publishes beside its index (nprobe = k degrades to exact,
     recall 1.0 by construction; the curve shows what each probed cluster
     buys).
@@ -1400,7 +1406,7 @@ def q_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     brute = (
         scored.orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(10)
+        .limit(_IVF_CURVE_TOPK)
         .select("vec_id", F.lit(1).alias("_h"))
     )
     legs = []
@@ -1409,13 +1415,15 @@ def q_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         legs.append(
             scored.filter(F.col("cluster").isin(allowed))
             .orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(10)
+            .limit(_IVF_CURVE_TOPK)
             .join(F.broadcast(brute), "vec_id", "left")
             .agg(F.sum(F.coalesce("_h", F.lit(0))).cast("long").alias("n_hits"))
             .select(
                 F.lit(np_).cast("int").alias("nprobe"),
                 "n_hits",
-                F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall_at_10"),
+                F.round(
+                    F.col("n_hits") / F.lit(float(_IVF_CURVE_TOPK)), 6
+                ).alias("recall"),
             )
         )
     out = legs[0]
@@ -1439,7 +1447,7 @@ def _sql_ann_ivf_recall_curve() -> str:
     SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rk
     FROM scored
     WHERE cluster IN (SELECT cluster FROM probe WHERE prank <= {np_})
-  ) WHERE rk <= 10
+  ) WHERE rk <= {_IVF_CURVE_TOPK}
 )"""
         )
         leg_rows.append(
@@ -1447,7 +1455,7 @@ def _sql_ann_ivf_recall_curve() -> str:
        CAST((SELECT COUNT(*) FROM leg{np_} JOIN brute USING (vec_id)) AS BIGINT)
          AS n_hits,
        ROUND((SELECT COUNT(*) FROM leg{np_} JOIN brute USING (vec_id))::DOUBLE
-             / 10.0, 6) AS recall_at_10"""
+             / {float(_IVF_CURVE_TOPK)}, 6) AS recall"""
         )
     ctes = ",\n".join(leg_ctes)
     rows = "\nUNION ALL\n".join(leg_rows)
@@ -1468,7 +1476,7 @@ brute AS (
   SELECT vec_id FROM (
     SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rk
     FROM scored
-  ) WHERE rk <= 10
+  ) WHERE rk <= {_IVF_CURVE_TOPK}
 ),
 {ctes}
 {rows}
