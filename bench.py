@@ -128,6 +128,7 @@ HEADLINE = [
     "ann_ivf_recall_curve",
     "proximity_search",
     "dedup_weighted_jaccard",
+    "part_kcore",
 ]
 
 

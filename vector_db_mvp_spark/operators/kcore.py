@@ -1,0 +1,65 @@
+"""k-core decomposition by synchronous peeling: repeatedly delete every
+node whose CURRENT degree is < k; the survivors (if the peel has
+converged) are exactly the k-core — the standard cohesion filter a graph
+pipeline runs before community/embedding work (a node in the k-core has
+>= k neighbors that are themselves in the k-core).
+
+Spark realization: a fixed number of synchronous peel rounds, each ONE
+degree aggregation + TWO semi-joins (an edge survives iff both endpoints
+survive), with a serialized localCheckpoint per round so round r's plan
+never replays rounds 0..r-1 (the bfs.py lineage rule; same ``_EDGE_LEVEL``
+storage reasoning). Synchronous peeling is deterministic — each round's
+output is a pure function of the previous edge set — so a SQL oracle can
+replay it with ``rounds`` unrolled CTEs (the PageRank / k-means
+fixed-iteration pattern), and parity holds whether or not the peel has
+converged by the last round. Callers that need the TRUE k-core assert
+convergence by checking one extra round is a no-op (pinned in
+tests/test_kcore.py for the registered instance).
+
+Scale: per round the shuffle carries the surviving edge set keyed by
+endpoint — monotonically shrinking, never the corpus; degree skew is a
+groupBy on node id (AQE-splittable). Rounds needed equals the peel depth
+of the graph, typically small; at 100 TB the same loop runs with the edge
+set partitioned by src.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bfs import _EDGE_LEVEL
+
+
+def kcore_edges(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Surviving (src, dst) edges after ``rounds`` synchronous peels at
+    threshold ``k``. ``edges`` must carry BOTH directions of each
+    undirected edge (so out-degree == degree)."""
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_edges: k and rounds must be >= 1")
+    alive = edges.select("src", "dst").localCheckpoint(
+        eager=True, storageLevel=_EDGE_LEVEL
+    )
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select(F.col("src").alias("_node"))
+        )
+        alive = (
+            alive.join(keep, alive["src"] == keep["_node"], "left_semi")
+            .join(keep, alive["dst"] == keep["_node"], "left_semi")
+            .localCheckpoint(eager=True, storageLevel=_EDGE_LEVEL)
+        )
+    return alive
+
+
+def kcore_nodes(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """(node, core_degree) for every node surviving ``rounds`` peels at
+    threshold ``k`` — core_degree is its degree WITHIN the surviving
+    subgraph (>= k everywhere once the peel has converged)."""
+    alive = kcore_edges(edges, k, rounds)
+    return alive.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

@@ -5944,3 +5944,70 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["last_touch_attribution"] = q_last_touch_attribution
 ORACLE_SQL["last_touch_attribution"] = SQL_LAST_TOUCH_ATTRIBUTION
+
+
+_KCORE_K, _KCORE_ROUNDS = 65, 5
+
+
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-purchase graph (operators/kcore.py): parts whose
+    co-purchase degree is >= 65 within the surviving subgraph after 5
+    synchronous peel rounds, with each survivor's core degree. The edge
+    build is the part_reachability co-purchase graph (co-partitioned on
+    orderkey, quadratic only within bounded baskets). Rule-8 note: (k,
+    rounds) is a fixed oracle instance — 5 rounds CONVERGE at both gate
+    scales (pinned by tests/test_kcore.py's extra-round no-op check at
+    sf0.001), and parity holds even unconverged because the oracle
+    unrolls the identical synchronous rounds (AS MATERIALIZED — each
+    round reads its predecessor three times, and DuckDB would otherwise
+    inline-recompute the chain exponentially)."""
+    from ..operators.kcore import kcore_nodes
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return (
+        kcore_nodes(edges, _KCORE_K, _KCORE_ROUNDS)
+        .select(F.col("node").alias("part"), "core_degree")
+        .orderBy("part")
+    )
+
+
+def _sql_part_kcore() -> str:
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    ctes = [
+        "d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "p AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst"
+        " FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p))",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM"
+            f" (SELECT src, COUNT(*) AS deg FROM e{i - 1} GROUP BY 1)"
+            f" WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e"
+            f" JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["part_kcore"] = q_part_kcore
+ORACLE_SQL["part_kcore"] = _sql_part_kcore()
