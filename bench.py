@@ -129,6 +129,7 @@ HEADLINE = [
     "proximity_search",
     "dedup_weighted_jaccard",
     "part_kcore",
+    "hll_audience_overlap",
 ]
 
 

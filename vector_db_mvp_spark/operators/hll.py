@@ -149,3 +149,151 @@ SELECT a.{group_col},
 FROM agg a JOIN exact e USING ({group_col})
 ORDER BY a.{group_col}
 """
+
+
+def hll_pair_overlap(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Audience-overlap estimates for every PAIR of groups from the HLL
+    register monoid: the union sketch is the per-register max of the two
+    group sketches (the monoid's defining operation — no data re-scan),
+    the intersection estimate is inclusion–exclusion est(A) + est(B) −
+    est(A∪B), and the Jaccard estimate their ratio. The classic sketch
+    algebra an audience/segment system runs over thousands of segments
+    where exact pairwise intersections would need |pairs| corpus passes;
+    here ONE corpus pass builds the per-group states and everything
+    downstream is O(|groups|² · 256) register rows.
+
+    Everything is deterministic (same md5 registers as
+    :func:`hll_distinct`), so a SQL oracle reproduces the identical
+    estimates; the exact pairwise intersection rides along for the
+    accuracy audit.
+
+    Returns DataFrame[g1, g2, union_est, inter_est, jaccard_est,
+    inter_exact] for g1 < g2, ordered.
+    """
+    state = hll_state_rows(df, group_col, value_col)
+    singles = hll_estimate_from_state(state, group_col).select(
+        group_col, F.col("distinct_estimate").alias("_e")
+    )
+    groups = state.select(group_col).distinct()
+    pairs = (
+        groups.select(F.col(group_col).alias("g1"))
+        .crossJoin(groups.select(F.col(group_col).alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    s1 = pairs.join(
+        state, F.col(group_col) == F.col("g1")
+    ).select("g1", "g2", "reg", "rho")
+    s2 = pairs.join(
+        state, F.col(group_col) == F.col("g2")
+    ).select("g1", "g2", "reg", "rho")
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("g1", "g2", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("_pair", F.concat_ws("\x1f", "g1", "g2"))
+    )
+    union_est = hll_estimate_from_state(merged, "_pair").select(
+        "_pair", F.col("distinct_estimate").alias("union_est")
+    )
+    d = df.select(group_col, value_col).distinct()
+    da = d.select(F.col(group_col).alias("g1"), F.col(value_col).alias("_v"))
+    db = d.select(F.col(group_col).alias("g2"), F.col(value_col).alias("_v"))
+    inter_exact = (
+        da.join(db, "_v")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    e1 = singles.select(F.col(group_col).alias("g1"), F.col("_e").alias("_e1"))
+    e2 = singles.select(F.col(group_col).alias("g2"), F.col("_e").alias("_e2"))
+    return (
+        pairs.withColumn("_pair", F.concat_ws("\x1f", "g1", "g2"))
+        .join(F.broadcast(union_est), "_pair")
+        .join(F.broadcast(e1), "g1")
+        .join(F.broadcast(e2), "g2")
+        .join(F.broadcast(inter_exact), ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            F.col("union_est").cast("long").alias("union_est"),
+            F.greatest(
+                F.lit(0), F.col("_e1") + F.col("_e2") - F.col("union_est")
+            )
+            .cast("long")
+            .alias("inter_est"),
+            F.round(
+                F.greatest(
+                    F.lit(0), F.col("_e1") + F.col("_e2") - F.col("union_est")
+                )
+                / F.col("union_est"),
+                6,
+            ).alias("jaccard_est"),
+            F.coalesce("inter_exact", F.lit(0)).cast("long").alias("inter_exact"),
+        )
+        .orderBy("g1", "g2")
+    )
+
+
+def sql_hll_pair_overlap(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB mirror of :func:`hll_pair_overlap` — identical registers,
+    identical merged sketches, identical integer-scaled estimates."""
+    est = (
+        f"CAST(FLOOR(CAST({_ALPHA!r} AS DOUBLE) * 65536.0 * {float(TWO53)} /"
+        f" CAST(({M} - registers_hit) * {TWO53} + zsum AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (SELECT DISTINCT {group_col} AS g, {value_col} AS v FROM {table}),
+h AS (SELECT g, md5(CAST(v AS VARCHAR)) AS h FROM d),
+regs AS (
+  SELECT g,
+         CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS reg,
+         CASE WHEN CAST(('0x' || substr(h, 3, 13)) AS BIGINT) = 0 THEN 53
+              ELSE 53 - length(format('{{:b}}', CAST(('0x' || substr(h, 3, 13)) AS BIGINT)))
+         END AS rho
+  FROM h
+),
+state AS (SELECT g, reg, MAX(rho) AS rho FROM regs GROUP BY 1, 2),
+singles AS (
+  SELECT g, {est} AS e FROM (
+    SELECT g, COUNT(*) AS registers_hit,
+           SUM(CAST(1 AS BIGINT) << (53 - rho)) AS zsum
+    FROM state GROUP BY 1)
+),
+pairs AS (
+  SELECT a.g AS g1, b.g AS g2
+  FROM (SELECT DISTINCT g FROM state) a
+  JOIN (SELECT DISTINCT g FROM state) b ON a.g < b.g
+),
+merged AS (
+  SELECT g1, g2, reg, MAX(rho) AS rho FROM (
+    SELECT p.g1, p.g2, s.reg, s.rho FROM pairs p JOIN state s ON s.g = p.g1
+    UNION ALL
+    SELECT p.g1, p.g2, s.reg, s.rho FROM pairs p JOIN state s ON s.g = p.g2
+  ) GROUP BY 1, 2, 3
+),
+unions AS (
+  SELECT g1, g2, {est} AS union_est FROM (
+    SELECT g1, g2, COUNT(*) AS registers_hit,
+           SUM(CAST(1 AS BIGINT) << (53 - rho)) AS zsum
+    FROM merged GROUP BY 1, 2)
+),
+inter_x AS (
+  SELECT a.g AS g1, b.g AS g2, COUNT(*) AS inter_exact
+  FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT p.g1, p.g2,
+       CAST(u.union_est AS BIGINT) AS union_est,
+       CAST(GREATEST(0, e1.e + e2.e - u.union_est) AS BIGINT) AS inter_est,
+       ROUND(GREATEST(0, e1.e + e2.e - u.union_est)::DOUBLE / u.union_est, 6)
+         AS jaccard_est,
+       CAST(COALESCE(i.inter_exact, 0) AS BIGINT) AS inter_exact
+FROM pairs p
+JOIN unions u USING (g1, g2)
+JOIN singles e1 ON e1.g = p.g1
+JOIN singles e2 ON e2.g = p.g2
+LEFT JOIN inter_x i USING (g1, g2)
+ORDER BY p.g1, p.g2
+"""

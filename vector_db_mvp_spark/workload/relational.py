@@ -6011,3 +6011,27 @@ FROM e{rounds} GROUP BY 1 ORDER BY 1
 
 QUERIES["part_kcore"] = q_part_kcore
 ORACLE_SQL["part_kcore"] = _sql_part_kcore()
+
+
+def q_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from the HLL register
+    monoid (operators/hll.py hll_pair_overlap): union sketch = per-register
+    max (no data re-scan), intersection by inclusion–exclusion, Jaccard
+    estimate, exact intersection alongside for the accuracy audit. One
+    corpus pass builds the per-type sketches; the pair algebra is
+    O(|types|²·256) register rows — the sketch-set-operations workload an
+    audience system runs where exact pairwise passes can't scale."""
+    from ..operators.hll import hll_pair_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_pair_overlap(ev, "event_type", "user_id")
+
+
+def _sql_hll_audience_overlap() -> str:
+    from ..operators.hll import sql_hll_pair_overlap
+
+    return sql_hll_pair_overlap("events", "event_type", "user_id")
+
+
+QUERIES["hll_audience_overlap"] = q_hll_audience_overlap
+ORACLE_SQL["hll_audience_overlap"] = _sql_hll_audience_overlap()
