@@ -71,6 +71,30 @@ def test_registered_instance_converges(spark, sf_dir):
     assert at_r == extra and len(at_r) > 0
 
 
+def test_kcore_early_exit_equals_fixed_rounds(spark):
+    """The convergence early-exit must be bit-identical to running the
+    full fixed round count: once a round removes nothing, every later
+    synchronous round is the identity. Pin by comparing a round count
+    far past convergence (the 3-core of clique+tail converges in 2
+    rounds; ask for 50) against the minimal converged run."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    edges = _undirected(spark, clique + tail)
+    minimal = {(r["node"], r["core_degree"]) for r in kcore_nodes(edges, 3, 2).collect()}
+    far_past = {
+        (r["node"], r["core_degree"]) for r in kcore_nodes(edges, 3, 50).collect()
+    }
+    assert minimal == far_past == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_kcore_empty_edges_early_exit(spark):
+    # Zero surviving edges must short-circuit (and not error) regardless
+    # of the requested round count.
+    cycle = [(1, 2), (2, 3), (3, 1)]
+    edges = _undirected(spark, cycle)
+    assert kcore_nodes(edges, 5, 100).count() == 0
+
+
 def test_kcore_validates_args(spark):
     edges = _undirected(spark, [(1, 2)])
     with pytest.raises(ValueError):

@@ -52,10 +52,14 @@ def test_spearman_moments_are_decimal38(spark, sf_dir):
     row = df.collect()[0]
     assert row["n_rows"] > 0
     assert -1.0 <= row["rho"] <= 1.0
-    # Pin the overflow-proof accumulator types: all five moment sums (sx,
-    # sy, sxx, syy, sxy) must be DECIMAL(38,0), never a wrapping BIGINT sum.
-    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
-    # sx/sy carry explicit casts; sxx/syy/sxy are natively decimal(38,0)
-    # sums of decimal(18,0) products. No rank column may be summed raw.
-    assert plan.count("as decimal(38,0)") >= 2, plan
-    assert "sum(rx2" not in plan and "sum(ry2" not in plan, plan
+    # Pin the overflow-proof accumulator types on the moments frame's
+    # SCHEMA (stable across Spark versions, unlike optimized-plan text):
+    # all five moment sums must be DECIMAL(38,0), never a wrapping BIGINT.
+    from vector_db_mvp_spark.sources.testdata import load_table
+    from vector_db_mvp_spark.workload.relational import _spearman_moments
+
+    moments = _spearman_moments(load_table(spark, sf_dir, "lineitem"))
+    dtypes = dict(moments.dtypes)
+    assert dtypes["n"] == "bigint"
+    for col in ("sx", "sy", "sxx", "syy", "sxy"):
+        assert dtypes[col] == "decimal(38,0)", (col, dtypes[col])

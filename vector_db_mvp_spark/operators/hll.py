@@ -79,14 +79,21 @@ def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
     return a.unionByName(b).groupBy(group_col, "reg").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate_from_state(state: DataFrame, group_col: str) -> DataFrame:
-    """(group, registers_hit, distinct_estimate) from register state, via
-    the integer-scaled harmonic sum described in the module docstring."""
+def hll_estimate_from_state(
+    state: DataFrame, group_cols: str | list[str]
+) -> DataFrame:
+    """(group..., registers_hit, distinct_estimate) from register state,
+    via the integer-scaled harmonic sum described in the module
+    docstring. ``group_cols`` may be one column name or a list — composite
+    keys (e.g. a pair-overlap's (g1, g2)) group directly, never through a
+    string-concatenated surrogate that could collide on separator bytes
+    in the data."""
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     # 2^(53 - rho) as an exact long via a literal power-of-two lookup
     # (shiftleft needs a literal shift; float pow is inexact past 2^53).
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(54)])
     term = F.element_at(pow2, (F.lit(53) - F.col("rho")).cast("int") + F.lit(1))
-    agg = state.groupBy(group_col).agg(
+    agg = state.groupBy(*cols).agg(
         F.count(F.lit(1)).alias("registers_hit"),
         F.sum(term).alias("_zsum"),
     )
@@ -95,7 +102,7 @@ def hll_estimate_from_state(state: DataFrame, group_col: str) -> DataFrame:
         F.lit(_ALPHA) * F.lit(65536.0) * F.lit(float(TWO53)) / z_scaled.cast("double")
     )
     return agg.select(
-        group_col,
+        *cols,
         F.col("registers_hit").cast("long").alias("registers_hit"),
         est.cast("long").alias("distinct_estimate"),
     )
@@ -192,10 +199,12 @@ def hll_pair_overlap(
         s1.unionByName(s2)
         .groupBy("g1", "g2", "reg")
         .agg(F.max("rho").alias("rho"))
-        .withColumn("_pair", F.concat_ws("\x1f", "g1", "g2"))
     )
-    union_est = hll_estimate_from_state(merged, "_pair").select(
-        "_pair", F.col("distinct_estimate").alias("union_est")
+    # Group the merged state by the pair columns DIRECTLY (composite-key
+    # hll_estimate_from_state) — a concat_ws surrogate would collide
+    # distinct pairs whose group values contain the separator byte.
+    union_est = hll_estimate_from_state(merged, ["g1", "g2"]).select(
+        "g1", "g2", F.col("distinct_estimate").alias("union_est")
     )
     d = df.select(group_col, value_col).distinct()
     da = d.select(F.col(group_col).alias("g1"), F.col(value_col).alias("_v"))
@@ -209,8 +218,7 @@ def hll_pair_overlap(
     e1 = singles.select(F.col(group_col).alias("g1"), F.col("_e").alias("_e1"))
     e2 = singles.select(F.col(group_col).alias("g2"), F.col("_e").alias("_e2"))
     return (
-        pairs.withColumn("_pair", F.concat_ws("\x1f", "g1", "g2"))
-        .join(F.broadcast(union_est), "_pair")
+        pairs.join(F.broadcast(union_est), ["g1", "g2"])
         .join(F.broadcast(e1), "g1")
         .join(F.broadcast(e2), "g2")
         .join(F.broadcast(inter_exact), ["g1", "g2"], "left")

@@ -34,24 +34,43 @@ from .bfs import _EDGE_LEVEL
 def kcore_edges(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """Surviving (src, dst) edges after ``rounds`` synchronous peels at
     threshold ``k``. ``edges`` must carry BOTH directions of each
-    undirected edge (so out-degree == degree)."""
+    undirected edge (so out-degree == degree).
+
+    Convergence early-exit: once a round removes no edges the peel is a
+    fixed point — every further synchronous round is the identity (the
+    degree of every survivor is already >= k, so ``keep`` re-admits all
+    of them) — so we stop instead of re-checkpointing an unchanged
+    corpus-sized edge set ``rounds - r`` more times. The count per round
+    is bounded control-plane (one scalar off an already-checkpointed
+    frame), and the result is bit-identical to running the remaining
+    rounds, so fixed-``rounds`` SQL oracles stay in parity.
+    """
     if k < 1 or rounds < 1:
         raise ValueError("kcore_edges: k and rounds must be >= 1")
     alive = edges.select("src", "dst").localCheckpoint(
         eager=True, storageLevel=_EDGE_LEVEL
     )
+    n_alive = alive.count()
     for _ in range(rounds):
+        if n_alive == 0:
+            break
         keep = (
             alive.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= k)
             .select(F.col("src").alias("_node"))
         )
-        alive = (
+        nxt = (
             alive.join(keep, alive["src"] == keep["_node"], "left_semi")
             .join(keep, alive["dst"] == keep["_node"], "left_semi")
             .localCheckpoint(eager=True, storageLevel=_EDGE_LEVEL)
         )
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            # Fixed point: no edge was removed, so no endpoint lost
+            # degree, so every later round returns the same set.
+            break
+        alive, n_alive = nxt, n_nxt
     return alive
 
 

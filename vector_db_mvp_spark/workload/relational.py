@@ -4867,20 +4867,12 @@ _SPEARMAN_EXPR = (
 )
 
 
-def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact tie-aware Spearman rank correlation between lineitem quantity
-    and extended price — Pearson over midranks, the standard robust
-    association measure. Midranks per DISTINCT value come from the same
-    two-phase distributed prefix sums as the K-S / Mann-Whitney queries
-    (doubled: m2 = 2*cum - t + 1, integral under ties); each row then
-    joins its two rank-map rows (keyed equi-joins — the quantity map is
-    tiny, the price map |distinct prices|, never a corpus funnel) and one
-    keyless fold accumulates the five moments. Products are summed as
-    DECIMAL(38,0): 4n^3 bounds the doubled-rank product sum, exact to
-    n ~ 2.9e12 rows — beyond a 100 TB lineitem."""
+def _spearman_moments(li: DataFrame) -> DataFrame:
+    """One-row moments frame (n, sx, sy, sxx, syy, sxy) for the Spearman
+    query — exposed so tests can pin the DECIMAL(38,0) accumulator
+    contract on the SCHEMA (stable across Spark versions) instead of
+    parsing optimized-plan text."""
     from ..operators.rank import global_prefix_sums
-
-    li = load_table(spark, sf_dir, "lineitem")
 
     def rank_map(col: str) -> DataFrame:
         vals = li.groupBy(F.col(col).alias("v")).agg(
@@ -4902,7 +4894,7 @@ def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sx/sy total n(n+1) — past int64 at n ~ 3e9 rows (sub-sf1000), so they
     # accumulate as DECIMAL(38,0) like the second moments; all five feed a
     # DOUBLE cast in the shared rho expression, so the type is free.
-    agg = joined.agg(
+    return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("rx2").cast(d18)).cast("decimal(38,0)").alias("sx"),
         F.sum(F.col("ry2").cast(d18)).cast("decimal(38,0)").alias("sy"),
@@ -4916,6 +4908,21 @@ def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("sxy"),
     )
+
+
+def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between lineitem quantity
+    and extended price — Pearson over midranks, the standard robust
+    association measure. Midranks per DISTINCT value come from the same
+    two-phase distributed prefix sums as the K-S / Mann-Whitney queries
+    (doubled: m2 = 2*cum - t + 1, integral under ties); each row then
+    joins its two rank-map rows (keyed equi-joins — the quantity map is
+    tiny, the price map |distinct prices|, never a corpus funnel) and one
+    keyless fold accumulates the five moments. Products are summed as
+    DECIMAL(38,0): 4n^3 bounds the doubled-rank product sum, exact to
+    n ~ 2.9e12 rows — beyond a 100 TB lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = _spearman_moments(li)
     return agg.selectExpr("n AS n_rows", f"{_SPEARMAN_EXPR} AS rho")
 
 
@@ -4967,16 +4974,19 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass repeats the same shape on e = |2c - med2| and the outlier count
     is a fold over the ALREADY-AGGREGATED deviation frame (2e > 3*mad4 is
     an all-integer restatement of |c - med| > 3*MAD — the oracle's double
-    comparison is exact because every operand is dyadic below 2^53). Two
-    corpus passes, both map-side reduced to distinct values first."""
+    comparison is exact because every operand is dyadic below 2^53). ONE
+    corpus pass total: the deviation CDF is derived from the checkpointed
+    value-aggregated p1 frame (unpivot + weighted re-aggregation over
+    <= |flags| * |distinct prices| rows), never a second scan of rows."""
     from pyspark import StorageLevel
 
     from ..operators.rank import global_prefix_sums
 
     li = load_table(spark, sf_dir, "lineitem")
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    # rows is consumed exactly once (the p1 value-aggregation) — the
+    # deviation pass now derives from p1, so no checkpoint needed here.
     rows = li.select(F.col("l_returnflag").alias("f"), cents.alias("c"))
-    rows = rows.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     cnt_cols = [f"{f}_cnt" for f in _MAD_FLAGS]
 
@@ -5032,10 +5042,41 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     med2_case = F.lit(None).cast("long")
     for f in _MAD_FLAGS:
         med2_case = F.when(F.col("f") == f, F.col(f"med2_{f}")).otherwise(med2_case)
-    rows2 = rows.crossJoin(F.broadcast(meds)).select(
-        "f", F.abs(2 * F.col("c") - med2_case).alias("e")
+    # The deviation value e = |2c - med2_f| is a function of (flag,
+    # distinct price) only, so the deviation CDF derives from the
+    # ALREADY-CHECKPOINTED p1 frame: unpivot it to (f, v, weight) —
+    # <= |flags| * |distinct prices| rows — and re-aggregate with count
+    # weights. No second corpus pass (was rows.crossJoin(meds) over N
+    # rows); at 100 TB the distinct-price domain saturates while N grows,
+    # so this leg becomes O(domain) instead of O(N).
+    unp = (
+        p1.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"),
+                            F.col("v").alias("v"),
+                            F.col(f"{f}_cnt").alias("w"),
+                        )
+                        for f in _MAD_FLAGS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.col("w") > 0)
     )
-    p2 = flag_cdf(rows2, "e").localCheckpoint(
+    dev = unp.crossJoin(F.broadcast(meds)).select(
+        "f", F.abs(2 * F.col("v") - med2_case).alias("e"), "w"
+    )
+    dev_vals = dev.groupBy(F.col("e").alias("v")).agg(
+        *[
+            F.sum(F.when(F.col("f") == f, F.col("w")).otherwise(0)).alias(f"{f}_cnt")
+            for f in _MAD_FLAGS
+        ]
+    )
+    p2 = global_prefix_sums(dev_vals, "v", cnt_cols).localCheckpoint(
         eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     mads = med2_folds(p2, "mad4")  # mad4_f = Le+Ue over e; MAD = mad4/4 cents
@@ -5077,22 +5118,34 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("returnflag")
 
 
+# The flag domain is enumerated (VALUES) so both engines agree on EMPTY
+# groups: the Spark side emits a row for every flag in _MAD_FLAGS (NULL
+# median/MAD, zero counts — pinned by test_mad_empty_flag_yields_null),
+# so the oracle must too, not just the flags present in the data.
 SQL_PRICE_MAD_BY_FLAG = """
-WITH cents AS (
+WITH flags AS (SELECT * FROM (VALUES ('A'), ('N'), ('R')) t(f)),
+cents AS (
   SELECT l_returnflag AS f,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
   FROM lineitem),
 m AS (
   SELECT f, CAST(COUNT(*) AS BIGINT) AS n_rows,
          median(c) AS med, mad(c) AS mad
-  FROM cents GROUP BY 1)
-SELECT m.f AS returnflag, m.n_rows,
+  FROM cents GROUP BY 1),
+o AS (
+  SELECT c.f,
+         CAST(SUM(CASE WHEN abs(c.c - m.med) > 3 * m.mad THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+  FROM cents c JOIN m ON c.f = m.f
+  GROUP BY 1)
+SELECT flags.f AS returnflag,
+       CAST(COALESCE(m.n_rows, 0) AS BIGINT) AS n_rows,
        round(m.med / 100.0, 6) AS median_price,
        round(m.mad / 100.0, 6) AS mad_price,
-       CAST(SUM(CASE WHEN abs(c.c - m.med) > 3 * m.mad THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_outliers
-FROM cents c JOIN m ON c.f = m.f
-GROUP BY 1, 2, 3, 4
+       CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM flags
+LEFT JOIN m ON flags.f = m.f
+LEFT JOIN o ON flags.f = o.f
 ORDER BY returnflag
 """
 

@@ -1364,8 +1364,6 @@ def q_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs are partition-pruned scans of an existing partitionBy(cluster)
     layout (operators/served.py) — this query is the QUALITY instrument,
     not the serving path."""
-    import math
-
     from pyspark import StorageLevel
 
     from ..functions.vector import cosine_similarity
@@ -1377,26 +1375,24 @@ def q_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).take(1)[0]["embedding"]
     ]
-
-    def _pycos(c: list[float]) -> float:
-        # Sequential left fold in doubles — mirrors the engines' folds.
-        dot = 0.0
-        for x, y in zip(c, qv):
-            dot += x * y
-        na = 0.0
-        for x in c:
-            na += x * x
-        nb = 0.0
-        for y in qv:
-            nb += y * y
-        if na == 0.0 or nb == 0.0:
-            return 0.0
-        return dot / (math.sqrt(na) * math.sqrt(nb))
-
-    probe_order = sorted(
-        range(len(centroids)), key=lambda c: (-round(_pycos(centroids[c]), 6), c)
-    )
     qcol = F.array(*[F.lit(x) for x in qv])
+    # Probe order from the SAME engine expression used for scoring — a
+    # k-row Spark frame through cosine_similarity + round(,6), collected
+    # (bounded control-plane: k rows). A third driver-side Python float
+    # fold would have to agree bit-for-bit with BOTH engines; a centroid
+    # cosine landing exactly on a 1e-6 rounding boundary in any one of
+    # the three would silently reorder probes. Now only the two engines
+    # that already must agree on `scored` participate.
+    cent_rows = [(c, [float(x) for x in vec]) for c, vec in enumerate(centroids)]
+    cent_df = spark.createDataFrame(cent_rows, "cluster int, c array<double>")
+    cent_scores = cent_df.select(
+        "cluster",
+        F.round(cosine_similarity(F.col("c"), qcol), 6).alias("cs"),
+    ).collect()
+    probe_order = [
+        r["cluster"]
+        for r in sorted(cent_scores, key=lambda r: (-r["cs"], r["cluster"]))
+    ]
     scored = assigned.select(
         "vec_id",
         "cluster",
