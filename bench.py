@@ -59,6 +59,7 @@ HEADLINE = [
     "semantic_dedup_sqrtn",
     "lm_perplexity",
     "duplicated_spans",
+    "exact_substring_pairs",
     "forecast_revenue_change",
     "bm25_search",
     "hybrid_rrf",
@@ -261,7 +262,19 @@ def main() -> None:
     # has finished, same JVM, full GC between passes — DETAIL records the
     # quiet number beside the protocol number so plan cost and protocol
     # cost are separately trackable (r7 verdict task 7).
-    ISOLATED_PROBE = ["part_reachability"]
+    # Membership rule (r9 verdict task 4): part_reachability's DISK_ONLY
+    # checkpoints, plus every query whose r9 3-run spread exceeded 50% of
+    # its median (price_mad_by_flag 6.29/6.61, spearman 2.64/3.43, K-S
+    # 2.46/1.61, hdr 0.89/1.48) — the crowded-vs-quiet split separates
+    # neighborhood contention from plan cost for exactly the queries where
+    # the crowded number alone can't.
+    ISOLATED_PROBE = [
+        "part_reachability",
+        "price_mad_by_flag",
+        "spearman_quantity_price",
+        "ks_test_price_by_flag",
+        "hdr_price_quantiles",
+    ]
     isolated: dict[str, list[float]] = {}
     for name in ISOLATED_PROBE:
         vals = []

@@ -1,0 +1,123 @@
+"""Exact substring dedup: document PAIRS sharing a verbatim token span of
+at least L tokens, with the length of the longest shared span — the
+ExactSubstr join of Lee et al., "Deduplicating Training Data Makes
+Language Models Better" (ACL 2022). The per-document coverage twin lives
+in operators/textops.py (dup_span_metrics); this operator answers the
+PAIRWISE question a dedup pipeline acts on ("which pairs verbatim-overlap,
+and by how much"), extending the reference's corpus-level duplicate
+reporting (vector_db_mvp app/routers/stats.py) to the span level.
+
+Lee et al. build suffix arrays, which don't distribute; the Spark-shaped
+exact restatement is a positional L-gram anchor join plus diagonal
+run-length extension:
+
+  1. positional L-gram postings (doc, pos, hash64) — one corpus pass;
+  2. anchor prune: only hashes seen in >= 2 DISTINCT docs can witness a
+     cross-doc span, so the pair join runs on the (much smaller)
+     cross-doc postings subset — the dup_span_metrics prune;
+  3. anchor join on the 8-byte hash with doc1 < doc2 -> aligned
+     occurrence pairs (pa, pb);
+  4. span extension WITHOUT re-reading text: two L-grams of the same pair
+     at (pa, pb) and (pa+1, pb+1) overlap in L-1 tokens, so a maximal
+     run of consecutive positions on one DIAGONAL (pa - pb constant) is
+     exactly a maximal shared span of run_length + L - 1 tokens. Runs
+     are gaps-and-islands per (pair, diagonal): grp = pa - row_number()
+     ordered by pa, span = max(pa) - min(pa) + L.
+
+Correctness: a shared verbatim span of s >= L tokens contains s - L + 1
+consecutive aligned L-grams (every window matches), and conversely
+chained matching windows overlap pairwise in L-1 tokens, so the union of
+a diagonal run IS a verbatim match — the island arithmetic is exact
+integer math, engine-independent, and a SQL oracle replays it verbatim.
+Hash equality stands in for string equality (64-bit md5 prefix, same
+collision stance as dup_span_metrics; both engines hash identically so
+parity is unaffected).
+
+Scale (100 TB): postings shuffle on the 8-byte hash, never the text; the
+anchor join's per-hash cost is |occurrences|^2 — boilerplate L-grams are
+the skew hazard, mitigated by (a) L large enough that stop-grams are rare
+(12+ tokens of verbatim agreement is already a dedup signal, not a
+collocation), (b) AQE skew-join splitting, and (c) in a production sweep,
+capping posting lists (drops only pairs ALSO witnessed by rarer grams of
+the same span unless the whole span is boilerplate — the Lee et al.
+sampling compromise; not applied here so the oracle stays exact). The
+islands window is keyed by (pair, diagonal) — balanced, no corpus-wide
+ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import h64, shingles
+from .dedup import _spread_tokens
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    *,
+    min_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc1, doc2, max_span_tokens, n_spans, n_shared_grams) for every
+    document pair sharing at least one verbatim span of >= ``min_tokens``
+    tokens; doc1 < doc2, ordered. ``max_span_tokens`` is the longest
+    shared span, ``n_spans`` the number of maximal aligned runs across
+    all diagonals, ``n_shared_grams`` the distinct shared L-gram hashes.
+    """
+    if min_tokens < 2:
+        raise ValueError("exact_substring_pairs: min_tokens must be >= 2")
+    L = min_tokens
+    toks = _spread_tokens(df, text_col, id_col)
+    pos = (
+        toks.select(
+            F.col("_id"),
+            F.posexplode(shingles(F.col("_t"), L)).alias("_pos", "_s"),
+        )
+        .select("_id", "_pos", h64(F.col("_s")).alias("_h"))
+        .localCheckpoint(eager=True)
+    )
+    dup_h = (
+        pos.groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    anchors = pos.join(dup_h, "_h")
+    a = anchors.select("_h", F.col("_id").alias("d1"), F.col("_pos").alias("pa"))
+    b = anchors.select(
+        F.col("_h").alias("_hb"), F.col("_id").alias("d2"), F.col("_pos").alias("pb")
+    )
+    m = a.join(b, (a["_h"] == b["_hb"]) & (a["d1"] < b["d2"])).select(
+        "d1", "d2", "pa", "pb", "_h"
+    )
+    runs = m.withColumn("_diag", F.col("pa") - F.col("pb")).withColumn(
+        "_grp",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("d1", "d2", "_diag").orderBy("pa")
+        ),
+    )
+    spans = runs.groupBy("d1", "d2", "_diag", "_grp").agg(
+        (F.max("pa") - F.min("pa") + F.lit(L)).alias("_span")
+    )
+    sp = spans.groupBy("d1", "d2").agg(
+        F.max("_span").cast("long").alias("max_span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    gr = m.groupBy("d1", "d2").agg(
+        F.countDistinct("_h").cast("long").alias("n_shared_grams")
+    )
+    return (
+        sp.join(gr, ["d1", "d2"])
+        .select(
+            F.col("d1").alias("doc1"),
+            F.col("d2").alias("doc2"),
+            "max_span_tokens",
+            "n_spans",
+            "n_shared_grams",
+        )
+        .orderBy("doc1", "doc2")
+    )

@@ -50,13 +50,15 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 9
-    "dbscan_knn_clusters",        # r8 UNRESOLVED_COLUMN regression fixed (codes vs _e)
-    "spearman_quantity_price",    # sx/sy now DECIMAL(38,0) (int64 wrap at n~3e9)
-    "price_mad_by_flag",          # med2 folds NULL-guard empty groups; p1 checkpointed
-    "part_reachability",          # BFS edge checkpoint DISK_ONLY -> serialized mem+disk
-    "part_cheapest_routes",       # same _EDGE_LEVEL change
-    "kmeans_clusters",            # kmeans_fit refactor (behavior-identical, re-pin)
+    # round 10
+    "part_kcore",                 # convergence early-exit in kcore_edges
+    "price_mad_by_flag",          # deviation CDF derived from p1 (no 2nd corpus
+                                  # pass); oracle enumerates the fixed flag domain
+    "spearman_quantity_price",    # moments split into _spearman_moments helper
+    "hll_audience_overlap",       # merged state keyed (g1,g2) directly, no
+                                  # concat_ws surrogate pair key
+    "ann_ivf_recall_curve",       # probe order from the engine cosine expression
+                                  # (tiny Spark frame), not a Python float fold
 ]
 
 

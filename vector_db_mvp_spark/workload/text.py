@@ -752,6 +752,54 @@ ORDER BY l.doc_id
 """
 
 
+_SUBSTR_L = 12
+
+
+def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr pairwise dedup (operators/substring.py): document pairs
+    sharing a verbatim span of >= 12 tokens, with the longest shared span
+    length — the Lee et al. 2022 suffix-array method restated as an
+    L-gram anchor join + diagonal run-length extension. Instance realism:
+    at the gate scales max_span_tokens ranges 15..95 over ~27 pairs, so
+    a probe-ordering or island-arithmetic bug cannot hide behind uniform
+    output."""
+    from ..operators.substring import exact_substring_pairs
+
+    return exact_substring_pairs(
+        load_table(spark, sf_dir, "documents"), min_tokens=_SUBSTR_L
+    )
+
+
+def _sql_exact_substring_pairs(L: int = _SUBSTR_L) -> str:
+    h = sql_h64(f"array_to_string(t[i:i+{L - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pos AS (SELECT doc_id, i - 1 AS pos, {h} AS h
+        FROM toks, UNNEST(generate_series(1, len(t) - {L - 1})) AS u(i)),
+duph AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                        FROM pos GROUP BY 1) WHERE nd >= 2),
+anch AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN duph USING (h)),
+m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS pa, b.pos AS pb, a.h
+      FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id),
+runs AS (SELECT d1, d2, pa, h,
+                pa - ROW_NUMBER() OVER (PARTITION BY d1, d2, pa - pb
+                                        ORDER BY pa) AS grp,
+                pa - pb AS diag
+         FROM m),
+spans AS (SELECT d1, d2, MAX(pa) - MIN(pa) + {L} AS span
+          FROM runs GROUP BY d1, d2, diag, grp),
+sp AS (SELECT d1, d2, CAST(MAX(span) AS BIGINT) AS max_span_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_spans
+       FROM spans GROUP BY 1, 2),
+gr AS (SELECT d1, d2, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_grams
+       FROM m GROUP BY 1, 2)
+SELECT sp.d1 AS doc1, sp.d2 AS doc2,
+       sp.max_span_tokens, sp.n_spans, gr.n_shared_grams
+FROM sp JOIN gr ON sp.d1 = gr.d1 AND sp.d2 = gr.d2
+ORDER BY doc1, doc2
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit add-alpha bigram LM perplexity per document
     (operators/textops.py lm_score) — the CCNet-style quality signal."""
@@ -1006,6 +1054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_sqrtn": q_semantic_dedup_sqrtn,
     "lm_perplexity": q_lm_perplexity,
     "duplicated_spans": q_duplicated_spans,
+    "exact_substring_pairs": q_exact_substring_pairs,
     "importance_weights": q_importance_weights,
     "corpus_curation": q_corpus_curation,
     "token_stats": q_token_stats,
@@ -1040,6 +1089,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup_sqrtn": _sql_semantic_dedup(k=32, seed=13),
     "lm_perplexity": _sql_lm_perplexity(),
     "duplicated_spans": _sql_duplicated_spans(),
+    "exact_substring_pairs": _sql_exact_substring_pairs(),
     "importance_weights": _sql_importance_weights(),
     "corpus_curation": _sql_corpus_curation(),
     "token_stats": SQL_TOKEN_STATS,
