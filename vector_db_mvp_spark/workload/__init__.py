@@ -59,6 +59,14 @@ _CHANGED_THIS_ROUND = [
                                   # concat_ws surrogate pair key
     "ann_ivf_recall_curve",       # probe order from the engine cosine expression
                                   # (tiny Spark frame), not a Python float fold
+    # r10 realism-audit re-instancings (each was a uniform instrument at
+    # gate scale; see COVERAGE.md "Instance realism audit")
+    "hll_audience_overlap",       # event_type -> daily audiences (jaccard varied)
+    "kmv_jaccard_event_types",    # same re-grouping
+    "dedup_ngram_containment",    # (n=5,tau=0.6) all-1.0 -> (n=3,tau=0.2)
+    "textrank_keywords",          # K24 complete graph -> mpc=30 irregular
+    "zorder_parts_curve",         # price bucket /100 constant -> /10 varied
+    "top_event_paths",            # 3-step paths all-unique -> 2-step ranking
 ]
 
 

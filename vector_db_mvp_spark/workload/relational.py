@@ -2646,12 +2646,17 @@ ORDER BY c_custkey, valid_from
 
 
 def q_top_event_paths(spark, sf_dir):
-    """Sequence mining: the 20 most common session-opening 3-step event
+    """Sequence mining: the 20 most common session-opening 2-step event
     paths (sessions = 30-min-gap windows). Physical: per-user running
     session ids (one user-keyed window over the event scan), then the
-    first three event types per session via a rank-filtered ordered
+    first two event types per session via a rank-filtered ordered
     aggregation — the per-session frame never materializes whole event
-    lists (slice-at-agg, not collect-then-trim)."""
+    lists (slice-at-agg, not collect-then-trim). Instance realism (r10
+    audit): sessions on this corpus average 1.05 events, so 3-step
+    opening paths were each observed ONCE (n_sessions = 1 on all 16
+    rows — the frequency ranking was pure tie-break); 2-step paths
+    repeat (counts 8–24 at sf0.01), so the 'most common' ordering is a
+    real instrument."""
     ev = load_table(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sessions = (
@@ -2669,7 +2674,7 @@ def q_top_event_paths(spark, sf_dir):
     w_sess = Window.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
     first3 = (
         sessions.withColumn("_r", F.row_number().over(w_sess))
-        .filter(F.col("_r") <= 3)
+        .filter(F.col("_r") <= 2)
         .groupBy("user_id", "_sess")
         .agg(
             F.concat_ws(
@@ -2678,7 +2683,7 @@ def q_top_event_paths(spark, sf_dir):
             ).alias("path"),
             F.count(F.lit(1)).alias("_len"),
         )
-        .filter(F.col("_len") == 3)
+        .filter(F.col("_len") == 2)
     )
     return (
         first3.groupBy("path")
@@ -2713,10 +2718,10 @@ WITH seq AS (
 ), paths AS (
   SELECT user_id, sess,
          string_agg(event_type, ' > ' ORDER BY r) AS path, COUNT(*) AS len
-  FROM ranked WHERE r <= 3 GROUP BY 1, 2
+  FROM ranked WHERE r <= 2 GROUP BY 1, 2
 )
 SELECT path, COUNT(*) AS n_sessions
-FROM paths WHERE len = 3
+FROM paths WHERE len = 2
 GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
 """
 
@@ -3625,20 +3630,34 @@ def q_kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Beyer et al. SIGMOD'07 estimator (k smallest union hashes sampled,
     membership in both sketches marks the intersection), deterministic via
     md5 so the oracle computes the IDENTICAL estimate; exact Jaccard rides
-    along for calibration. The audience-overlap question ('do error and
-    purchase users overlap?') answered from bounded per-group state a
-    coordinator can merge — at 100 TB the sketches fold map-side and only
-    k rows per group ever move."""
+    along for calibration. The audience-overlap question answered from
+    bounded per-group state a coordinator can merge — at 100 TB the
+    sketches fold map-side and only k rows per group ever move. Instance
+    realism (r10 audit): groups are DAILY active-user sets of the first
+    calendar week — the original event_type grouping was uniform (every
+    user performs every type; jaccard_est = jaccard_exact = 1.0 on all 10
+    pairs), while daily audiences vary (exact Jaccard 0.57–1.0 at
+    sf0.001), so estimator bugs produce distinguishable wrong values."""
     from ..operators.sketch import kmv_jaccard
 
-    ev = load_table(spark, sf_dir, "events")
-    return kmv_jaccard(ev, "event_type", "user_id", k=128)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-08")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+    )
+    return kmv_jaccard(ev, "day", "user_id", k=128)
 
 
 def _sql_kmv_jaccard_event_types() -> str:
     from ..operators.sketch import sql_kmv_jaccard
 
-    return sql_kmv_jaccard("events", "event_type", "user_id", k=128)
+    return sql_kmv_jaccard(
+        "(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id"
+        " FROM events WHERE ts < TIMESTAMP '2024-01-08') t",
+        "day",
+        "user_id",
+        k=128,
+    )
 
 
 QUERIES["kmv_jaccard_event_types"] = q_kmv_jaccard_event_types
@@ -3759,18 +3778,22 @@ ORACLE_SQL["events_anomaly_zscore"] = SQL_EVENTS_ANOMALY_ZSCORE
 
 def q_zorder_parts_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) curve positions (operators/zorder.py z_value): the
-    first 100 parts along the Z-curve over (p_size, price-in-hundreds) —
+    first 100 parts along the Z-curve over (p_size, price-in-tens) —
     the exact interleave the z-ordered writer clusters files by, so the
     oracle pins the curve itself (the write-side skipping effect is pinned
     by parquet-footer stats in tests/test_zorder.py). Pure unrolled
     shift/mask Catalyst expression — codegen, no UDF, no shuffle beyond
-    the top-k."""
+    the top-k. Instance realism (r10 audit): the original price-in-
+    HUNDREDS bucket was 9 for EVERY part (prices span 900–999.9), so the
+    price dimension contributed constant bits and the interleave was
+    one-dimensional in practice; tens-buckets (90–99) vary across the
+    curve, so a bit-weaving bug in either dimension now shows."""
     from ..operators.zorder import z_value
 
     part = load_table(spark, sf_dir, "part")
     # explicit floor: Spark's double->long cast truncates but DuckDB's
     # rounds, so the bucketing must not lean on cast semantics
-    pb = F.floor(F.col("p_retailprice") / 100).cast("long")
+    pb = F.floor(F.col("p_retailprice") / 10).cast("long")
     return (
         part.select(
             "p_partkey",
@@ -3787,11 +3810,11 @@ def _sql_zorder_parts_curve() -> str:
     from ..operators.zorder import sql_z_value
 
     z = sql_z_value("CAST(p_size AS BIGINT)",
-                    "CAST(FLOOR(p_retailprice / 100) AS BIGINT)", bits=10)
+                    "CAST(FLOOR(p_retailprice / 10) AS BIGINT)", bits=10)
     return f"""
 SELECT p_partkey,
        CAST(p_size AS BIGINT) AS p_size,
-       CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+       CAST(FLOOR(p_retailprice / 10) AS BIGINT) AS price_bucket,
        {z} AS z
 FROM part
 ORDER BY z, p_partkey
@@ -4963,7 +4986,7 @@ _MAD_FLAGS = ("A", "N", "R")
 def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped median / MAD (median absolute deviation) robust
     outlier audit: per return flag, the median extended price, the MAD,
-    and how many rows deviate more than 3 MADs — the robust-statistics
+    and how many rows deviate more than 1.5 MADs — the robust-statistics
     alternative to the z-score anomaly family (immune to the outliers it
     hunts). EXACT at scale with no per-group single-task window: prices
     become integer cents, each flag's CDF comes from ONE value-aggregated
@@ -4972,9 +4995,10 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians are conditional MIN folds over that frame (2*cum >= N and
     2*cum >= N+1), DOUBLED so tie-midpoints stay integral. The deviation
     pass repeats the same shape on e = |2c - med2| and the outlier count
-    is a fold over the ALREADY-AGGREGATED deviation frame (2e > 3*mad4 is
-    an all-integer restatement of |c - med| > 3*MAD — the oracle's double
-    comparison is exact because every operand is dyadic below 2^53). ONE
+    is a fold over the ALREADY-AGGREGATED deviation frame (4e > 3*mad4 is
+    an all-integer restatement of |c - med| > 1.5*MAD — the oracle's
+    double comparison is exact because every operand is dyadic below
+    2^53). ONE
     corpus pass total: the deviation CDF is derived from the checkpointed
     value-aggregated p1 frame (unpivot + weighted re-aggregation over
     <= |flags| * |distinct prices| rows), never a second scan of rows."""
@@ -5081,10 +5105,17 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mads = med2_folds(p2, "mad4")  # mad4_f = Le+Ue over e; MAD = mad4/4 cents
 
+    # Outlier bar = 1.5 MADs (4e > 3*mad4 is the all-integer restatement of
+    # |c - med| > 1.5*MAD: e = 2|c - med|, MAD = mad4/4). Instance realism
+    # (r10 audit): at 3 MADs the leg was structurally ZERO on this data —
+    # near-uniform prices bound max|dev|/MAD at ~2, so every flag reported
+    # n_outliers = 0 and the leg could not catch a broken comparison; at
+    # 1.5 the counts are ~25% with per-flag variation (4939/4899/4935 at
+    # sf0.01).
     outs = p2.crossJoin(F.broadcast(mads)).agg(
         *[
             F.sum(
-                F.when(2 * F.col("v") > 3 * F.col(f"mad4_{f}"), F.col(f"{f}_cnt"))
+                F.when(4 * F.col("v") > 3 * F.col(f"mad4_{f}"), F.col(f"{f}_cnt"))
                 .otherwise(0)
             )
             .cast("long")
@@ -5134,7 +5165,7 @@ m AS (
   FROM cents GROUP BY 1),
 o AS (
   SELECT c.f,
-         CAST(SUM(CASE WHEN abs(c.c - m.med) > 3 * m.mad THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN abs(c.c - m.med) > 1.5 * m.mad THEN 1 ELSE 0 END)
               AS BIGINT) AS n_outliers
   FROM cents c JOIN m ON c.f = m.f
   GROUP BY 1)
@@ -6067,23 +6098,39 @@ ORACLE_SQL["part_kcore"] = _sql_part_kcore()
 
 
 def q_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise audience overlap between event types from the HLL register
-    monoid (operators/hll.py hll_pair_overlap): union sketch = per-register
-    max (no data re-scan), intersection by inclusion–exclusion, Jaccard
-    estimate, exact intersection alongside for the accuracy audit. One
-    corpus pass builds the per-type sketches; the pair algebra is
-    O(|types|²·256) register rows — the sketch-set-operations workload an
-    audience system runs where exact pairwise passes can't scale."""
+    """Pairwise audience overlap between DAILY active-user sets (first
+    calendar week) from the HLL register monoid (operators/hll.py
+    hll_pair_overlap): union sketch = per-register max (no data re-scan),
+    intersection by inclusion–exclusion, Jaccard estimate, exact
+    intersection alongside for the accuracy audit. One corpus pass builds
+    the per-day sketches; the pair algebra is O(|days|²·256) register
+    rows — the sketch-set-operations workload an audience system runs
+    where exact pairwise passes can't scale. Instance realism (r10
+    audit): the original event_type grouping was a UNIFORM instrument —
+    every user performs every event type, so all 10 pairs reported
+    jaccard 1.0 and identical estimates (the recall@10 lesson); daily
+    audiences genuinely vary (pairwise exact Jaccard 0.57–1.0 at
+    sf0.001, 0.72–0.84 at sf0.01, 0.79–0.82 at sf0.1), so a merge or
+    estimator bug shows as a wrong, distinguishable number."""
     from ..operators.hll import hll_pair_overlap
 
-    ev = load_table(spark, sf_dir, "events")
-    return hll_pair_overlap(ev, "event_type", "user_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-08")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+    )
+    return hll_pair_overlap(ev, "day", "user_id")
 
 
 def _sql_hll_audience_overlap() -> str:
     from ..operators.hll import sql_hll_pair_overlap
 
-    return sql_hll_pair_overlap("events", "event_type", "user_id")
+    return sql_hll_pair_overlap(
+        "(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id"
+        " FROM events WHERE ts < TIMESTAMP '2024-01-08') t",
+        "day",
+        "user_id",
+    )
 
 
 QUERIES["hll_audience_overlap"] = q_hll_audience_overlap

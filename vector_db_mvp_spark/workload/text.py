@@ -1439,11 +1439,17 @@ ORACLE_SQL["reading_ease"] = _sql_reading_ease()
 
 def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-coefficient containment pairs (operators/dedup.py
-    ngram_containment_pairs) — the quote/subset detector Jaccard misses."""
+    ngram_containment_pairs) — the quote/subset detector Jaccard misses.
+    Instance realism (r10 audit): at (n=5, tau=0.6) every qualifying pair
+    on this corpus had containment exactly 1.0 (near-dups are built as
+    full-containment rewrites), so the ratio computation was untestable;
+    at (n=3, tau=0.2) the output spans 4 distinct containment values in
+    [0.2, 1.0] at both gate scales — partial-quote pairs exercise the
+    LEAST(|A|,|B|) denominator for real."""
     from ..operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(
-        load_table(spark, sf_dir, "documents"), n=5, tau=0.6
+        load_table(spark, sf_dir, "documents"), n=3, tau=0.2
     ).orderBy("id1", "id2")
 
 
@@ -1466,15 +1472,23 @@ ORDER BY id1, id2
 
 
 QUERIES["dedup_ngram_containment"] = q_dedup_ngram_containment
-ORACLE_SQL["dedup_ngram_containment"] = _sql_containment(5, 0.6)
+ORACLE_SQL["dedup_ngram_containment"] = _sql_containment(3, 0.2)
 
 
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-30 TextRank keywords (operators/textops.py textrank_keywords)."""
+    """Top-30 TextRank keywords (operators/textops.py textrank_keywords).
+    Instance realism (r10 audit): at min_pair_count=3 the co-occurrence
+    graph on this corpus is the COMPLETE graph K24 (every eligible word
+    pair co-occurs >= 3 times), where PageRank is provably uniform (rank
+    = 1/24 for every node) — a broken rank iteration was undetectable.
+    At 30 the graph is irregular at both gate scales (degrees 14–21),
+    so ranks genuinely order the keywords. Rule-8 note: the count
+    threshold is a fixed oracle instance — it scales with corpus size,
+    so deployments pick it relative to total bigram mass."""
     from ..operators.textops import textrank_keywords
 
     return textrank_keywords(
-        load_table(spark, sf_dir, "documents"), min_pair_count=3, iters=3, k=30
+        load_table(spark, sf_dir, "documents"), min_pair_count=30, iters=3, k=30
     )
 
 
@@ -1510,7 +1524,7 @@ def _sql_textrank_keywords(min_pair_count: int, iters: int, k: int) -> str:
 
 
 QUERIES["textrank_keywords"] = q_textrank_keywords
-ORACLE_SQL["textrank_keywords"] = _sql_textrank_keywords(3, 3, 30)
+ORACLE_SQL["textrank_keywords"] = _sql_textrank_keywords(30, 3, 30)
 
 
 def q_quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
