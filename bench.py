@@ -123,6 +123,8 @@ HEADLINE = [
     "price_mad_by_flag",
     "boolean_search",
     "kendall_quantity_discount",
+    "mann_kendall_trend",
+    "revenue_changepoint",
     "mutual_information_flag_status",
     "last_touch_attribution",
     "quality_rater_kappa",
@@ -141,6 +143,22 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Metaspace tracking (r9 verdict task 6): the whole-stage-codegen class
+    # cache was raised to 5000 entries (session.py) — record JVM metaspace
+    # at start / after the codegen warm-up / at end so class-metadata creep
+    # across 107+ plans x 3 runs is measured, not assumed (BENCH_CREEP.md).
+    def _metaspace_mb() -> float | None:
+        try:
+            mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            for pool in mf.getMemoryPoolMXBeans():
+                if pool.getName() == "Metaspace":
+                    return round(pool.getUsage().getUsed() / 1048576, 1)
+        except Exception:  # noqa: BLE001 — telemetry only, never fail the bench
+            return None
+        return None
+
+    metaspace = {"start": _metaspace_mb()}
 
     # Warm-up (JMH-style): parquet footers for every benched table, then one
     # pass of each headline query at the smallest SF. Whole-stage codegen
@@ -220,6 +238,7 @@ def main() -> None:
             _eng_idx.search(_eng_lib, qv, k=5).collect()
 
     _engine_search_pass()  # codegen/plan warm
+    metaspace["after_warm"] = _metaspace_mb()
 
     # Median of RUNS interleaved full passes: single-shot numbers swung
     # +/-2.5x between rounds on identical code (BENCH_r02 vs r03), so a
@@ -253,6 +272,7 @@ def main() -> None:
         _engine_search_pass()
         samples["engine_search_served"].append(time.perf_counter() - t0)
 
+    metaspace["end"] = _metaspace_mb()
     shutil.rmtree(_eng_root, ignore_errors=True)
 
     # Residual-contention probe (BENCH_CREEP.md part B): part_reachability's
@@ -320,6 +340,10 @@ def main() -> None:
         # ISOLATED_PROBE comment above): crowded median minus quiet median
         # is the residual contention, comparable against "spread".
         "isolated": isolated,
+        # Metaspace (MB) at start / after codegen warm / at end — bounded
+        # growth after warm-up means the 5000-entry codegen cache is not
+        # creeping class metadata across the crowded runs (BENCH_CREEP.md).
+        "metaspace_mb": metaspace,
     }
     try:
         with open(

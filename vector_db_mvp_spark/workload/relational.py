@@ -5853,6 +5853,291 @@ QUERIES["kendall_quantity_discount"] = q_kendall_quantity_discount
 ORACLE_SQL["kendall_quantity_discount"] = SQL_KENDALL_QUANTITY_DISCOUNT
 
 
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope over the DAILY revenue
+    series — the standard nonparametric "is this metric trending?"
+    instrument (monotone-trend S statistic with tie-corrected variance and
+    normal approximation, plus the robust median-of-pairwise-slopes
+    estimator), completing the time-series stats family beside
+    autocorrelation, seasonal decomposition, and CUSUM.
+
+    Naive cost is O(N²) pairs over corpus rows; the exact distributed
+    restatement aggregates the corpus to ONE row per day first (map-side
+    partial, integer cents), so the pair join is |days|² — the date
+    domain SATURATES (~2.4k days at every SF here; 1094 at sf0.001),
+    making the pair cost independent of N, the Kendall-cells argument
+    applied to a time axis. Everything stays exact integers (S is a sign
+    sum; the tie and variance terms are n³-scale longs) until the final
+    variance/z doubles; the Theil-Sen slope is the median of ~2.9M pair
+    slopes computed through the distributed prefix-sum CDF (conditional-
+    MIN lower/upper medians — the grouped-MAD machinery), never a
+    single-partition sort. dy/dx and (L+U)/2 are correctly-rounded IEEE
+    doubles, so both engines produce identical values.
+
+    Scale note (100 TB): the only corpus-sized work is the per-day
+    groupBy; pairs, ties, and the slope CDF are all date-domain-bounded.
+    """
+    from ..operators.rank import global_prefix_sums
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("_d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("_d"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+        # consumed 4x (both pair sides, tie groups, n); |days| rows
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.repartition(32, F.col("x"))
+        .join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
+        .select(
+            (F.col("b.y") - F.col("a.y")).alias("dy"),
+            (F.col("b.x") - F.col("a.x")).alias("dx"),
+        )
+    )
+    s_np = pairs.agg(
+        F.sum(F.signum(F.col("dy").cast("double")).cast("long"))
+        .cast("long")
+        .alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    # Theil-Sen: value-aggregated slope CDF -> conditional-MIN lower/upper
+    # medians (2cum >= P and 2cum >= P+1), averaged.
+    svals = (
+        pairs.select((F.col("dy") / F.col("dx")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pref = global_prefix_sums(svals, "v", ["cnt"])
+    ptot = pref.agg(F.sum("cnt").cast("long").alias("p"))
+    sen = (
+        pref.crossJoin(F.broadcast(ptot))
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum_cnt") >= F.col("p"), F.col("v"))
+            ).alias("_lo"),
+            F.min(
+                F.when(2 * F.col("cum_cnt") >= F.col("p") + 1, F.col("v"))
+            ).alias("_hi"),
+        )
+        .select(((F.col("_lo") + F.col("_hi")) / 2).alias("sen_slope"))
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("t") > 1,
+                        F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(s_np))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(sen))
+        .selectExpr(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "round((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)"
+            " - tie_term) / 18.0, 6) AS var_s",
+            "round(CASE WHEN s_stat > 0 THEN (s_stat - 1)"
+            "  / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)"
+            "          - tie_term) / 18.0)"
+            " WHEN s_stat < 0 THEN (s_stat + 1)"
+            "  / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)"
+            "          - tie_term) / 18.0)"
+            " ELSE 0.0 END, 6) AS z",
+            "round(sen_slope, 6) AS sen_slope_cents_per_day",
+        )
+    )
+
+
+SQL_MANN_KENDALL_TREND = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT b.y - a.y AS dy, b.x - a.x AS dx
+  FROM daily a JOIN daily b ON a.x < b.x),
+snp AS (
+  SELECT CAST(SUM(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs),
+slopes AS (
+  SELECT dy::DOUBLE / dx AS v,
+         ROW_NUMBER() OVER (ORDER BY dy::DOUBLE / dx) AS rk,
+         COUNT(*) OVER () AS p
+  FROM pairs),
+sen AS (
+  SELECT (MIN(CASE WHEN rk = (p + 1) // 2 THEN v END)
+          + MIN(CASE WHEN rk = p // 2 + 1 THEN v END)) / 2 AS sen_slope
+  FROM slopes),
+ties AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN t > 1
+                                THEN t * (t - 1) * (2 * t + 5) END), 0)
+              AS BIGINT) AS tie_term
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1)),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_pairs, s_stat,
+       round((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)
+              - tie_term) / 18.0, 6) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+               / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)
+                       - tie_term) / 18.0)
+              WHEN s_stat < 0 THEN (s_stat + 1)
+               / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)
+                       - tie_term) / 18.0)
+              ELSE 0.0 END, 6) AS z,
+       round(sen_slope, 6) AS sen_slope_cents_per_day
+FROM nd CROSS JOIN snp CROSS JOIN ties CROSS JOIN sen
+"""
+
+QUERIES["mann_kendall_trend"] = q_mann_kendall_trend
+ORACLE_SQL["mann_kendall_trend"] = SQL_MANN_KENDALL_TREND
+
+
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection over the daily revenue series — the
+    CUSUM argmax estimator (the first split of binary segmentation, the
+    workhorse of level-shift monitoring beside the sequential CUSUM alarm
+    already in the family): the split k maximizing |D_k| where
+    D_k = n·Σ_{i<=k} y_i − k·T (the n-scaled centered prefix sum — an
+    EXACT integer, so the argmax is engine-independent, no float drift).
+    Ties break to the earliest day.
+
+    Physical plan: corpus collapses to one row per day (map-side partial,
+    integer cents), prefix sums via the distributed two-phase machinery
+    (operators/rank.py — never a single-partition window), one scan for
+    the max, a broadcast equality join for the arg, and the level
+    estimates mean-before/after only then become doubles. D_k is
+    DECIMAL(38,0): n·T reaches ~5e15 at sf0.1 and scales linearly with
+    corpus size — int64 wraps within two decades, the Spearman lesson
+    applied at design time. Date-domain-bounded everywhere past the
+    per-day groupBy."""
+    from ..operators.rank import global_prefix_sums
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("_d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("_d"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+            F.lit(1).alias("one"),
+        )
+    )
+    pref = global_prefix_sums(daily, "x", ["y", "one"])
+    tot = pref.agg(
+        F.sum("y").cast("decimal(38,0)").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        pref.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_one") < F.col("n_days"))  # k = n has D_n = 0
+        .select(
+            "x",
+            F.col("cum_one").alias("k"),
+            F.col("cum_y").alias("cy"),
+            "t",
+            "n_days",
+            F.abs(
+                F.col("n_days").cast(d38) * F.col("cum_y").cast(d38)
+                - F.col("cum_one").cast(d38) * F.col("t")
+            )
+            .cast(d38)
+            .alias("d_abs"),
+        )
+        .localCheckpoint(eager=True)  # consumed by the max scan AND the arg join
+    )
+    mx = scored.agg(F.max("d_abs").alias("_m"))
+    arg = (
+        scored.join(F.broadcast(mx), scored["d_abs"] == mx["_m"])
+        .orderBy("x")
+        .limit(1)
+    )
+    return arg.selectExpr(
+        "n_days",
+        "k AS change_k",
+        "CAST(date_add(DATE '1995-01-01', CAST(x AS INT)) AS STRING)"
+        " AS change_day",
+        "CAST(d_abs AS DOUBLE) AS d_stat",
+        "round(CAST(cy AS DOUBLE) / k / 100.0, 6) AS mean_daily_before",
+        "round(CAST(t - cy AS DOUBLE) / (n_days - k) / 100.0, 6)"
+        " AS mean_daily_after",
+    )
+
+
+SQL_REVENUE_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+pref AS (
+  SELECT x, y,
+         SUM(y) OVER (ORDER BY x) AS cy,
+         CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS k
+  FROM daily),
+tot AS (SELECT CAST(SUM(y) AS DECIMAL(38,0)) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+scored AS (
+  SELECT p.x, p.k, p.cy, tot.t, tot.n_days,
+         CAST(abs(CAST(tot.n_days AS DECIMAL(38,0)) * CAST(p.cy AS DECIMAL(38,0))
+                  - CAST(p.k AS DECIMAL(38,0)) * tot.t) AS DECIMAL(38,0)) AS d_abs
+  FROM pref p CROSS JOIN tot
+  WHERE p.k < tot.n_days),
+mx AS (SELECT MAX(d_abs) AS m FROM scored)
+SELECT n_days,
+       k AS change_k,
+       CAST(DATE '1995-01-01' + CAST(x AS INT) AS VARCHAR) AS change_day,
+       CAST(d_abs AS DOUBLE) AS d_stat,
+       round(CAST(cy AS DOUBLE) / k / 100.0, 6) AS mean_daily_before,
+       round(CAST(t - cy AS DOUBLE) / (n_days - k) / 100.0, 6)
+         AS mean_daily_after
+FROM scored JOIN mx ON scored.d_abs = mx.m
+ORDER BY x LIMIT 1
+"""
+
+QUERIES["revenue_changepoint"] = q_revenue_changepoint
+ORACLE_SQL["revenue_changepoint"] = SQL_REVENUE_CHANGEPOINT
+
+
 # Per-cell MI term and per-marginal entropy term, shared verbatim between the
 # Spark fold and the DuckDB oracle so both engines evaluate the identical
 # DOUBLE expression (counts are exact BIGINTs until these casts).
