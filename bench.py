@@ -50,6 +50,7 @@ HEADLINE = [
     "line_dedup",
     "sequence_packing",
     "incremental_dedup",
+    "incremental_substring",
     "ann_projected_topk",
     "temperature_mix",
     "topk_cosine_pq",

@@ -71,3 +71,47 @@ def test_identical_docs_full_length_span(spark):
 def test_validates_min_tokens(spark):
     with pytest.raises(ValueError):
         exact_substring_pairs(_docs(spark, [(1, "a b c")]), min_tokens=1)
+
+
+def test_incremental_equals_full_restricted(spark, tmp_path):
+    """The batch path must equal the full recompute restricted to pairs
+    touching the batch — INCLUDING when the batch id is smaller than the
+    state id (the position-swap orientation leg) and larger (the direct
+    leg), plus a batch-vs-batch pair."""
+    from vector_db_mvp_spark.operators.substring import (
+        build_substring_state,
+        incremental_substring_pairs,
+    )
+
+    span = _w(6, "s")
+    rows = [
+        (1, _w(3, "a") + " " + span),            # state; pairs with 2 and 9
+        (2, span + " " + _w(4, "b")),            # batch (2 < state ids 1? no: 2>1)
+        (9, _w(2, "c") + " " + span),            # batch, 9 > 1 (direct leg)
+        (0, span + " " + _w(5, "d")),            # batch, 0 < 1 (swap leg)
+        (5, _w(10, "z")),                        # state, no shared span
+    ]
+    docs = _docs(spark, rows)
+    state_docs = docs.filter("doc_id IN (1, 5)")
+    batch_docs = docs.filter("doc_id IN (0, 2, 9)")
+    state = str(tmp_path / "substr-state")
+    build_substring_state(state_docs, state, min_tokens=5)
+    got = {
+        (r["doc1"], r["doc2"]): (
+            r["max_span_tokens"], r["n_spans"], r["n_shared_grams"]
+        )
+        for r in incremental_substring_pairs(
+            spark, state, batch_docs, min_tokens=5
+        ).collect()
+    }
+    full = {
+        (r["doc1"], r["doc2"]): (
+            r["max_span_tokens"], r["n_spans"], r["n_shared_grams"]
+        )
+        for r in exact_substring_pairs(docs, min_tokens=5).collect()
+        if r["doc1"] in (0, 2, 9) or r["doc2"] in (0, 2, 9)
+    }
+    assert got == full
+    # the shared 6-token span is recovered at full length on both swap and
+    # direct orientations, and state-only pairs are absent
+    assert got[(0, 1)][0] == 6 and got[(1, 9)][0] == 6 and (1, 5) not in got

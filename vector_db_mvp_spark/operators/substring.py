@@ -47,31 +47,26 @@ ordering anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import h64, shingles
 from .dedup import _spread_tokens
 
 
-def exact_substring_pairs(
-    df: DataFrame,
-    *,
-    min_tokens: int = 12,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _postings(
+    df: DataFrame, L: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(doc1, doc2, max_span_tokens, n_spans, n_shared_grams) for every
-    document pair sharing at least one verbatim span of >= ``min_tokens``
-    tokens; doc1 < doc2, ordered. ``max_span_tokens`` is the longest
-    shared span, ``n_spans`` the number of maximal aligned runs across
-    all diagonals, ``n_shared_grams`` the distinct shared L-gram hashes.
-    """
-    if min_tokens < 2:
-        raise ValueError("exact_substring_pairs: min_tokens must be >= 2")
-    L = min_tokens
+    """Positional L-gram postings (_id, _pos, _h), checkpointed. Rows
+    depend only on each document's OWN text (the minhash state-appendix
+    argument, operators/incremental.py), so persisted postings never go
+    stale when other documents arrive — the incremental path appends."""
     toks = _spread_tokens(df, text_col, id_col)
-    pos = (
+    return (
         toks.select(
             F.col("_id"),
             F.posexplode(shingles(F.col("_t"), L)).alias("_pos", "_s"),
@@ -79,20 +74,14 @@ def exact_substring_pairs(
         .select("_id", "_pos", h64(F.col("_s")).alias("_h"))
         .localCheckpoint(eager=True)
     )
-    dup_h = (
-        pos.groupBy("_h")
-        .agg(F.countDistinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("_h")
-    )
-    anchors = pos.join(dup_h, "_h")
-    a = anchors.select("_h", F.col("_id").alias("d1"), F.col("_pos").alias("pa"))
-    b = anchors.select(
-        F.col("_h").alias("_hb"), F.col("_id").alias("d2"), F.col("_pos").alias("pb")
-    )
-    m = a.join(b, (a["_h"] == b["_hb"]) & (a["d1"] < b["d2"])).select(
-        "d1", "d2", "pa", "pb", "_h"
-    )
+
+
+def _pairs_from_matches(m: DataFrame, L: int) -> DataFrame:
+    """(doc1, doc2, max_span_tokens, n_spans, n_shared_grams) from matched
+    occurrence pairs m(d1, d2, pa, pb, _h) with d1 < d2 — the diagonal
+    run-length island arithmetic shared by the full join and the
+    incremental batch path (span = max(pa) - min(pa) + L; see module
+    docstring for the overlap-chaining proof)."""
     runs = m.withColumn("_diag", F.col("pa") - F.col("pb")).withColumn(
         "_grp",
         F.col("pa")
@@ -121,3 +110,138 @@ def exact_substring_pairs(
         )
         .orderBy("doc1", "doc2")
     )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    *,
+    min_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc1, doc2, max_span_tokens, n_spans, n_shared_grams) for every
+    document pair sharing at least one verbatim span of >= ``min_tokens``
+    tokens; doc1 < doc2, ordered. ``max_span_tokens`` is the longest
+    shared span, ``n_spans`` the number of maximal aligned runs across
+    all diagonals, ``n_shared_grams`` the distinct shared L-gram hashes.
+    """
+    if min_tokens < 2:
+        raise ValueError("exact_substring_pairs: min_tokens must be >= 2")
+    L = min_tokens
+    pos = _postings(df, L, text_col, id_col)
+    dup_h = (
+        pos.groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    anchors = pos.join(dup_h, "_h")
+    a = anchors.select("_h", F.col("_id").alias("d1"), F.col("_pos").alias("pa"))
+    b = anchors.select(
+        F.col("_h").alias("_hb"), F.col("_id").alias("d2"), F.col("_pos").alias("pb")
+    )
+    m = a.join(b, (a["_h"] == b["_hb"]) & (a["d1"] < b["d2"])).select(
+        "d1", "d2", "pa", "pb", "_h"
+    )
+    return _pairs_from_matches(m, L)
+
+
+# ---------------------------------------------------------------------------
+# Incremental path: new batch vs persisted postings state
+# ---------------------------------------------------------------------------
+
+
+def substring_state_path(
+    corpus_key: str, *, min_tokens: int, root: str | None = None
+) -> str:
+    """Filesystem location of the positional-postings state for
+    (corpus, L). "v1" versions the posting layout (md5-prefix h64)."""
+    root = root or os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    key = hashlib.md5(f"{corpus_key}|{min_tokens}|v1".encode()).hexdigest()[:16]
+    return os.path.join(root, f"substrstate-{key}")
+
+
+def build_substring_state(
+    docs: DataFrame,
+    state_path: str,
+    *,
+    min_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+    force: bool = False,
+) -> str:
+    """Persist (or append) the positional L-gram postings for ``docs``.
+    Postings depend only on each document's own text, so ingestion is an
+    append — the incremental_minhash_pairs state argument verbatim."""
+    done = os.path.join(state_path, "_STATE_OK")
+    if os.path.exists(done) and not force and mode == "overwrite":
+        return state_path
+    _postings(docs, min_tokens, text_col, id_col).write.mode(mode).parquet(
+        os.path.join(state_path, "postings")
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return state_path
+
+
+def incremental_substring_pairs(
+    spark: SparkSession,
+    state_path: str,
+    new_docs: DataFrame,
+    *,
+    min_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring pairs (same schema as :func:`exact_substring_pairs`)
+    touching at least one document of ``new_docs``, against the corpus
+    persisted at ``state_path`` — per-batch cost O(batch postings +
+    matched occurrences), never a corpus re-shingle.
+
+    Equivalence (oracle-checked): postings rows are corpus-independent,
+    so batch-vs-(state ∪ batch) matches restricted to pairs touching the
+    batch are EXACTLY the full recompute's matches so restricted — the
+    island arithmetic then runs on identical inputs. Contract: new ids
+    must not already exist in the state (append-only ingestion; a
+    re-ingested id would duplicate its postings and corrupt positions).
+
+    Scale: the state side is pruned by the hash equi-join (postings of
+    matching L-grams only — at 100 TB publish the postings bucketed on
+    _h so the batch join sort-merges with zero state-side exchange, the
+    incremental.py table path)."""
+    L = min_tokens
+    state = spark.read.parquet(os.path.join(state_path, "postings"))
+    batch = _postings(new_docs, L, text_col, id_col)
+    a = batch.select("_h", F.col("_id").alias("db"), F.col("_pos").alias("pb_"))
+    s = state.select(
+        F.col("_h").alias("_hs"), F.col("_id").alias("ds"), F.col("_pos").alias("ps_")
+    )
+    # batch-vs-state: orient (d1 < d2) and carry positions in pair order so
+    # the diagonal arithmetic is orientation-consistent.
+    vs_state = (
+        a.join(s, (a["_h"] == s["_hs"]) & (a["db"] != s["ds"]))
+        .select(
+            F.least("db", "ds").alias("d1"),
+            F.greatest("db", "ds").alias("d2"),
+            F.when(F.col("db") < F.col("ds"), F.col("pb_"))
+            .otherwise(F.col("ps_"))
+            .alias("pa"),
+            F.when(F.col("db") < F.col("ds"), F.col("ps_"))
+            .otherwise(F.col("pb_"))
+            .alias("pb"),
+            "_h",
+        )
+    )
+    b2 = batch.select(
+        F.col("_h").alias("_hb"), F.col("_id").alias("d2"), F.col("_pos").alias("pb")
+    )
+    vs_batch = (
+        batch.select("_h", F.col("_id").alias("d1"), F.col("_pos").alias("pa"))
+        .join(b2, (F.col("_h") == F.col("_hb")) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2", "pa", "pb", "_h")
+    )
+    return _pairs_from_matches(vs_state.unionByName(vs_batch), L)

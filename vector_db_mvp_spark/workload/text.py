@@ -800,6 +800,37 @@ ORDER BY doc1, doc2
 """
 
 
+def q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup (operators/substring.py): the new
+    batch (doc_id % 10 >= 8) against the persisted positional-postings
+    state of the existing corpus (doc_id % 10 < 8) — the ExactSubstr twin
+    of incremental_dedup's minhash path. The oracle recomputes the FULL
+    corpus pairs and restricts to pairs touching the batch; equality
+    proves the O(batch) path loses nothing vs the O(corpus) recompute
+    (postings rows are corpus-independent, so the match set is identical
+    by construction)."""
+    from ..operators.substring import (
+        build_substring_state,
+        incremental_substring_pairs,
+        substring_state_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    state = substring_state_path(sf_dir, min_tokens=_SUBSTR_L)
+    build_substring_state(existing, state, min_tokens=_SUBSTR_L)
+    return incremental_substring_pairs(spark, state, batch, min_tokens=_SUBSTR_L)
+
+
+def _sql_incremental_substring() -> str:
+    return f"""
+SELECT * FROM ({_sql_exact_substring_pairs()})
+WHERE doc1 % 10 >= 8 OR doc2 % 10 >= 8
+ORDER BY doc1, doc2
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit add-alpha bigram LM perplexity per document
     (operators/textops.py lm_score) — the CCNet-style quality signal."""
@@ -1055,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "duplicated_spans": q_duplicated_spans,
     "exact_substring_pairs": q_exact_substring_pairs,
+    "incremental_substring": q_incremental_substring,
     "importance_weights": q_importance_weights,
     "corpus_curation": q_corpus_curation,
     "token_stats": q_token_stats,
@@ -1090,6 +1122,7 @@ ORACLE_SQL: dict[str, str] = {
     "lm_perplexity": _sql_lm_perplexity(),
     "duplicated_spans": _sql_duplicated_spans(),
     "exact_substring_pairs": _sql_exact_substring_pairs(),
+    "incremental_substring": _sql_incremental_substring(),
     "importance_weights": _sql_importance_weights(),
     "corpus_curation": _sql_corpus_curation(),
     "token_stats": SQL_TOKEN_STATS,
