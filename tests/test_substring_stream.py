@@ -1,0 +1,113 @@
+"""Streaming exact-substring ingestion gate (streaming/substring_stream.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from vector_db_mvp_spark.streaming.substring_stream import (
+    SubstringIngest,
+    substring_ingest_stream,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+
+def _w(n, prefix):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+# an 8-token span shared verbatim; filler disjoint everywhere else
+SPAN = _w(8, "s")
+BASE = _w(4, "a") + " " + SPAN + " " + _w(5, "b")
+COPIER = _w(6, "c") + " " + SPAN  # shares the span, low global Jaccard
+OTHER = _w(16, "o")
+THIRD = _w(14, "t")
+
+
+@pytest.fixture()
+def run_ingest(spark, tmp_path):
+    def _run(batches, min_tokens=6):
+        src = str(tmp_path / "in")
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                [(d, t, t0 + dt.timedelta(minutes=i)) for d, t in rows], SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+        handler = SubstringIngest(
+            str(tmp_path / "state"),
+            str(tmp_path / "accepted"),
+            str(tmp_path / "dupes"),
+            min_tokens=min_tokens,
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = substring_ingest_stream(
+            stream, handler, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        accepted = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        }
+        try:
+            dupes = {
+                r["doc_id"]
+                for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+            }
+        except Exception:
+            dupes = set()
+        return accepted, dupes, handler
+
+    return _run
+
+
+def test_cross_batch_span_copy_is_gated(spark, run_ingest):
+    accepted, dupes, _ = run_ingest(
+        [
+            [(1, BASE), (2, OTHER)],
+            [(3, COPIER), (4, THIRD)],  # 3 copies stored 1's span verbatim
+        ]
+    )
+    assert accepted == {1, 2, 4}
+    assert dupes == {3}
+
+
+def test_first_batch_siblings_gate_among_themselves(spark, run_ingest):
+    accepted, dupes, _ = run_ingest([[(1, BASE), (2, COPIER), (3, OTHER)]])
+    assert accepted == {1, 3}
+    assert dupes == {2}
+
+
+def test_short_overlap_passes_the_gate(spark, run_ingest):
+    # sharing fewer than min_tokens consecutive tokens is NOT a dupe
+    short = _w(4, "s")  # 4-token prefix of SPAN's vocabulary, below L=6
+    doc = short + " " + _w(12, "q")
+    accepted, dupes, _ = run_ingest([[(1, BASE)], [(5, doc)]])
+    assert accepted == {1, 5}
+    assert dupes == set()
+
+
+def test_replayed_batch_is_skipped(spark, run_ingest, tmp_path):
+    accepted, dupes, handler = run_ingest([[(1, BASE), (2, OTHER)]])
+    n_before = spark.read.parquet(str(tmp_path / "accepted")).count()
+    replay = spark.read.parquet(str(tmp_path / "accepted")).limit(2)
+    handler(replay, 0)
+    assert spark.read.parquet(str(tmp_path / "accepted")).count() == n_before
