@@ -484,3 +484,74 @@ def test_char_budget_mix_waterfill_properties(spark, sizes, budget):
     # allocation identity holds exactly when every group kept >=1 doc
     if set(alloc) == set(totals):
         assert got_total <= min(budget, sum(totals.values())) + 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup vs a pure-Python reference (the DuckDB oracle replays
+# the SAME L-gram/diagonal construction, so an independent checker that works
+# directly on token lists is the diverse verification layer here).
+# ---------------------------------------------------------------------------
+
+_SUBSTR_WORDS = ["aa", "bb", "cc", "dd"]  # tiny alphabet forces shared spans
+_substr_doc = st.lists(
+    st.sampled_from(_SUBSTR_WORDS), min_size=1, max_size=14
+).map(" ".join)
+
+
+def _py_substring_pairs(texts: dict[int, str], L: int):
+    """Reference: per pair, maximal aligned L-gram runs per diagonal —
+    max span = longest run + L - 1; n_spans = number of runs across all
+    diagonals; n_shared_grams = distinct shared L-grams."""
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    out = {}
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            i1, i2 = ids[ai], ids[bi]
+            a, b = toks[i1], toks[i2]
+            ga = [tuple(a[i:i + L]) for i in range(len(a) - L + 1)]
+            gb = [tuple(b[j:j + L]) for j in range(len(b) - L + 1)]
+            matches = {
+                (i, j)
+                for i, x in enumerate(ga)
+                for j, y in enumerate(gb)
+                if x == y
+            }
+            if not matches:
+                continue
+            by_diag: dict[int, list[int]] = {}
+            for i, j in matches:
+                by_diag.setdefault(i - j, []).append(i)
+            n_spans, max_run = 0, 0
+            for d, pas in by_diag.items():
+                pas.sort()
+                run = 1
+                for prev, cur in zip(pas, pas[1:]):
+                    if cur == prev + 1:
+                        run += 1
+                    else:
+                        n_spans += 1
+                        max_run = max(max_run, run)
+                        run = 1
+                n_spans += 1
+                max_run = max(max_run, run)
+            shared = {x for x in ga if x in set(gb)}
+            out[(i1, i2)] = (max_run + L - 1, n_spans, len(shared))
+    return out
+
+
+@given(docs=st.lists(_substr_doc, min_size=2, max_size=5))
+@SET
+def test_exact_substring_matches_python_reference(spark, docs):
+    from vector_db_mvp_spark.operators.substring import exact_substring_pairs
+
+    L = 3
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): (
+            r["max_span_tokens"], r["n_spans"], r["n_shared_grams"]
+        )
+        for r in exact_substring_pairs(df, min_tokens=L).collect()
+    }
+    assert got == _py_substring_pairs(texts, L)
