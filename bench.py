@@ -85,6 +85,7 @@ HEADLINE = [
     "sales_grouping_sets",
     "props_key_counts",
     "distinct_kmv_users",
+    "cms_join_cardinality",
     "part_reachability",
     "heavy_hitter_tokens",
     "streaming_heavy_hitters",

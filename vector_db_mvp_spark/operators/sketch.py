@@ -247,6 +247,35 @@ def cms_topk_from_counters(
     )
 
 
+def cms_inner_product_counters(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """One-row (est) sketch inner product: min over sketch rows of the
+    per-row counter dot product — the Count-Min join-size / F2 estimator
+    (Cormode & Muthukrishnan '05, §4.2): an UPPER bound on Σ_k a_k·b_k
+    with error ≤ ||a||₁·||b||₁ / width per row (min over depth rows
+    tightens it). Products/sums accumulate as DECIMAL(38,0): per-row
+    counters reach N/width and the dot product N²/width — int64 wraps
+    near N ≈ 2.5e11 at width 65536, inside a 100 TB key stream.
+
+    Pass the SAME counters frame twice for the self-join size (F2, the
+    'surprise number'). Counter arrays are depth×width bounded state with
+    map-side-combined builds — the sketch algebra runs on O(depth·width)
+    rows however large the streams."""
+    d18 = "decimal(18,0)"
+    b = cb.select(
+        F.col("r").alias("r2"), F.col("h").alias("h2"), F.col("c").alias("c2")
+    )
+    ip = (
+        ca.join(b, (ca["r"] == b["r2"]) & (ca["h"] == b["h2"]))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("c").cast(d18) * F.col("c2").cast(d18))
+            .cast("decimal(38,0)")
+            .alias("s")
+        )
+    )
+    return ip.agg(F.min("s").alias("est"))
+
+
 def sql_cms_heavy_hitters(
     values_cte: str,
     *,

@@ -6138,6 +6138,134 @@ QUERIES["revenue_changepoint"] = q_revenue_changepoint
 ORACLE_SQL["revenue_changepoint"] = SQL_REVENUE_CHANGEPOINT
 
 
+_CMSJ_DEPTH, _CMSJ_WIDTH = 4, 65536
+
+
+def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches — the classic sketch
+    inner product (Cormode & Muthukrishnan '05): estimate
+    |orders ⋈ lineitem| on orderkey and the lineitem self-join size on
+    partkey (F2, the 'surprise number' a join optimizer uses for skew and
+    cardinality planning) from depth×width counter arrays, WITHOUT
+    executing the joins. The deterministic md5 row-hash family
+    (operators/sketch.py cms_hash) makes both engines' sketches — and
+    therefore the estimates — bit-identical; exact values ride along as
+    the accuracy audit (est is an upper bound, error ≤ N_a·N_b/width per
+    sketch row; at the sf0.01 gate ~23% on the join, ~2.5% on F2 —
+    discriminating, not vacuous — and it GROWS with N²/width by design:
+    width is the accuracy knob a deployment sizes to its key volume,
+    fixed here as the oracle instance). At 100 TB the counter arrays are the
+    only state that moves: O(depth·width) rows per side, map-side
+    combined, vs a full shuffle join for the exact answer."""
+    from ..operators.sketch import (
+        cms_counters,
+        cms_inner_product_counters,
+        cms_values,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    kw = dict(depth=_CMSJ_DEPTH, width=_CMSJ_WIDTH)
+    c_ord = cms_counters(cms_values(o, "o_orderkey"), **kw)
+    c_lio = cms_counters(cms_values(li, "l_orderkey"), **kw)
+    c_lip = cms_counters(cms_values(li, "l_partkey"), **kw).localCheckpoint(
+        eager=True
+    )  # consumed twice (both sides of the self inner product)
+    est_join = cms_inner_product_counters(c_ord, c_lio)
+    est_f2 = cms_inner_product_counters(c_lip, c_lip)
+    exact_join = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .join(o.select(F.col("o_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("exact"))
+    )
+    exact_f2 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("exact")
+        )
+    )
+    row1 = (
+        est_join.crossJoin(F.broadcast(exact_join))
+        .selectExpr(
+            "'join_orders_lineitem' AS metric",
+            "CAST(est AS BIGINT) AS est_size",
+            "CAST(exact AS BIGINT) AS exact_size",
+            "round(CAST(est - exact AS DOUBLE) / CAST(exact AS DOUBLE), 6)"
+            " AS rel_err",
+        )
+    )
+    row2 = (
+        est_f2.crossJoin(F.broadcast(exact_f2))
+        .selectExpr(
+            "'self_join_partkey' AS metric",
+            "CAST(est AS BIGINT) AS est_size",
+            "CAST(exact AS BIGINT) AS exact_size",
+            "round(CAST(est - exact AS DOUBLE) / CAST(exact AS DOUBLE), 6)"
+            " AS rel_err",
+        )
+    )
+    return row1.unionByName(row2).orderBy("metric")
+
+
+def _sql_cms_join_cardinality() -> str:
+    d, w = _CMSJ_DEPTH, _CMSJ_WIDTH
+    rows_r = ", ".join(f"({r})" for r in range(d))
+
+    def counters(values: str) -> str:
+        return f"""(
+  SELECT r, h, COUNT(*) AS c FROM (
+    SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || v), 1, 8))
+                   AS BIGINT) % {w} AS h
+    FROM ({values}) CROSS JOIN (SELECT r FROM (VALUES {rows_r}) t(r)))
+  GROUP BY 1, 2)"""
+
+    c_ord = counters("SELECT CAST(o_orderkey AS VARCHAR) v FROM orders"
+                     " WHERE o_orderkey IS NOT NULL")
+    c_lio = counters("SELECT CAST(l_orderkey AS VARCHAR) v FROM lineitem"
+                     " WHERE l_orderkey IS NOT NULL")
+    c_lip = counters("SELECT CAST(l_partkey AS VARCHAR) v FROM lineitem"
+                     " WHERE l_partkey IS NOT NULL")
+    return f"""
+WITH c_ord AS {c_ord},
+c_lio AS {c_lio},
+c_lip AS {c_lip},
+est_join AS (
+  SELECT MIN(s) AS est FROM (
+    SELECT a.r, CAST(SUM(CAST(a.c AS DECIMAL(18,0)) * CAST(b.c AS DECIMAL(18,0)))
+                     AS DECIMAL(38,0)) AS s
+    FROM c_ord a JOIN c_lio b ON a.r = b.r AND a.h = b.h GROUP BY 1)),
+est_f2 AS (
+  SELECT MIN(s) AS est FROM (
+    SELECT a.r, CAST(SUM(CAST(a.c AS DECIMAL(18,0)) * CAST(b.c AS DECIMAL(18,0)))
+                     AS DECIMAL(38,0)) AS s
+    FROM c_lip a JOIN c_lip b ON a.r = b.r AND a.h = b.h GROUP BY 1)),
+exact_join AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS exact
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+exact_f2 AS (
+  SELECT CAST(SUM(c * c) AS DECIMAL(38,0)) AS exact FROM (
+    SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS c FROM lineitem GROUP BY l_partkey))
+SELECT * FROM (
+  SELECT 'join_orders_lineitem' AS metric,
+         CAST(est AS BIGINT) AS est_size,
+         CAST(exact AS BIGINT) AS exact_size,
+         round(CAST(est - exact AS DOUBLE) / CAST(exact AS DOUBLE), 6) AS rel_err
+  FROM est_join CROSS JOIN exact_join
+  UNION ALL
+  SELECT 'self_join_partkey',
+         CAST(est AS BIGINT),
+         CAST(exact AS BIGINT),
+         round(CAST(est - exact AS DOUBLE) / CAST(exact AS DOUBLE), 6)
+  FROM est_f2 CROSS JOIN exact_f2)
+ORDER BY metric
+"""
+
+
+QUERIES["cms_join_cardinality"] = q_cms_join_cardinality
+ORACLE_SQL["cms_join_cardinality"] = _sql_cms_join_cardinality()
+
+
 # Per-cell MI term and per-marginal entropy term, shared verbatim between the
 # Spark fold and the DuckDB oracle so both engines evaluate the identical
 # DOUBLE expression (counts are exact BIGINTs until these casts).
