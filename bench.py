@@ -86,6 +86,7 @@ HEADLINE = [
     "props_key_counts",
     "distinct_kmv_users",
     "cms_join_cardinality",
+    "part_degree_assortativity",
     "part_reachability",
     "heavy_hitter_tokens",
     "streaming_heavy_hitters",
@@ -101,6 +102,7 @@ HEADLINE = [
     "supplier_similarity_jaccard",
     "event_throttle_dedup",
     "char_entropy",
+    "zipf_fit",
     "event_transition_matrix",
     "events_anomaly_zscore",
     "frequent_tokens_guaranteed",
@@ -201,6 +203,20 @@ def main() -> None:
         n=5,
         num_hashes=16,
         bands=4,
+        force=True,
+    )
+    # Same once-per-corpus contract for the substring postings state:
+    # `incremental_substring` times the per-batch path only.
+    from vector_db_mvp_spark.operators.substring import (  # noqa: E402
+        build_substring_state,
+        substring_state_path,
+    )
+    from vector_db_mvp_spark.workload.text import _SUBSTR_L  # noqa: E402
+
+    build_substring_state(
+        load_table(spark, sf_dir, "documents").filter("doc_id % 10 < 8"),
+        substring_state_path(sf_dir, min_tokens=_SUBSTR_L),
+        min_tokens=_SUBSTR_L,
         force=True,
     )
     # The reference's PRIMARY read path end-to-end: EntityStore library ->

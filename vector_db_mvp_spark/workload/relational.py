@@ -6266,6 +6266,99 @@ QUERIES["cms_join_cardinality"] = q_cms_join_cardinality
 ORACLE_SQL["cms_join_cardinality"] = _sql_cms_join_cardinality()
 
 
+def q_part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of (deg(src), deg(dst)) over the directed edge
+    list (each undirected edge counted in both orientations — the
+    standard estimator). Positive = hubs link hubs; the one-number
+    structure diagnostic that tells a graph pipeline whether degree-based
+    sampling or salting will be needed BEFORE running it — completing the
+    graph-stats family beside PageRank/triangles/k-core.
+
+    Physical: one degree aggregation (|nodes| rows, broadcast), two
+    broadcast joins onto the edge list, one keyless moment fold. Degree
+    products accumulate as DECIMAL(38,0) (deg² × |edges| wraps int64 on
+    hub-heavy 100 TB graphs); the five moments feed one shared DOUBLE
+    expression, so both engines fold identical decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    dx = deg.select(F.col("src").alias("src"), F.col("_deg").alias("dx"))
+    dy = deg.select(F.col("src").alias("dst"), F.col("_deg").alias("dy"))
+    d18 = "decimal(18,0)"
+    m = (
+        edges.join(F.broadcast(dx), "src")
+        .join(F.broadcast(dy), "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.col("dx").cast(d18)).cast("decimal(38,0)").alias("sx"),
+            F.sum(F.col("dy").cast(d18)).cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("dx").cast(d18) * F.col("dx").cast(d18))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(F.col("dy").cast(d18) * F.col("dy").cast(d18))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+            F.sum(F.col("dx").cast(d18) * F.col("dy").cast(d18))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+        )
+    )
+    return m.selectExpr(
+        "n_edges",
+        "round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+        " AS assortativity",
+    )
+
+
+SQL_PART_DEGREE_ASSORTATIVITY = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+      AND a.l_partkey < b.l_partkey),
+edges AS (SELECT DISTINCT src, dst FROM
+          (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)),
+deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY 1),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CAST(x.dg AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y.dg AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x.dg AS DECIMAL(18,0)) * CAST(x.dg AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y.dg AS DECIMAL(18,0)) * CAST(y.dg AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(x.dg AS DECIMAL(18,0)) * CAST(y.dg AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxy
+  FROM edges e JOIN deg x ON e.src = x.src JOIN deg y ON e.dst = y.src)
+SELECT n_edges,
+       round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS assortativity
+FROM m
+"""
+
+QUERIES["part_degree_assortativity"] = q_part_degree_assortativity
+ORACLE_SQL["part_degree_assortativity"] = SQL_PART_DEGREE_ASSORTATIVITY
+
+
 # Per-cell MI term and per-marginal entropy term, shared verbatim between the
 # Spark fold and the DuckDB oracle so both engines evaluate the identical
 # DOUBLE expression (counts are exact BIGINTs until these casts).

@@ -800,6 +800,104 @@ ORDER BY doc1, doc2
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS of ln(freq)
+    on ln(rank) (rank by freq DESC, token ASC) — slope ≈ −1 on natural
+    language; large deviations are the classic corpus-health smell
+    (boilerplate floods, truncated vocab, synthetic artifacts) a training
+    pipeline checks before spending compute. Completes the corpus
+    diagnostics beside char_entropy / token_stats / repetition_metrics.
+
+    Exactness discipline: ranks come from the distributed
+    global_row_number machinery (never a single-partition window — the
+    vocabulary is corpus-derived and unbounded); ln values are scaled to
+    integers (round(ln·1e9) as DECIMAL(18,0)) so the five OLS moments
+    accumulate as ORDER-INDEPENDENT DECIMAL(38,0) sums — a raw double
+    fold would be partition-order-dependent and engine-divergent. The
+    1e9 scaling cancels in slope/r² (numerator and denominator carry the
+    same power), computed in DOUBLE only at the end. ln parity across
+    engines is the same contract the MI/chi2 folds already pin."""
+    from ..operators.rank import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("negfreq", -F.col("cnt").cast("long"))
+    )
+    ranked, vocab = global_row_number(freq, "negfreq", ["w"], rn_col="rank")
+    d18 = "decimal(18,0)"
+    x = F.round(F.log(F.col("rank").cast("double")) * 1e9).cast(d18)
+    y = F.round(F.log(F.col("cnt").cast("double")) * 1e9).cast(d18)
+    m = ranked.select(
+        x.alias("x"), y.alias("y"), F.col("cnt").cast("long").alias("cnt")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("cnt")).cast("long").alias("n_tokens"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    cov = (
+        "(CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    vx = (
+        "(CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    vy = (
+        "(CAST(vocab AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return m.selectExpr(
+        "vocab",
+        "n_tokens",
+        f"round({cov} / {vx}, 6) AS zipf_slope",
+        f"round({cov} * {cov} / ({vx} * {vy}), 6) AS r2",
+    )
+
+
+SQL_ZIPF_FIT = """
+WITH freq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents) WHERE w <> '' GROUP BY 1),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank FROM freq),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+  FROM (SELECT cnt,
+               CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS HUGEINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e9) AS HUGEINT) AS y
+        FROM ranked))
+SELECT vocab, n_tokens,
+       round((CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       round((CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(vocab AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM m
+"""
+
+
 def q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-substring dedup (operators/substring.py): the new
     batch (doc_id % 10 >= 8) against the persisted positional-postings
@@ -1087,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "exact_substring_pairs": q_exact_substring_pairs,
     "incremental_substring": q_incremental_substring,
+    "zipf_fit": q_zipf_fit,
     "importance_weights": q_importance_weights,
     "corpus_curation": q_corpus_curation,
     "token_stats": q_token_stats,
@@ -1123,6 +1222,7 @@ ORACLE_SQL: dict[str, str] = {
     "duplicated_spans": _sql_duplicated_spans(),
     "exact_substring_pairs": _sql_exact_substring_pairs(),
     "incremental_substring": _sql_incremental_substring(),
+    "zipf_fit": SQL_ZIPF_FIT,
     "importance_weights": _sql_importance_weights(),
     "corpus_curation": _sql_corpus_curation(),
     "token_stats": SQL_TOKEN_STATS,
