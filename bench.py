@@ -131,6 +131,7 @@ HEADLINE = [
     "revenue_changepoint",
     "mutual_information_flag_status",
     "last_touch_attribution",
+    "km_conversion_curve",
     "quality_rater_kappa",
     "ann_ivf_recall_curve",
     "proximity_search",

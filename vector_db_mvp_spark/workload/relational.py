@@ -6359,6 +6359,146 @@ QUERIES["part_degree_assortativity"] = q_part_degree_assortativity
 ORACLE_SQL["part_degree_assortativity"] = SQL_PART_DEGREE_ASSORTATIVITY
 
 
+def q_km_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier conversion curve: time from each user's FIRST event to
+    their FIRST purchase, with right-censoring for users who never
+    purchase (censored at the corpus horizon) — the survival-analysis
+    instrument behind every time-to-convert / churn dashboard, exact and
+    engine-deterministic:
+
+    - the corpus collapses to one row per user (two min-aggregations),
+      then to one row per DISTINCT duration hour (d_i events, c_i
+      censored) — the time domain saturates like the Mann-Kendall days;
+    - at-risk n_i = N − (inclusive-cum − row) from the distributed
+      prefix-sum machinery, all exact integers;
+    - the KM product Π(1 − d_j/n_j) is evaluated as exp of a PREFIX SUM
+      of integer-scaled logs (round(ln(1 − d/n)·1e9) as LONG): a naive
+      running float product is order-dependent and engine-divergent,
+      while the scaled-integer sum is exact and order-independent — the
+      zipf_fit discipline applied to a running product. The d_i = n_i
+      boundary (everyone at risk converts) sets survival to exactly 0
+      from that row on via a flag prefix instead of ln(0).
+
+    Instance realism note: this corpus has zero never-purchasers, so the
+    censoring leg is data-limited (c_i = 0 everywhere) — the censored
+    path is pinned by tests/test_km.py on constructed users; the curve
+    itself spans 75 distinct event times at sf0.01 with survival falling
+    1.0 → 0. Output rows at event times only (standard KM reporting)."""
+    from ..operators.rank import global_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    u = (
+        first.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce("fp", "h"))
+                    - F.unix_timestamp("f")
+                )
+                / 3600
+            )
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("_e"),
+        )
+    )
+    times = u.groupBy("t").agg(
+        F.sum("_e").cast("long").alias("d"),
+        F.sum(1 - F.col("_e")).cast("long").alias("c"),
+    )
+    p1 = global_prefix_sums(times.withColumn("all", F.col("d") + F.col("c")), "t", ["all"])
+    tot = p1.agg(F.sum("all").cast("long").alias("n_total"))
+    risk = p1.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", F.col("n_total") - F.col("cum_all") + F.col("all")
+    )
+    termed = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double")
+                )
+                * 1e9
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("zflag"),
+    )
+    p2 = global_prefix_sums(termed, "t", ["term", "zflag"])
+    return (
+        p2.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("t_hours"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.when(F.col("cum_zflag") > 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.col("cum_term").cast("double") / 1e9), 6)
+            )
+            .alias("survival"),
+        )
+        .orderBy("t_hours")
+    )
+
+
+SQL_KM_CONVERSION_CURVE = """
+WITH first_ev AS (SELECT user_id, MIN(ts) AS f FROM events GROUP BY 1),
+purch AS (SELECT user_id, MIN(ts) AS fp FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+horizon AS (SELECT MAX(ts) AS h FROM events),
+u AS (
+  SELECT CAST(floor(date_diff('second', f, COALESCE(fp, h)) / 3600.0)
+              AS BIGINT) AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM first_ev LEFT JOIN purch USING (user_id) CROSS JOIN horizon),
+times AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
+  FROM u GROUP BY 1),
+risk AS (
+  SELECT t, d, c,
+         (SELECT COUNT(*) FROM u)
+           - SUM(d + c) OVER (ORDER BY t) + (d + c) AS n_risk
+  FROM times),
+termed AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE)) * 1e9)
+                        AS BIGINT)
+              ELSE 0 END AS term,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zflag
+  FROM risk)
+SELECT t AS t_hours,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       d AS n_events,
+       c AS n_censored,
+       CASE WHEN SUM(zflag) OVER (ORDER BY t) > 0 THEN 0.0
+            ELSE round(exp(CAST(SUM(term) OVER (ORDER BY t) AS DOUBLE) / 1e9), 6)
+       END AS survival
+FROM termed
+WHERE d > 0
+ORDER BY t_hours
+"""
+
+QUERIES["km_conversion_curve"] = q_km_conversion_curve
+ORACLE_SQL["km_conversion_curve"] = SQL_KM_CONVERSION_CURVE
+
+
 # Per-cell MI term and per-marginal entropy term, shared verbatim between the
 # Spark fold and the DuckDB oracle so both engines evaluate the identical
 # DOUBLE expression (counts are exact BIGINTs until these casts).
