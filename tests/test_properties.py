@@ -555,3 +555,110 @@ def test_exact_substring_matches_python_reference(spark, docs):
         for r in exact_substring_pairs(df, min_tokens=L).collect()
     }
     assert got == _py_substring_pairs(texts, L)
+
+
+# ---------------------------------------------------------------------------
+# k-core vs a pure-Python peel (independent of both the Spark operator's
+# join shape and the oracle's unrolled-CTE replay of it).
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(edges: set[tuple[int, int]], k: int):
+    """Iteratively drop nodes with degree < k until fixed point; return
+    {node: degree-within-core}."""
+    nodes = {n for e in edges for n in e}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        drop = {n for n in nodes if deg.get(n, 0) < k}
+        if not drop:
+            return deg
+        nodes -= drop
+        edges = {(a, b) for a, b in edges if a not in drop and b not in drop}
+
+
+_edge = st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+    lambda e: e[0] != e[1]
+)
+
+
+@given(pairs=st.sets(_edge, min_size=1, max_size=25), k=st.integers(2, 4))
+@SET
+def test_kcore_matches_python_reference(spark, pairs, k):
+    from pyspark.sql import functions as F
+
+    from vector_db_mvp_spark.operators.kcore import kcore_nodes
+
+    undirected = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    df = spark.createDataFrame(sorted(undirected), ["src", "dst"])
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_nodes(df, k, rounds=12).collect()
+    }
+    assert got == _py_kcore(undirected, k)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall + Theil-Sen vs a pure-Python reference on small random
+# series (the oracle replays the same SQL construction; this checks the
+# FORMULAS — S, tie-corrected variance, z, median-of-slopes — against an
+# independent implementation).
+# ---------------------------------------------------------------------------
+
+
+def _py_mann_kendall(ys: list[int]):
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(ys)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    p = len(slopes)
+    lo, hi = slopes[(p + 1) // 2 - 1], slopes[p // 2]
+    return s, round(var, 6), round(z, 6), round((lo + hi) / 2, 6)
+
+
+@given(ys=st.lists(st.integers(0, 50), min_size=3, max_size=12))
+@SET
+def test_mann_kendall_matches_python_reference(spark, ys, tmp_path_factory):
+    import os
+
+    out = tmp_path_factory.mktemp("mk")
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(1995, 1, 1) + dt.timedelta(days=i), float(y) / 100.0)
+        for i, y in enumerate(ys)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(out), "orders.parquet")
+    )
+    from vector_db_mvp_spark.workload.relational import q_mann_kendall_trend
+
+    r = q_mann_kendall_trend(spark, str(out)).collect()[0]
+    s, var, z, sen = _py_mann_kendall(ys)
+    assert r["n_days"] == len(ys)
+    assert r["s_stat"] == s
+    assert abs(r["var_s"] - var) < 1e-6
+    assert abs(r["z"] - z) < 1e-6
+    # y is in cents on the engine side (o_totalprice = y/100 dollars)
+    assert abs(r["sen_slope_cents_per_day"] - sen) < 1e-6
