@@ -898,6 +898,40 @@ FROM m
 """
 
 
+def q_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring pairs resolved into dedup groups by the same
+    min-label-propagation components as ``dedup_clusters`` — the action
+    step after span detection (which copy of each verbatim-sharing group
+    survives); keeper = min doc_id. Composes two already-oracled
+    operators (operators/substring.py pair generation,
+    operators/cluster.py components); the oracle replays the composition
+    with the recursive-CTE reachability over the substring pair SQL."""
+    from ..operators.cluster import dedup_clusters
+    from ..operators.substring import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_substring_pairs(docs, min_tokens=_SUBSTR_L).select(
+        F.col("doc1").alias("id1"), F.col("doc2").alias("id2")
+    )
+    return dedup_clusters(docs, pairs, num_partitions=8).orderBy("doc_id")
+
+
+def _sql_substring_clusters() -> str:
+    return f"""
+WITH RECURSIVE spairs AS (
+  SELECT doc1 AS id1, doc2 AS id2 FROM ({_sql_exact_substring_pairs()})),
+edges AS (SELECT id1 AS a, id2 AS b FROM spairs
+          UNION ALL SELECT id2 AS a, id1 AS b FROM spairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_keeper
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-substring dedup (operators/substring.py): the new
     batch (doc_id % 10 >= 8) against the persisted positional-postings
@@ -1185,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "exact_substring_pairs": q_exact_substring_pairs,
     "incremental_substring": q_incremental_substring,
+    "substring_clusters": q_substring_clusters,
     "zipf_fit": q_zipf_fit,
     "importance_weights": q_importance_weights,
     "corpus_curation": q_corpus_curation,
@@ -1222,6 +1257,7 @@ ORACLE_SQL: dict[str, str] = {
     "duplicated_spans": _sql_duplicated_spans(),
     "exact_substring_pairs": _sql_exact_substring_pairs(),
     "incremental_substring": _sql_incremental_substring(),
+    "substring_clusters": _sql_substring_clusters(),
     "zipf_fit": SQL_ZIPF_FIT,
     "importance_weights": _sql_importance_weights(),
     "corpus_curation": _sql_corpus_curation(),
