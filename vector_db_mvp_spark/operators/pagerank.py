@@ -176,6 +176,105 @@ GROUP BY 1
 """
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    iters: int,
+    seed_node: str,
+    *,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized PageRank from one seed: the restart mass (1-d) returns
+    to ``seed_node`` instead of spreading uniformly — the graph-proximity
+    feature a recommendation pipeline computes per anchor entity ("parts
+    relevant to THIS customer"). Identical physical shape to
+    :func:`pagerank` (one |V|-share table + static edge scan per round,
+    decimal-exact contribution sums, same 12-decimal pins), so the same
+    unrolled-CTE oracle discipline applies (:func:`sql_personalized_pagerank`).
+    Start vector = 1 at the seed, 0 elsewhere. Nodes whose round rank is
+    identically zero still flow through the share table with share 0 —
+    correctness over a sparse-frame micro-optimization; at 100 TB the
+    frontier-sparse variant is a BFS-masked share join, same plan family.
+    """
+    from pyspark import StorageLevel
+
+    sel = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        sel = sel.distinct()
+    e = sel.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        "node",
+        F.when(F.col("node") == seed_node, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    restart = F.when(F.col("node") == seed_node, F.lit(1.0 - damping)).otherwise(
+        F.lit(0.0)
+    )
+    for i in range(iters):
+        shares = ranks.join(F.broadcast(deg), "node").select(
+            F.col("node").alias("src"),
+            F.round(F.col("rank") / F.col("out_deg"), 12)
+            .cast("decimal(38,12)")
+            .alias("_c"),
+        )
+        contrib = e.join(F.broadcast(shares), "src").select(
+            F.col("dst").alias("node"), "_c"
+        )
+        ranks = contrib.groupBy("node").agg(
+            F.round(
+                restart + F.lit(damping) * F.sum("_c").cast("double"), 12
+            ).alias("rank")
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def sql_personalized_pagerank(
+    edges_cte: str,
+    iters: int,
+    seed_node: str,
+    *,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB unrolled mirror of :func:`personalized_pagerank`.
+    ``seed_node`` is injected as a SQL string literal (callers pass
+    trusted fixed instances)."""
+    seed = seed_node.replace("'", "''")
+    parts = [
+        f"e AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS out_deg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CASE WHEN node = '{seed}' THEN 1.0 ELSE 0.0 END"
+        " AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT dst AS node,
+         ROUND(CASE WHEN dst = '{seed}' THEN {1.0 - damping} ELSE 0.0 END
+               + {damping} * CAST(SUM(c) AS DOUBLE), 12) AS rank
+  FROM (
+    SELECT e.dst,
+           CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(38,12)) AS c
+    FROM e JOIN deg d ON e.src = d.src
+           JOIN r{i - 1} r ON e.src = r.node
+  )
+  GROUP BY dst
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
 def sql_pagerank(
     edges_cte: str,
     iters: int,

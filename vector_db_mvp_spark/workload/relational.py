@@ -1753,6 +1753,61 @@ def _sql_supplier_pagerank() -> str:
     )
 
 
+def q_supplier_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from customer c1 over the same symmetrized
+    customer<->supplier trade graph as ``supplier_pagerank`` — graph
+    proximity to ONE anchor entity ("suppliers most connected to this
+    customer's trade neighborhood"), the per-entity recommendation
+    feature the global rank cannot give. Top 30 by rank with the seed's
+    own restart-held rank included; values vary across nodes (uniform
+    rank is impossible here — mass concentrates around the seed), so the
+    instrument discriminates by construction."""
+    from ..operators.pagerank import personalized_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    return (
+        personalized_pagerank(edges, 3, "c1", assume_distinct=True)
+        .orderBy(F.desc("rank"), "node")
+        .limit(30)
+    )
+
+
+def _sql_supplier_ppr() -> str:
+    from ..operators.pagerank import sql_personalized_pagerank
+
+    edges = """
+  WITH pairs AS (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                    's' || CAST(l_suppkey AS VARCHAR) AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  )
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+"""
+    return (
+        sql_personalized_pagerank(edges, 3, "c1")
+        + "\nORDER BY rank DESC, node ASC LIMIT 30"
+    )
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + forward fill: each user's event stream (users
     0-9) bucketed to their own [first, last] hourly grid, missing hours
@@ -6497,6 +6552,9 @@ ORDER BY t_hours
 
 QUERIES["km_conversion_curve"] = q_km_conversion_curve
 ORACLE_SQL["km_conversion_curve"] = SQL_KM_CONVERSION_CURVE
+
+QUERIES["supplier_ppr"] = q_supplier_ppr
+ORACLE_SQL["supplier_ppr"] = _sql_supplier_ppr()
 
 
 # Per-cell MI term and per-marginal entropy term, shared verbatim between the
