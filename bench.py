@@ -43,6 +43,7 @@ HEADLINE = [
     "range_join_events",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "substring_clusters",
     "corpus_curation",
     "lsh_batch_topk",
     "token_stats",
@@ -87,6 +88,7 @@ HEADLINE = [
     "distinct_kmv_users",
     "cms_join_cardinality",
     "part_degree_assortativity",
+    "supplier_ppr",
     "part_reachability",
     "heavy_hitter_tokens",
     "streaming_heavy_hitters",
