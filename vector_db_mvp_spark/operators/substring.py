@@ -214,7 +214,12 @@ def incremental_substring_pairs(
     _h so the batch join sort-merges with zero state-side exchange, the
     incremental.py table path)."""
     L = min_tokens
-    state = spark.read.parquet(os.path.join(state_path, "postings"))
+    # recursiveFileLookup: the batch path writes postings flat, the
+    # streaming gate (streaming/substring_stream.py) writes one
+    # subdirectory per epoch for idempotent replays — read both layouts.
+    state = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(state_path, "postings")
+    )
     batch = _postings(new_docs, L, text_col, id_col)
     a = batch.select("_h", F.col("_id").alias("db"), F.col("_pos").alias("pb_"))
     s = state.select(

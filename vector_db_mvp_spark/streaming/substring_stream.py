@@ -22,17 +22,32 @@ Exactly-once via the same (run id, epoch id) replay markers
 (``streaming/replay.py``) — a redelivered batch is a no-op. State grows
 by accepted docs' postings only; per-batch cost tracks the batch, not the
 corpus (the incremental path's asymptotics).
+
+Idempotent state appends: unlike the near-dup gate, where a double-
+appended state row is harmless (minhash candidate generation dedups),
+duplicate (doc, pos, hash) postings CORRUPT the diagonal row_number
+island arithmetic (max_span_tokens underestimated, n_spans inflated) for
+every future batch. So each batch's postings land in their OWN
+subdirectory keyed by the replay batch key, written with overwrite mode —
+a redelivery after a crash between the state append and the marker write
+rewrites the same subdirectory instead of appending a second copy, and
+the handler removes any crash remnant of its own subdirectory BEFORE
+detection so routing reruns against the exact pre-batch state.
+``incremental_substring_pairs`` reads the postings tree with
+``recursiveFileLookup`` (operators/substring.py), so flat batch-built
+layouts and the stream's per-batch subdirectories read identically.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.substring import (
-    build_substring_state,
+    _postings,
     exact_substring_pairs,
     incremental_substring_pairs,
 )
@@ -69,9 +84,19 @@ class SubstringIngest:
         key = batch_key(self.checkpoint_dir, batch_id)
         return os.path.join(self.state_path, f"_BATCH_{key}_OK")
 
+    def _batch_postings_dir(self, batch_id: int) -> str:
+        key = batch_key(self.checkpoint_dir, batch_id)
+        return os.path.join(self.state_path, "postings", f"batch_{key}")
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._batch_marker(batch_id)):
             return
+        # Crash remnant: a prior delivery of THIS epoch appended its
+        # postings subdirectory but died before the marker write. Remove
+        # it so detection reruns against the exact pre-batch state —
+        # otherwise the batch's own stored postings would duplicate the
+        # vs_batch matches and corrupt the island arithmetic.
+        shutil.rmtree(self._batch_postings_dir(batch_id), ignore_errors=True)
         spark = batch.sparkSession
         idc = self.id_col
         batch = batch.localCheckpoint(eager=True)  # micro-batches are small
@@ -124,15 +149,15 @@ class SubstringIngest:
         dupes.write.mode("append").parquet(self.dupes_path)
         accepted.write.mode("append").parquet(self.accepted_path)
         had_state = self._state_exists()
-        build_substring_state(
-            accepted,
-            self.state_path,
-            min_tokens=self.min_tokens,
-            mode="append" if had_state else "overwrite",
-            force=True,
-            id_col=idc,
-            text_col=self.text_col,
-        )
+        # Idempotent state append: this batch's postings live in their own
+        # deterministic subdirectory (overwrite mode), so a replayed epoch
+        # rewrites rather than duplicates — see module docstring.
+        _postings(accepted, self.min_tokens, self.text_col, idc).write.mode(
+            "overwrite"
+        ).parquet(self._batch_postings_dir(batch_id))
+        if not had_state:
+            with open(os.path.join(self.state_path, "_STATE_OK"), "w") as f:
+                f.write("ok")
         with open(self._batch_marker(batch_id), "w") as f:
             f.write("ok")
 
