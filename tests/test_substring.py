@@ -115,3 +115,79 @@ def test_incremental_equals_full_restricted(spark, tmp_path):
     # the shared 6-token span is recovered at full length on both swap and
     # direct orientations, and state-only pairs are absent
     assert got[(0, 1)][0] == 6 and got[(1, 9)][0] == 6 and (1, 5) not in got
+
+
+def test_cap_nonbinding_equals_uncapped(spark):
+    """max_postings far above every occurrence count changes nothing."""
+    span = _w(7, "s")
+    docs = _docs(
+        spark,
+        [
+            (1, _w(3, "a") + " " + span),
+            (2, span + " " + _w(4, "b")),
+            (3, _w(15, "z")),
+        ],
+    )
+    capped = sorted(
+        map(tuple, exact_substring_pairs(docs, min_tokens=5, max_postings=100).collect())
+    )
+    uncapped = sorted(
+        map(tuple, exact_substring_pairs(docs, min_tokens=5).collect())
+    )
+    assert capped == uncapped and len(capped) == 1
+
+
+def test_cap_bounds_boilerplate_pairs(spark):
+    """A boilerplate span shared by 20 docs explodes to C(20,2)=190 pairs
+    uncapped; with max_postings=8 every boilerplate gram (20 occurrences)
+    is dropped, leaving only the rare-span pair — the cap provably bounds
+    pair count while keeping the real dedup signal."""
+    boiler = _w(8, "lic")  # the "license header"
+    rare = _w(8, "r")
+    rows = [(i, boiler + " " + _w(4, f"u{i}x")) for i in range(100, 120)]
+    rows += [(900, _w(3, "p") + " " + rare), (901, rare + " " + _w(2, "q"))]
+    docs = _docs(spark, rows)
+    uncapped = exact_substring_pairs(docs, min_tokens=5)
+    assert uncapped.count() == 190 + 1
+    capped = exact_substring_pairs(docs, min_tokens=5, max_postings=8).collect()
+    assert len(capped) == 1
+    r = capped[0]
+    assert (r["doc1"], r["doc2"], r["max_span_tokens"]) == (900, 901, 8)
+
+
+def test_capped_incremental_equals_capped_full_restricted(spark, tmp_path):
+    """Capped incremental == capped full recompute restricted to pairs
+    touching the batch, on a corpus where the cap BINDS (a boilerplate
+    gram spanning state and batch exceeds the cap only when both sides
+    are counted — the total-occurrence contract)."""
+    from vector_db_mvp_spark.operators.substring import (
+        build_substring_state,
+        incremental_substring_pairs,
+    )
+
+    boiler = _w(6, "lic")
+    rare = _w(6, "r")
+    rows = [(i, boiler + " " + _w(3, f"u{i}x")) for i in range(1, 5)]  # state
+    rows += [(10, boiler + " " + rare), (11, rare + " " + _w(4, "q"))]  # batch
+    docs = _docs(spark, rows)
+    state_docs = docs.filter("doc_id < 10")
+    batch_docs = docs.filter("doc_id >= 10")
+    state = str(tmp_path / "substr-cap-state")
+    build_substring_state(state_docs, state, min_tokens=5)
+    cap = 4  # boiler grams occur 5x total (4 state + 1 batch) -> dropped
+    got = {
+        tuple(r)
+        for r in incremental_substring_pairs(
+            spark, state, batch_docs, min_tokens=5, max_postings=cap
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in exact_substring_pairs(
+            docs, min_tokens=5, max_postings=cap
+        ).collect()
+        if r["doc1"] >= 10 or r["doc2"] >= 10
+    }
+    assert got == full
+    # the boilerplate pair (state x batch) is capped away; rare pair stays
+    assert {(d1, d2) for (d1, d2, *_rest) in got} == {(10, 11)}

@@ -37,12 +37,18 @@ Scale (100 TB): postings shuffle on the 8-byte hash, never the text; the
 anchor join's per-hash cost is |occurrences|^2 — boilerplate L-grams are
 the skew hazard, mitigated by (a) L large enough that stop-grams are rare
 (12+ tokens of verbatim agreement is already a dedup signal, not a
-collocation), (b) AQE skew-join splitting, and (c) in a production sweep,
-capping posting lists (drops only pairs ALSO witnessed by rarer grams of
-the same span unless the whole span is boilerplate — the Lee et al.
-sampling compromise; not applied here so the oracle stays exact). The
-islands window is keyed by (pair, diagonal) — balanced, no corpus-wide
-ordering anywhere.
+collocation), (b) AQE skew-join splitting, and (c) ``max_postings``: drop
+hashes whose TOTAL occurrence count exceeds the cap before the pair join
+(the Lee et al. sampling compromise). A capped hash loses only the pairs
+witnessed EXCLUSIVELY by boilerplate grams — a span containing any
+sub-cap gram still surfaces (possibly split into shorter islands where a
+dropped gram interrupts a diagonal run). The cap bounds per-hash join
+fan-out at cap^2, turning the worst case (a license header shared by
+millions of documents) from |corpus|^2 into a constant. The registered
+gate instances run BOTH the uncapped operator (semantics exact) and a
+capped instance whose oracle replays the same occurrence filter, so the
+cap path is driver-checked too. The islands window is keyed by (pair,
+diagonal) — balanced, no corpus-wide ordering anywhere.
 """
 
 from __future__ import annotations
@@ -118,12 +124,17 @@ def exact_substring_pairs(
     min_tokens: int = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_postings: int | None = None,
 ) -> DataFrame:
     """(doc1, doc2, max_span_tokens, n_spans, n_shared_grams) for every
     document pair sharing at least one verbatim span of >= ``min_tokens``
     tokens; doc1 < doc2, ordered. ``max_span_tokens`` is the longest
     shared span, ``n_spans`` the number of maximal aligned runs across
     all diagonals, ``n_shared_grams`` the distinct shared L-gram hashes.
+
+    ``max_postings``: skew cap — hashes with more than this many total
+    occurrences are dropped before the pair join (module docstring,
+    mitigation (c)). None = exact semantics.
     """
     if min_tokens < 2:
         raise ValueError("exact_substring_pairs: min_tokens must be >= 2")
@@ -131,8 +142,18 @@ def exact_substring_pairs(
     pos = _postings(df, L, text_col, id_col)
     dup_h = (
         pos.groupBy("_h")
-        .agg(F.countDistinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.count(F.lit(1)).alias("_no"),
+        )
+        .filter(
+            (F.col("_nd") >= 2)
+            & (
+                F.lit(True)
+                if max_postings is None
+                else F.col("_no") <= max_postings
+            )
+        )
         .select("_h")
     )
     anchors = pos.join(dup_h, "_h")
@@ -196,11 +217,20 @@ def incremental_substring_pairs(
     min_tokens: int = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Exact-substring pairs (same schema as :func:`exact_substring_pairs`)
     touching at least one document of ``new_docs``, against the corpus
     persisted at ``state_path`` — per-batch cost O(batch postings +
     matched occurrences), never a corpus re-shingle.
+
+    ``max_postings`` mirrors :func:`exact_substring_pairs`: a hash whose
+    TOTAL occurrence count (state + batch) exceeds the cap is dropped
+    before the pair join. The count only needs the state postings that
+    already matched a batch hash, so the cap costs one extra aggregation
+    over the matched subset — still O(batch + matched), and capped
+    incremental == capped full recompute restricted to batch-touching
+    pairs (same total counts, same dropped hashes).
 
     Equivalence (oracle-checked): postings rows are corpus-independent,
     so batch-vs-(state ∪ batch) matches restricted to pairs touching the
@@ -221,6 +251,25 @@ def incremental_substring_pairs(
         os.path.join(state_path, "postings")
     )
     batch = _postings(new_docs, L, text_col, id_col)
+    if max_postings is not None:
+        # Total (state + batch) occurrences per batch-touching hash; the
+        # state side is pruned to matched hashes FIRST so the count scans
+        # the matched subset, not the corpus. Checkpointed: three
+        # consumers (the count and both join legs).
+        state = state.join(
+            batch.select("_h").distinct(), "_h", "left_semi"
+        ).localCheckpoint(eager=True)
+        occ = (
+            state.select("_h")
+            .unionByName(batch.select("_h"))
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_no"))
+        )
+        keep_h = occ.filter(F.col("_no") <= max_postings).select("_h")
+        batch = batch.join(keep_h, "_h", "left_semi").localCheckpoint(
+            eager=True
+        )
+        state = state.join(keep_h, "_h", "left_semi")
     a = batch.select("_h", F.col("_id").alias("db"), F.col("_pos").alias("pb_"))
     s = state.select(
         F.col("_h").alias("_hs"), F.col("_id").alias("ds"), F.col("_pos").alias("ps_")

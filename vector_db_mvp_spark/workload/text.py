@@ -770,14 +770,17 @@ def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_exact_substring_pairs(L: int = _SUBSTR_L) -> str:
+def _sql_exact_substring_pairs(
+    L: int = _SUBSTR_L, max_postings: int | None = None
+) -> str:
     h = sql_h64(f"array_to_string(t[i:i+{L - 1}], ' ')")
+    cap = f" AND no <= {max_postings}" if max_postings is not None else ""
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 pos AS (SELECT doc_id, i - 1 AS pos, {h} AS h
         FROM toks, UNNEST(generate_series(1, len(t) - {L - 1})) AS u(i)),
-duph AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
-                        FROM pos GROUP BY 1) WHERE nd >= 2),
+duph AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS no
+                        FROM pos GROUP BY 1) WHERE nd >= 2{cap}),
 anch AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN duph USING (h)),
 m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS pa, b.pos AS pb, a.h
       FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id),
@@ -798,6 +801,28 @@ SELECT sp.d1 AS doc1, sp.d2 AS doc2,
 FROM sp JOIN gr ON sp.d1 = gr.d1 AND sp.d2 = gr.d2
 ORDER BY doc1, doc2
 """
+
+
+_SUBSTR_CAP = 2  # binds at gate scale: max cross-doc occurrence count is 3
+
+
+def q_substring_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``max_postings`` skew-capped variant of exact_substring_pairs
+    (operators/substring.py, mitigation (c) — the Lee et al. sampling
+    compromise): L-gram hashes with more than ``_SUBSTR_CAP`` total
+    occurrences are dropped before the pair join, bounding per-hash join
+    fan-out at cap^2 regardless of how many documents share a boilerplate
+    passage. Instance realism: the cap BINDS at gate scale (drops 2 of 24
+    pairs and reshapes spans where a dropped gram interrupts a diagonal
+    run), so a cap-placement bug cannot hide behind capped == uncapped.
+    The oracle replays the identical occurrence filter."""
+    from ..operators.substring import exact_substring_pairs
+
+    return exact_substring_pairs(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=_SUBSTR_L,
+        max_postings=_SUBSTR_CAP,
+    )
 
 
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1220,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_pairs": q_exact_substring_pairs,
     "incremental_substring": q_incremental_substring,
     "substring_clusters": q_substring_clusters,
+    "substring_pairs_capped": q_substring_pairs_capped,
     "zipf_fit": q_zipf_fit,
     "importance_weights": q_importance_weights,
     "corpus_curation": q_corpus_curation,
@@ -1258,6 +1284,9 @@ ORACLE_SQL: dict[str, str] = {
     "exact_substring_pairs": _sql_exact_substring_pairs(),
     "incremental_substring": _sql_incremental_substring(),
     "substring_clusters": _sql_substring_clusters(),
+    "substring_pairs_capped": _sql_exact_substring_pairs(
+        max_postings=_SUBSTR_CAP
+    ),
     "zipf_fit": SQL_ZIPF_FIT,
     "importance_weights": _sql_importance_weights(),
     "corpus_curation": _sql_corpus_curation(),
