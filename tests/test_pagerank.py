@@ -73,3 +73,60 @@ def test_no_triangles_in_a_path(spark):
 
     e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
     assert triangle_participation(e).count() == 0
+
+
+def _explain(df):
+    from pyspark.sql import SparkSession
+
+    jvm = SparkSession.getActiveSession()._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+_G = [
+    ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+    ("d", "a"), ("d", "b"), ("b", "a"), ("a", "d"),
+]
+
+
+def test_coshuffle_path_bit_identical_to_broadcast(spark):
+    """broadcast_shares=False (the |V|-beyond-broadcast-reach path) must
+    produce BIT-identical ranks: same expressions, same 12-decimal pins,
+    only the physical join strategy differs."""
+    b = sorted(map(tuple, pagerank(_edges(spark, _G), 5, broadcast_shares=True).collect()))
+    s = sorted(map(tuple, pagerank(_edges(spark, _G), 5, broadcast_shares=False).collect()))
+    assert b == s
+
+
+def test_ppr_coshuffle_path_bit_identical(spark):
+    from vector_db_mvp_spark.operators.pagerank import personalized_pagerank
+
+    b = sorted(map(tuple, personalized_pagerank(
+        _edges(spark, _G), 4, "a", broadcast_shares=True).collect()))
+    s = sorted(map(tuple, personalized_pagerank(
+        _edges(spark, _G), 4, "a", broadcast_shares=False).collect()))
+    assert b == s
+
+
+def test_auto_threshold_drops_broadcast_above_max_nodes(spark):
+    """"auto" with a threshold below |V| must plan ZERO BroadcastExchange —
+    the 100 TB insurance: neither driver nor executors ever hold the full
+    |V| share table."""
+    df = pagerank(_edges(spark, _G), 2, broadcast_max_nodes=1)
+    plan = _explain(df)
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_auto_threshold_keeps_broadcast_below_max_nodes(spark):
+    df = pagerank(_edges(spark, _G), 2, broadcast_max_nodes=10_000)
+    assert "BroadcastExchange" in _explain(df)
+
+
+def test_ppr_auto_threshold_drops_broadcast(spark):
+    from vector_db_mvp_spark.operators.pagerank import personalized_pagerank
+
+    df = personalized_pagerank(_edges(spark, _G), 2, "a", broadcast_max_nodes=1)
+    plan = _explain(df)
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan

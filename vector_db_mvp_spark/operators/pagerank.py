@@ -25,8 +25,15 @@ Scale design (100 TB of edges):
   localCheckpoint materializes via AdaptiveSparkPlanExec, whose output
   partitioning is not propagated into the checkpointed plan — measured,
   not assumed.)
-* At |V| beyond broadcast reach, replace the broadcast hint with a
-  co-shuffle on src (both |V| frames and the edge list keyed on src).
+* At |V| beyond broadcast reach the broadcast hint is replaced with a
+  co-shuffle on src: ``broadcast_shares="auto"`` (the default) switches
+  on a node-count threshold (``broadcast_max_nodes``, default 2M nodes ≈
+  tens of MB of share rows); above it the share table is built with a
+  shuffle-hash join and streamed into the edge scan keyed on src — no
+  |V|-sized broadcast anywhere, so neither the driver nor the executors
+  hold the full node set. Both paths are bit-identical (same expressions,
+  same 12-decimal pins; pytest-pinned) and the plan pin asserts zero
+  BroadcastExchange above the threshold.
 * Lineage is truncated with ``localCheckpoint`` every few rounds (not
   every round — for the typical 3-5 fixed iterations the plan tree stays
   shallow and skipping per-round materialization is a measured win).
@@ -34,8 +41,68 @@ Scale design (100 TB of edges):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: "auto" switches to the co-shuffle share path above this many nodes.
+BROADCAST_MAX_NODES = 2_000_000
+
+
+def _resolve_broadcast(broadcast_shares, deg: DataFrame, max_nodes: int) -> bool:
+    """Resolve the ``broadcast_shares`` knob to a concrete bool. "auto"
+    counts the (already-checkpointed) degree frame — one control-plane
+    int, no data movement beyond the agg that built it."""
+    if broadcast_shares == "auto":
+        return deg.count() <= max_nodes
+    return bool(broadcast_shares)
+
+
+def _rank_rounds(
+    e: DataFrame,
+    deg: DataFrame,
+    ranks: DataFrame,
+    iters: int,
+    restart: Column,
+    damping: float,
+    use_broadcast: bool,
+) -> DataFrame:
+    """The shared per-round body of pagerank/personalized_pagerank: share
+    table (rank/out_deg per source node) into the static edge scan, then
+    the dst aggregation. ``use_broadcast`` picks the physical strategy
+    for the two |V|-frame joins — broadcast (small graphs: zero per-round
+    shuffles) or shuffle-hash co-shuffle on the join key (|V| beyond
+    broadcast reach: shares shuffle on node/src, never materialize on one
+    machine). Expressions are identical either way, so results are
+    bit-identical (pytest-pinned in tests/test_pagerank.py)."""
+    for i in range(iters):
+        rank_deg = (
+            ranks.join(F.broadcast(deg), "node")
+            if use_broadcast
+            else ranks.join(deg.hint("shuffle_hash"), "node")
+        )
+        shares = rank_deg.select(
+            F.col("node").alias("src"),
+            F.round(F.col("rank") / F.col("out_deg"), 12)
+            .cast("decimal(38,12)")
+            .alias("_c"),
+        )
+        joined = (
+            e.join(F.broadcast(shares), "src")
+            if use_broadcast
+            else e.join(shares.hint("shuffle_hash"), "src")
+        )
+        contrib = joined.select(F.col("dst").alias("node"), "_c")
+        ranks = contrib.groupBy("node").agg(
+            F.round(
+                restart + F.lit(damping) * F.sum("_c").cast("double"), 12
+            ).alias("rank")
+        )
+        # Truncate lineage periodically; for short fixed runs the nested
+        # join-plan tree is shallow and materializing every round costs
+        # more than it saves.
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
 
 
 def pagerank(
@@ -46,13 +113,18 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_distinct: bool = False,
+    broadcast_shares: bool | str = "auto",
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Run ``iters`` damped PageRank rounds over the (directed) edge list.
     Returns ``(node, rank)`` for every node that appears in ``edges``.
     Nodes must all have out-degree >= 1 (symmetrize the edge list first if
     needed — dangling-node redistribution is deliberately out of scope).
     Pass ``assume_distinct=True`` when the caller guarantees no duplicate
-    (src, dst) pairs — it skips a full edge-list dedup shuffle."""
+    (src, dst) pairs — it skips a full edge-list dedup shuffle.
+    ``broadcast_shares``: True/False force the share-table strategy;
+    "auto" (default) broadcasts only while |V| <= ``broadcast_max_nodes``
+    and otherwise co-shuffles on src (module docstring)."""
     sel = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_distinct:
         sel = sel.distinct()
@@ -78,34 +150,19 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = deg.count()  # control plane: one int
+    use_broadcast = (
+        n <= broadcast_max_nodes
+        if broadcast_shares == "auto"
+        else bool(broadcast_shares)
+    )
 
     base = F.lit((1.0 - damping) / n)
     ranks = deg.select("node", F.lit(1.0 / n).alias("rank"))
-    for i in range(iters):
-        # rank/out_deg is per-SOURCE-node constant: compute it on the
-        # |V|-sized frames and broadcast the share table into the static
-        # edge scan — the scan only projects (dst, share), then aggregates
-        # locally on the dst-partitioned layout. Zero per-round shuffles.
-        shares = ranks.join(F.broadcast(deg), "node").select(
-            F.col("node").alias("src"),
-            F.round(F.col("rank") / F.col("out_deg"), 12)
-            .cast("decimal(38,12)")
-            .alias("_c"),
-        )
-        contrib = e.join(F.broadcast(shares), "src").select(
-            F.col("dst").alias("node"), "_c"
-        )
-        ranks = contrib.groupBy("node").agg(
-            F.round(
-                base + F.lit(damping) * F.sum("_c").cast("double"), 12
-            ).alias("rank")
-        )
-        # Truncate lineage periodically; for short fixed runs the nested
-        # broadcast-plan tree is shallow and materializing every round
-        # costs more than it saves.
-        if (i + 1) % 4 == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    # rank/out_deg is per-SOURCE-node constant: compute it on the
+    # |V|-sized frames once per round and feed it into the static edge
+    # scan — broadcast below the threshold (zero per-round shuffles),
+    # shuffle-hash co-shuffle on src above it (_rank_rounds).
+    return _rank_rounds(e, deg, ranks, iters, base, damping, use_broadcast)
 
 
 def triangle_participation(
@@ -185,6 +242,8 @@ def personalized_pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_distinct: bool = False,
+    broadcast_shares: bool | str = "auto",
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Personalized PageRank from one seed: the restart mass (1-d) returns
     to ``seed_node`` instead of spreading uniformly — the graph-proximity
@@ -219,24 +278,8 @@ def personalized_pagerank(
     restart = F.when(F.col("node") == seed_node, F.lit(1.0 - damping)).otherwise(
         F.lit(0.0)
     )
-    for i in range(iters):
-        shares = ranks.join(F.broadcast(deg), "node").select(
-            F.col("node").alias("src"),
-            F.round(F.col("rank") / F.col("out_deg"), 12)
-            .cast("decimal(38,12)")
-            .alias("_c"),
-        )
-        contrib = e.join(F.broadcast(shares), "src").select(
-            F.col("dst").alias("node"), "_c"
-        )
-        ranks = contrib.groupBy("node").agg(
-            F.round(
-                restart + F.lit(damping) * F.sum("_c").cast("double"), 12
-            ).alias("rank")
-        )
-        if (i + 1) % 4 == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    use_broadcast = _resolve_broadcast(broadcast_shares, deg, broadcast_max_nodes)
+    return _rank_rounds(e, deg, ranks, iters, restart, damping, use_broadcast)
 
 
 def sql_personalized_pagerank(
