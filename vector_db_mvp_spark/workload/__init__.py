@@ -50,23 +50,27 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 10
-    "part_kcore",                 # convergence early-exit in kcore_edges
-    "price_mad_by_flag",          # deviation CDF derived from p1 (no 2nd corpus
-                                  # pass); oracle enumerates the fixed flag domain
-    "spearman_quantity_price",    # moments split into _spearman_moments helper
-    "hll_audience_overlap",       # merged state keyed (g1,g2) directly, no
-                                  # concat_ws surrogate pair key
-    "ann_ivf_recall_curve",       # probe order from the engine cosine expression
-                                  # (tiny Spark frame), not a Python float fold
-    # r10 realism-audit re-instancings (each was a uniform instrument at
-    # gate scale; see COVERAGE.md "Instance realism audit")
-    "hll_audience_overlap",       # event_type -> daily audiences (jaccard varied)
-    "kmv_jaccard_event_types",    # same re-grouping
-    "dedup_ngram_containment",    # (n=5,tau=0.6) all-1.0 -> (n=3,tau=0.2)
-    "textrank_keywords",          # K24 complete graph -> mpc=30 irregular
-    "zorder_parts_curve",         # price bucket /100 constant -> /10 varied
-    "top_event_paths",            # 3-step paths all-unique -> 2-step ranking
+    # round 11
+    # substring family: max_postings cap added (the uncapped path's dup_h
+    # aggregation now also counts occurrences) + postings state read via
+    # recursiveFileLookup for the streaming gate's per-epoch subdirs
+    "exact_substring_pairs",
+    "incremental_substring",
+    "substring_clusters",
+    # pagerank/PPR: round loop factored into _rank_rounds with the
+    # broadcast_shares knob (expressions unchanged; plans identical at
+    # gate scale — re-verified anyway)
+    "supplier_pagerank",
+    "supplier_ppr",
+    # co-purchase graph family: edge build factored into
+    # workload/copurchase.py (edge SET identical; the symmetrize now
+    # derives from the grouped half-graph instead of union+distinct)
+    "copurchase_pairs",
+    "part_reachability",
+    "part_cheapest_routes",
+    "part_triangles",
+    "part_degree_assortativity",
+    "part_kcore",
 ]
 
 

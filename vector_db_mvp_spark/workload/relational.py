@@ -1873,24 +1873,18 @@ ORDER BY g.user_id, g.hour
 
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the 30 part pairs most often ordered
-    together. Distinct (order, part) first — the self-join is then
-    co-partitioned on orderkey (one shuffle feeds both sides) and quadratic
-    only WITHIN an order (baskets are bounded, ~7 lines), so the pair
-    explosion stays linear in orders at any corpus size."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
+    together, from the shared co-purchase edge build
+    (workload/copurchase.py: distinct (order, part), self-join
+    co-partitioned on orderkey, quadratic only within bounded baskets)."""
+    from .copurchase import copurchase_weighted
+
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        copurchase_weighted(spark, sf_dir)
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            "n_orders",
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(30)
     )
@@ -1925,25 +1919,15 @@ def _sql_distinct_kmv_users() -> str:
 
 
 def q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded BFS (operators/bfs.py) over the co-purchase graph: how many
-    parts sit 0/1/2/3 hops from seed part 1, where parts are adjacent when
-    some order contains both. Edge build is co-partitioned on orderkey and
-    quadratic only within bounded baskets (same shape as copurchase_pairs);
-    the traversal is one frontier-edge equi-join + one anti-join per round.
+    """Bounded BFS (operators/bfs.py) over the shared co-purchase graph
+    (workload/copurchase.py): how many parts sit 0/1/2/3 hops from seed
+    part 1, where parts are adjacent when some order contains both. The
+    traversal is one frontier-edge equi-join + one anti-join per round.
     Oracle: DuckDB WITH RECURSIVE walk, min-hop per node."""
     from ..operators.bfs import bfs_hops
+    from .copurchase import copurchase_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = copurchase_edges(spark, sf_dir)
     seeds = spark.range(1, 2).select(F.col("id").alias("node"))
     return (
         bfs_hops(edges, seeds, max_hops=3)
@@ -2364,24 +2348,14 @@ def q_part_triangles(spark, sf_dir):
     part pairs co-ordered >= 2 times): degree-oriented wedge join
     (operators/pagerank.py triangle_participation) — each triangle found
     once, wedge fan-out bounded by ordered out-degree, never an all-triples
-    scan. Top 20 parts by triangle count."""
+    scan. Top 20 parts by triangle count. Edge build is the shared
+    weighted co-purchase half-graph (workload/copurchase.py)."""
     from ..operators.pagerank import triangle_participation
+    from .copurchase import copurchase_weighted
 
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
         .select("src", "dst")
     )
     return (
@@ -4630,24 +4604,13 @@ def q_part_cheapest_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     link: genuinely non-metric weights, unlike any node-potential
     difference). Reports the 30 parts cheapest to reach from seed part 1
     within 3 hops. Integer-cent weights keep every cost exact — min over
-    paths has no float-accumulation ambiguity. Edge build is the
-    part_reachability basket-bounded join plus a per-pair count."""
+    paths has no float-accumulation ambiguity. Edge build is the shared
+    weighted co-purchase half-graph (workload/copurchase.py)."""
     from ..operators.bfs import cheapest_paths
+    from .copurchase import copurchase_weighted
 
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("co"))
-        .withColumn("w", F.expr("1000000 div co"))
+    pairs = copurchase_weighted(spark, sf_dir).withColumn(
+        "w", F.expr("1000000 div n_orders")
     )
     edges = pairs.select("src", "dst", "w").unionByName(
         pairs.select(
@@ -6334,18 +6297,11 @@ def q_part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins onto the edge list, one keyless moment fold. Degree
     products accumulate as DECIMAL(38,0) (deg² × |edges| wraps int64 on
     hub-heavy 100 TB graphs); the five moments feed one shared DOUBLE
-    expression, so both engines fold identical decimals."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    expression, so both engines fold identical decimals. Edge build is
+    the shared co-purchase graph (workload/copurchase.py)."""
+    from .copurchase import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     dx = deg.select(F.col("src").alias("src"), F.col("_deg").alias("dx"))
     dy = deg.select(F.col("src").alias("dst"), F.col("_deg").alias("dy"))
@@ -6748,20 +6704,12 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001), and parity holds even unconverged because the oracle
     unrolls the identical synchronous rounds (AS MATERIALIZED — each
     round reads its predecessor three times, and DuckDB would otherwise
-    inline-recompute the chain exponentially)."""
+    inline-recompute the chain exponentially). Edge build is the shared
+    co-purchase graph (workload/copurchase.py)."""
     from ..operators.kcore import kcore_nodes
+    from .copurchase import copurchase_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = copurchase_edges(spark, sf_dir)
     return (
         kcore_nodes(edges, _KCORE_K, _KCORE_ROUNDS)
         .select(F.col("node").alias("part"), "core_degree")
@@ -6799,6 +6747,53 @@ FROM e{rounds} GROUP BY 1 ORDER BY 1
 
 QUERIES["part_kcore"] = q_part_kcore
 ORACLE_SQL["part_kcore"] = _sql_part_kcore()
+
+
+def q_copurchase_hub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/serve-many demonstration for the shared co-purchase
+    graph (workload/copurchase.py): the weighted symmetrized edges are
+    published ONCE as a table bucketed+sorted on src, then TWO independent
+    consumers — co-purchase degree and total co-order weight per part —
+    aggregate on the bucket key and join, with ZERO exchanges anywhere in
+    the plan (plan-asserted in tests/test_copurchase.py: the bucket
+    layout satisfies both aggregations' and the join's distribution
+    requirement; only the publish itself shuffled, once). Returns the 20
+    heaviest hub parts. The oracle recomputes the same profile from
+    lineitem directly — proving the published artifact IS the graph, not
+    a cached approximation of it."""
+    from .copurchase import publish_copurchase_edges
+
+    t = spark.table(publish_copurchase_edges(spark, sf_dir))
+    deg = t.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    wt = t.groupBy("src").agg(
+        F.sum("n_orders").cast("long").alias("co_orders")
+    )
+    # merge hint: both agg outputs inherit the bucket partitioning on
+    # src, so the sort-merge join needs no exchange at all — without the
+    # hint Spark broadcasts the (small here) aggregated side, which is
+    # exactly the |V|-broadcast this artifact exists to avoid at scale.
+    return (
+        deg.join(wt.hint("merge"), "src")
+        .select(F.col("src").alias("part"), "degree", "co_orders")
+        .orderBy(F.desc("co_orders"), "part")
+        .limit(20)
+    )
+
+
+SQL_COPURCHASE_HUB_PROFILE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+e AS (SELECT src, dst, n FROM p UNION ALL SELECT dst, src, n FROM p)
+SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS degree,
+       CAST(SUM(n) AS BIGINT) AS co_orders
+FROM e GROUP BY 1 ORDER BY co_orders DESC, part LIMIT 20
+"""
+
+QUERIES["copurchase_hub_profile"] = q_copurchase_hub_profile
+ORACLE_SQL["copurchase_hub_profile"] = SQL_COPURCHASE_HUB_PROFILE
 
 
 def q_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
