@@ -62,11 +62,13 @@ HEADLINE = [
     "lm_perplexity",
     "duplicated_spans",
     "exact_substring_pairs",
+    "substring_pairs_capped",
     "forecast_revenue_change",
     "bm25_search",
     "hybrid_rrf",
     "min_cost_supplier",
     "copurchase_pairs",
+    "copurchase_hub_profile",
     "association_rules",
     "anomalous_hours",
     "events_gapfill",
@@ -222,6 +224,13 @@ def main() -> None:
         min_tokens=_SUBSTR_L,
         force=True,
     )
+    # Same contract for the bucketed co-purchase edge table:
+    # `copurchase_hub_profile` times the zero-exchange consumers.
+    from vector_db_mvp_spark.workload.copurchase import (  # noqa: E402
+        publish_copurchase_edges,
+    )
+
+    publish_copurchase_edges(spark, sf_dir, force=True)
     # The reference's PRIMARY read path end-to-end: EntityStore library ->
     # ChunkIndexStore (build once) -> 50 brute-force top-k searches per
     # pass. Bulk-loaded from the benched SF's embeddings so the serving
@@ -304,20 +313,48 @@ def main() -> None:
     # quiet number beside the protocol number so plan cost and protocol
     # cost are separately trackable (r7 verdict task 7).
     # Membership rule (r9 verdict task 4): part_reachability's DISK_ONLY
-    # checkpoints, plus every query whose r9 3-run spread exceeded 50% of
-    # its median (price_mad_by_flag 6.29/6.61, spearman 2.64/3.43, K-S
-    # 2.46/1.61, hdr 0.89/1.48) — the crowded-vs-quiet split separates
-    # neighborhood contention from plan cost for exactly the queries where
-    # the crowded number alone can't.
+    # checkpoints, plus every query whose 3-run spread exceeded 50% of
+    # its median in the latest round's record (r9: price_mad_by_flag
+    # 6.29/6.61, spearman 2.64/3.43, K-S 2.46/1.61, hdr 0.89/1.48;
+    # r10: mann_kendall_trend 4.79/5.43 — added per the rule, r10 verdict
+    # finding 2) — the crowded-vs-quiet split separates neighborhood
+    # contention from plan cost for exactly the queries where the crowded
+    # number alone can't.
     ISOLATED_PROBE = [
         "part_reachability",
         "price_mad_by_flag",
         "spearman_quantity_price",
         "ks_test_price_by_flag",
         "hdr_price_quantiles",
+        "mann_kendall_trend",
     ]
-    isolated: dict[str, list[float]] = {}
-    for name in ISOLATED_PROBE:
+    # Absolute canary (r10 verdict task 1): a FIXED family-spanning set,
+    # re-timed every round under this same quiet-JVM protocol and compared
+    # by the guard against .claude/bench_anchor.json — an anchor that is
+    # NEVER refreshed (no --update path; a justified re-anchor requires a
+    # written entry in BENCH_CREEP.md and a hand edit). The per-round
+    # crowded reference refresh forgives compounding creep (1.22x r9->r10
+    # went unflagged); the anchor cannot.
+    CANARY = [
+        "topk_cosine_brute",        # vector brute top-k
+        "lsh_topk_served",          # served ANN
+        "dedup_minhash_lsh",        # near-dup banding
+        "exact_substring_pairs",    # ExactSubstr postings join
+        "incremental_dedup",        # batch-vs-state path
+        "part_kcore",               # iterative graph peel
+        "supplier_pagerank",        # iterative graph rank
+        "part_reachability",        # BFS + DISK_ONLY checkpoints
+        "price_mad_by_flag",        # value-domain CDF statistics
+        "mann_kendall_trend",       # pairwise-trend statistics
+        "corpus_curation",          # composed curation pipeline
+        "sequence_packing",         # prefix-sum packing
+        "bm25_search",              # text retrieval
+        "kmeans_clusters",          # iterative ML
+        "streaming_heavy_hitters",  # streaming twin
+    ]
+    quiet_names = list(dict.fromkeys(ISOLATED_PROBE + CANARY))
+    quiet: dict[str, list[float]] = {}
+    for name in quiet_names:
         vals = []
         for _ in range(RUNS):
             _gc.collect()
@@ -325,7 +362,9 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             vals.append(time.perf_counter() - t0)
-        isolated[name] = [round(v, 4) for v in vals]
+        quiet[name] = [round(v, 4) for v in vals]
+    isolated = {n: quiet[n] for n in ISOLATED_PROBE}
+    canary = {n: quiet[n] for n in CANARY}
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -361,6 +400,10 @@ def main() -> None:
         # ISOLATED_PROBE comment above): crowded median minus quiet median
         # is the residual contention, comparable against "spread".
         "isolated": isolated,
+        # Fixed canary set (quiet-JVM protocol, same samples); the guard
+        # compares its medians against the never-refreshed
+        # .claude/bench_anchor.json (see CANARY comment above).
+        "canary": canary,
         # Metaspace (MB) at start / after codegen warm / at end — bounded
         # growth after warm-up means the 5000-entry codegen cache is not
         # creeping class metadata across the crowded runs (BENCH_CREEP.md).
