@@ -191,3 +191,74 @@ def test_capped_incremental_equals_capped_full_restricted(spark, tmp_path):
     assert got == full
     # the boilerplate pair (state x batch) is capped away; rare pair stays
     assert {(d1, d2) for (d1, d2, *_rest) in got} == {(10, 11)}
+
+
+def test_bucketed_state_table_same_pairs_no_state_side_exchange(
+    spark, tmp_path
+):
+    """The published bucketed postings table must (a) produce identical
+    pairs to the path-based state, (b) sort-merge the batch-vs-state
+    anchor join with NO exchange on the state branch — the bucket layout
+    on _h provides the partitioning (the incremental.py table pattern)."""
+    from vector_db_mvp_spark.operators.substring import (
+        _pairs_vs_state,
+        _postings,
+        build_substring_state,
+        incremental_substring_pairs,
+        incremental_substring_pairs_table,
+        publish_substring_state_table,
+    )
+
+    span = _w(7, "s")
+    rows = [
+        (1, _w(3, "a") + " " + span),
+        (2, _w(9, "x")),
+        (5, span + " " + _w(4, "y")),          # state sibling with the span
+        (10, _w(2, "b") + " " + span),          # batch: pairs with 1 and 5
+        (11, _w(8, "q")),
+    ]
+    docs = _docs(spark, rows)
+    state_docs = docs.filter("doc_id < 10")
+    batch_docs = docs.filter("doc_id >= 10")
+    prefix = "substrstate_test"
+    try:
+        publish_substring_state_table(
+            state_docs, prefix, str(tmp_path / "wh"), min_tokens=5
+        )
+        got = sorted(
+            map(
+                tuple,
+                incremental_substring_pairs_table(
+                    spark, prefix, batch_docs, min_tokens=5
+                ).collect(),
+            )
+        )
+        state = str(tmp_path / "plainstate")
+        build_substring_state(state_docs, state, min_tokens=5)
+        want = sorted(
+            map(
+                tuple,
+                incremental_substring_pairs(
+                    spark, state, batch_docs, min_tokens=5
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) == 2
+
+        # Plan pin on the exact join _pairs_vs_state executes: state
+        # branch = Sort -> Filter -> bucketed FileScan, no Exchange.
+        cand = _pairs_vs_state(
+            spark.table(f"{prefix}_postings"),
+            _postings(batch_docs, 5, "text", "doc_id"),
+            5,
+            None,
+            merge_hint=True,
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        k = plan.index(f"{prefix}_postings")
+        state_branch = plan[plan[:k].rindex("Sort [") : k]
+        assert "Exchange" not in state_branch, state_branch
+        assert "Bucketed: true" in plan[k : k + 300]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")

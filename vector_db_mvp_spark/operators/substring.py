@@ -240,17 +240,40 @@ def incremental_substring_pairs(
     re-ingested id would duplicate its postings and corrupt positions).
 
     Scale: the state side is pruned by the hash equi-join (postings of
-    matching L-grams only — at 100 TB publish the postings bucketed on
-    _h so the batch join sort-merges with zero state-side exchange, the
-    incremental.py table path)."""
-    L = min_tokens
+    matching L-grams only); at 100 TB use
+    :func:`publish_substring_state_table` +
+    :func:`incremental_substring_pairs_table` — the postings live
+    bucketed on _h, so the batch join sort-merges with zero state-side
+    exchange (the incremental.py table path, plan-asserted in
+    tests/test_substring.py)."""
     # recursiveFileLookup: the batch path writes postings flat, the
     # streaming gate (streaming/substring_stream.py) writes one
     # subdirectory per epoch for idempotent replays — read both layouts.
     state = spark.read.option("recursiveFileLookup", "true").parquet(
         os.path.join(state_path, "postings")
     )
-    batch = _postings(new_docs, L, text_col, id_col)
+    return _pairs_vs_state(
+        state,
+        _postings(new_docs, min_tokens, text_col, id_col),
+        min_tokens,
+        max_postings,
+        merge_hint=False,
+    )
+
+
+def _pairs_vs_state(
+    state: DataFrame,
+    batch: DataFrame,
+    L: int,
+    max_postings: int | None,
+    *,
+    merge_hint: bool,
+) -> DataFrame:
+    """Shared batch-vs-state body of the path and table incremental
+    variants; ``state``/``batch`` are postings frames (_id, _pos, _h).
+    ``merge_hint`` forces the hash equi-join to sort-merge so a bucketed
+    state side keeps its layout (no broadcast of batch postings, no
+    state-side exchange)."""
     if max_postings is not None:
         # Total (state + batch) occurrences per batch-touching hash; the
         # state side is pruned to matched hashes FIRST so the count scans
@@ -274,6 +297,8 @@ def incremental_substring_pairs(
     s = state.select(
         F.col("_h").alias("_hs"), F.col("_id").alias("ds"), F.col("_pos").alias("ps_")
     )
+    if merge_hint:
+        s = s.hint("merge")
     # batch-vs-state: orient (d1 < d2) and carry positions in pair order so
     # the diagonal arithmetic is orientation-consistent.
     vs_state = (
@@ -299,3 +324,60 @@ def incremental_substring_pairs(
         .select("d1", "d2", "pa", "pb", "_h")
     )
     return _pairs_from_matches(vs_state.unionByName(vs_batch), L)
+
+
+def publish_substring_state_table(
+    docs: DataFrame,
+    table_prefix: str,
+    warehouse_dir: str,
+    *,
+    min_tokens: int = 12,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The 100 TB variant of :func:`build_substring_state`: publish the
+    positional L-gram postings as a table BUCKETED+SORTED on the 8-byte
+    hash (the batch join key). The write pays the (_h) shuffle once;
+    every subsequent batch's anchor join sort-merges against the bucket
+    layout with NO state-side exchange (plan-asserted in
+    tests/test_substring.py) — the publish_dedup_state_table pattern
+    (operators/incremental.py) applied to the ExactSubstr postings.
+    Returns the table name."""
+    name = f"{table_prefix}_postings"
+    (
+        _postings(docs, min_tokens, text_col, id_col)
+        .write.bucketBy(buckets, "_h")
+        .sortBy("_h")
+        .option("path", os.path.join(warehouse_dir, name))
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return name
+
+
+def incremental_substring_pairs_table(
+    spark: SparkSession,
+    table_prefix: str,
+    new_docs: DataFrame,
+    *,
+    min_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Batch-vs-state exact-substring pairs against a bucketed state
+    published by :func:`publish_substring_state_table`: identical result
+    to :func:`incremental_substring_pairs` (pytest-pinned), but the hash
+    equi-join sort-merges on the bucket layout — only the batch side
+    shuffles. With ``max_postings`` the capped branch prunes and
+    checkpoints the matched state subset first (losing the layout for
+    the small matched frame only); the zero-exchange pin applies to the
+    uncapped path."""
+    return _pairs_vs_state(
+        spark.table(f"{table_prefix}_postings"),
+        _postings(new_docs, min_tokens, text_col, id_col),
+        min_tokens,
+        max_postings,
+        merge_hint=True,
+    )
