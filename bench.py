@@ -52,6 +52,7 @@ HEADLINE = [
     "sequence_packing",
     "incremental_dedup",
     "incremental_substring",
+    "incremental_substring_bucketed",
     "ann_projected_topk",
     "temperature_mix",
     "topk_cosine_pq",
@@ -231,6 +232,22 @@ def main() -> None:
     )
 
     publish_copurchase_edges(spark, sf_dir, force=True)
+    # And for the bucketed substring postings table:
+    # `incremental_substring_bucketed` times the per-batch merge join.
+    from vector_db_mvp_spark.operators.substring import (  # noqa: E402
+        publish_substring_state_table,
+        substring_table_prefix,
+    )
+
+    publish_substring_state_table(
+        load_table(spark, sf_dir, "documents").filter("doc_id % 10 < 8"),
+        substring_table_prefix(sf_dir, min_tokens=_SUBSTR_L),
+        os.environ.get(
+            "SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_served_index"
+        ),
+        min_tokens=_SUBSTR_L,
+        force=True,
+    )
     # The reference's PRIMARY read path end-to-end: EntityStore library ->
     # ChunkIndexStore (build once) -> 50 brute-force top-k searches per
     # pass. Bulk-loaded from the benched SF's embeddings so the serving

@@ -65,6 +65,7 @@ ALLOWED: dict[str, set[str]] = {
     "domain_quality_rollup": {"CONST_COL:n_hosts", "CONST_COL:n_langs"},
     "exact_substring_pairs": {"CONST_COL:n_spans"},
     "incremental_substring": {"CONST_COL:n_spans"},
+    "incremental_substring_bucketed": {"CONST_COL:n_spans"},
     "substring_pairs_capped": {"CONST_COL:n_spans"},
     "km_conversion_curve": {"CONST_COL:n_censored"},
     "cohort_retention": {"CONST_COL:cohort_week", "CONST_COL:n_active"},

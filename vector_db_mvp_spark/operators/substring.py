@@ -326,6 +326,16 @@ def _pairs_vs_state(
     return _pairs_from_matches(vs_state.unionByName(vs_batch), L)
 
 
+def substring_table_prefix(corpus_key: str, *, min_tokens: int) -> str:
+    """Deterministic session-table prefix for the bucketed postings of one
+    (corpus, L) — mirrors :func:`substring_state_path` for the table
+    layout ("t1" versions it)."""
+    key = hashlib.md5(
+        f"{corpus_key}|{min_tokens}|t1".encode()
+    ).hexdigest()[:12]
+    return f"substrstate_{key}"
+
+
 def publish_substring_state_table(
     docs: DataFrame,
     table_prefix: str,
@@ -335,6 +345,7 @@ def publish_substring_state_table(
     buckets: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    force: bool = True,
 ) -> str:
     """The 100 TB variant of :func:`build_substring_state`: publish the
     positional L-gram postings as a table BUCKETED+SORTED on the 8-byte
@@ -343,8 +354,12 @@ def publish_substring_state_table(
     layout with NO state-side exchange (plan-asserted in
     tests/test_substring.py) — the publish_dedup_state_table pattern
     (operators/incremental.py) applied to the ExactSubstr postings.
-    Returns the table name."""
+    Returns the table name. ``force=False`` skips the build when the
+    table already exists in this session's catalog (the
+    publish_copurchase_edges idempotence pattern)."""
     name = f"{table_prefix}_postings"
+    if not force and docs.sparkSession.catalog.tableExists(name):
+        return name
     (
         _postings(docs, min_tokens, text_col, id_col)
         .write.bucketBy(buckets, "_h")

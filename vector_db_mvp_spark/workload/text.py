@@ -988,6 +988,39 @@ ORDER BY doc1, doc2
 """
 
 
+def q_incremental_substring_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB table twin of incremental_substring: same batch/state
+    split, but the state side is the postings published BUCKETED+SORTED
+    on the hash (operators/substring.py publish_substring_state_table) —
+    the anchor join sort-merges on the bucket layout with zero state-side
+    exchange (plan-pinned in tests/test_substring.py). Identical oracle
+    to incremental_substring: the two physical strategies must agree
+    bit-for-bit on the restricted full recompute."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.substring import (
+        incremental_substring_pairs_table,
+        publish_substring_state_table,
+        substring_table_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    prefix = substring_table_prefix(sf_dir, min_tokens=_SUBSTR_L)
+    root = _os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        _os.path.join(_tempfile.gettempdir(), "spark_graft_served_index"),
+    )
+    publish_substring_state_table(
+        existing, prefix, root, min_tokens=_SUBSTR_L, force=False
+    )
+    return incremental_substring_pairs_table(
+        spark, prefix, batch, min_tokens=_SUBSTR_L
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit add-alpha bigram LM perplexity per document
     (operators/textops.py lm_score) — the CCNet-style quality signal."""
@@ -1244,6 +1277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "exact_substring_pairs": q_exact_substring_pairs,
     "incremental_substring": q_incremental_substring,
+    "incremental_substring_bucketed": q_incremental_substring_bucketed,
     "substring_clusters": q_substring_clusters,
     "substring_pairs_capped": q_substring_pairs_capped,
     "zipf_fit": q_zipf_fit,
@@ -1283,6 +1317,7 @@ ORACLE_SQL: dict[str, str] = {
     "duplicated_spans": _sql_duplicated_spans(),
     "exact_substring_pairs": _sql_exact_substring_pairs(),
     "incremental_substring": _sql_incremental_substring(),
+    "incremental_substring_bucketed": _sql_incremental_substring(),
     "substring_clusters": _sql_substring_clusters(),
     "substring_pairs_capped": _sql_exact_substring_pairs(
         max_postings=_SUBSTR_CAP
