@@ -156,3 +156,64 @@ def test_crash_between_append_and_marker_is_idempotent(
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
     }
     assert 9 in dupes2
+
+
+def test_compaction_flattens_state_and_preserves_detection(
+    spark, run_ingest, tmp_path
+):
+    """After N epochs the state holds N subdirectories; compaction folds
+    them into flat files (publish-then-swap) without changing a single
+    posting — detection after compaction must behave identically."""
+    import os
+
+    from vector_db_mvp_spark.operators.substring import (
+        compact_substring_state,
+    )
+
+    accepted, dupes, handler = run_ingest(
+        [[(1, BASE)], [(2, OTHER)], [(4, THIRD)]]
+    )
+    assert accepted == {1, 2, 4}
+    state = str(tmp_path / "state")
+    postings = os.path.join(state, "postings")
+    subdirs = [d for d in os.listdir(postings) if d.startswith("batch_")]
+    assert len(subdirs) == 3
+
+    def _rows():
+        df = spark.read.option("recursiveFileLookup", "true").parquet(postings)
+        return sorted((r["_id"], r["_pos"], r["_h"]) for r in df.collect())
+
+    before = _rows()
+    assert compact_substring_state(spark, state, min_files=1)
+    assert _rows() == before  # bit-identical postings
+    assert not [d for d in os.listdir(postings) if d.startswith("batch_")]
+
+    # detection against the compacted (flat) state still gates a copier
+    t0 = dt.datetime(2026, 1, 1, 13, 0, 0)
+    handler(spark.createDataFrame([(9, COPIER, t0)], SCHEMA), 3)
+    dupes2 = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert 9 in dupes2
+
+
+def test_compaction_refuses_uncommitted_epoch_remnant(
+    spark, run_ingest, tmp_path
+):
+    """A postings subdirectory without its replay marker is a crashed,
+    uncommitted delivery; folding it into the flat files would make the
+    epoch's redelivery double-append. Compaction must refuse."""
+    import os
+
+    from vector_db_mvp_spark.operators.substring import (
+        compact_substring_state,
+    )
+
+    accepted, dupes, handler = run_ingest([[(1, BASE)], [(2, OTHER)]])
+    state = str(tmp_path / "state")
+    os.remove(handler._batch_marker(1))  # simulate the crash window
+    assert compact_substring_state(spark, state, min_files=1) is False
+    # restore the marker: compaction proceeds
+    with open(handler._batch_marker(1), "w") as f:
+        f.write("ok")
+    assert compact_substring_state(spark, state, min_files=1) is True

@@ -396,3 +396,64 @@ def incremental_substring_pairs_table(
         max_postings,
         merge_hint=True,
     )
+
+
+def compact_substring_state(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    target_files: int = 8,
+    min_files: int = 32,
+) -> bool:
+    """Rewrite the postings state into ``target_files`` flat files when
+    fragmentation passes ``min_files`` — the compact_dedup_state pattern
+    (operators/incremental.py) for the substring gate. The streaming gate
+    writes one subdirectory per epoch (idempotent replays,
+    streaming/substring_stream.py), so a long-lived stream accumulates
+    directories whose listing/footer costs grow with epoch count; the
+    compaction folds them back into a flat layout (recursiveFileLookup
+    reads both, so readers never care which they get).
+
+    Safety: refuses (returns False) while any epoch subdirectory lacks
+    its replay marker — that remnant belongs to a crashed, uncommitted
+    delivery, and folding it into the flat files would make the epoch's
+    redelivery double-append (the handler's crash cleanup removes the
+    SUBDIRECTORY, which would no longer hold the rows). Run it between
+    stream runs, like the dedup-state compaction.
+
+    The rewrite is publish-then-swap: compacted data lands in a sibling
+    directory and the live directory is replaced only after the write
+    succeeds — a reader mid-swap sees old or new state, never a mix.
+    """
+    import shutil
+
+    live = os.path.join(state_path, "postings")
+    if not os.path.isdir(live):
+        return False
+    n_files = 0
+    for root_dir, _dirs, files in os.walk(live):
+        base = os.path.basename(root_dir)
+        if base.startswith("batch_"):
+            key = base[len("batch_"):]
+            if not os.path.exists(
+                os.path.join(state_path, f"_BATCH_{key}_OK")
+            ):
+                return False  # uncommitted crash remnant — do not fold
+        n_files += sum(1 for f in files if f.endswith(".parquet"))
+    if n_files < min_files:
+        return False
+    tmp = os.path.join(state_path, "_postings_compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(live)
+        .repartition(target_files)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = os.path.join(state_path, "_postings_old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
