@@ -217,3 +217,60 @@ def test_compaction_refuses_uncommitted_epoch_remnant(
     with open(handler._batch_marker(1), "w") as f:
         f.write("ok")
     assert compact_substring_state(spark, state, min_files=1) is True
+
+
+def test_auto_compaction_mid_stream(spark, tmp_path):
+    """compact_every folds the state after every N committed epochs
+    WITHOUT changing gate behavior — the stream keeps gating correctly
+    against the flattened state."""
+    import os
+
+    src = str(tmp_path / "in2")
+    t0 = dt.datetime(2026, 2, 1, 9, 0, 0)
+    batches = [[(1, BASE)], [(2, OTHER)], [(3, THIRD)], [(9, COPIER)]]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(d, t, t0 + dt.timedelta(minutes=i)) for d, t in rows], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+    handler = SubstringIngest(
+        str(tmp_path / "state2"),
+        str(tmp_path / "accepted2"),
+        str(tmp_path / "dupes2"),
+        min_tokens=6,
+        compact_every=2,
+    )
+    # low threshold so the mid-stream folds actually happen
+    import vector_db_mvp_spark.operators.substring as subm
+
+    orig = subm.compact_substring_state
+
+    def eager_compact(spark_, path, **kw):
+        kw["min_files"] = 1
+        return orig(spark_, path, **kw)
+
+    subm.compact_substring_state = eager_compact
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = substring_ingest_stream(
+            stream, handler, checkpoint=str(tmp_path / "ckpt2")
+        )
+        q.awaitTermination(180)
+    finally:
+        subm.compact_substring_state = orig
+    accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "accepted2")).collect()
+    }
+    dupes = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dupes2")).collect()
+    }
+    assert accepted == {1, 2, 3} and dupes == {9}
+    postings = os.path.join(str(tmp_path / "state2"), "postings")
+    # epoch 4's subdir may remain (written after the last fold); earlier
+    # epochs are folded flat
+    subdirs = [d for d in os.listdir(postings) if d.startswith("batch_")]
+    assert len(subdirs) < len(batches)

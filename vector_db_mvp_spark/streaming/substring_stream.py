@@ -68,6 +68,7 @@ class SubstringIngest:
         id_col: str = "doc_id",
         text_col: str = "text",
         checkpoint_dir: str | None = None,
+        compact_every: int | None = None,
     ) -> None:
         self.state_path = state_path
         self.accepted_path = accepted_path
@@ -76,6 +77,15 @@ class SubstringIngest:
         self.id_col = id_col
         self.text_col = text_col
         self.checkpoint_dir = checkpoint_dir
+        # Every N committed epochs, fold the per-epoch postings
+        # subdirectories into flat files (operators/substring.py
+        # compact_substring_state — listing costs grow with stream
+        # lifetime, ~40% of warm per-batch latency at 200 epochs,
+        # BENCH_stream.md r11). Safe mid-stream: handlers run
+        # sequentially and this epoch's marker is already written, so
+        # the quiescence guard sees a fully-committed state.
+        self.compact_every = compact_every
+        self._batches_since_compact = 0
 
     def _state_exists(self) -> bool:
         return os.path.exists(os.path.join(self.state_path, "_STATE_OK"))
@@ -160,6 +170,13 @@ class SubstringIngest:
                 f.write("ok")
         with open(self._batch_marker(batch_id), "w") as f:
             f.write("ok")
+        if self.compact_every:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_every:
+                from ..operators.substring import compact_substring_state
+
+                compact_substring_state(spark, self.state_path)
+                self._batches_since_compact = 0
 
 
 def substring_ingest_stream(
