@@ -180,3 +180,83 @@ def test_state_matches_accepted_corpus(spark, run_ingest, tmp_path):
         spark, str(tmp_path / "state"), probe, tau=0.4
     ).collect()
     assert {(r["id1"], r["id2"]) for r in pairs} == {(1, 9)}
+
+
+def test_crash_between_append_and_marker_is_idempotent(
+    spark, run_ingest, tmp_path
+):
+    """A crash AFTER the state append but BEFORE the replay marker makes
+    Spark redeliver the epoch. The redelivery must not duplicate the
+    batch's band/posting rows: _jaccard_verify counts postings ROWS, so a
+    double-appended doc INFLATES its Jaccard (a false positive can cross
+    tau) — the state must come back bit-identical."""
+    import os
+
+    accepted, dupes, handler = run_ingest(
+        [[(1, BASE), (2, OTHER)], [(4, THIRD)]]
+    )
+    assert accepted == {1, 2, 4}
+
+    def _rows(sub):
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            str(tmp_path / "state" / sub)
+        )
+        return sorted(map(tuple, df.collect()))
+
+    before = (_rows("bands"), _rows("postings"))
+    assert len(before[1]) == len(set(before[1]))
+
+    os.remove(handler._batch_marker(1))  # simulate the crash window
+    t0 = dt.datetime(2026, 1, 1, 12, 1, 0)
+    handler(spark.createDataFrame([(4, THIRD, t0)], SCHEMA), 1)
+    assert (_rows("bands"), _rows("postings")) == before
+
+    # detection downstream of the replay: a near-copy of doc 1 is gated,
+    # with the UNINFLATED jaccard (rows doubled would give a different
+    # score or spurious pairs)
+    handler(
+        spark.createDataFrame(
+            [(9, NEAR, t0 + dt.timedelta(minutes=2))], SCHEMA
+        ),
+        2,
+    )
+    dupes2 = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert 9 in dupes2
+
+
+def test_torn_state_append_is_healed_on_redelivery(
+    spark, run_ingest, tmp_path
+):
+    """The state is two sequential writes (bands, then postings); a crash
+    between them leaves a doc with band rows but no postings — candidates
+    that verify to nothing. The redelivery's remnant cleanup must heal
+    the tear."""
+    import os
+    import shutil
+
+    accepted, dupes, handler = run_ingest([[(1, BASE), (2, OTHER)]])
+    # epoch 1 "crashes" mid-state-append: bands written, postings not,
+    # marker not written
+    t0 = dt.datetime(2026, 1, 1, 12, 1, 0)
+    batch = spark.createDataFrame([(4, THIRD, t0)], SCHEMA)
+    handler(batch, 1)
+    bands_dir, post_dir = handler._batch_state_dirs(1)
+    os.remove(handler._batch_marker(1))
+    shutil.rmtree(post_dir)  # the torn half
+
+    handler(batch, 1)  # redelivery
+    assert os.path.isdir(bands_dir) and os.path.isdir(post_dir)
+    # doc 4 is whole again: a near-copy of THIRD is gated correctly
+    near_third = THIRD.replace("layers", "modules")
+    handler(
+        spark.createDataFrame(
+            [(9, near_third, t0 + dt.timedelta(minutes=2))], SCHEMA
+        ),
+        2,
+    )
+    dupes2 = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert 9 in dupes2

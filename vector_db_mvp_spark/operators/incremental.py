@@ -122,10 +122,18 @@ def incremental_minhash_pairs(
 
     Contract: ``new_docs`` ids must not already exist in the state (the
     standard append-only ingestion invariant) — a re-ingested id would
-    double its postings and skew the verify counts."""
+    double its postings and skew the verify counts.
+
+    recursiveFileLookup: the batch path writes the state flat; the
+    streaming gate (streaming/neardup_stream.py) writes one subdirectory
+    per epoch for idempotent replays — read both layouts."""
     return _incremental_pairs(
-        spark.read.parquet(os.path.join(state_path, "bands")),
-        spark.read.parquet(os.path.join(state_path, "postings")),
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(state_path, "bands")
+        ),
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(state_path, "postings")
+        ),
         new_docs,
         n=n,
         num_hashes=num_hashes,
@@ -252,22 +260,45 @@ def compact_dedup_state(
     The rewrite is publish-then-swap: compacted data lands in a sibling
     directory, the live directory is replaced only after the write
     succeeds — a reader mid-swap sees old or new state, never a mix.
+
+    The streaming gate writes one subdirectory per epoch (idempotent
+    replays); the file count and the read are recursive so those layouts
+    compact too. Refuses (returns False) while any epoch subdirectory
+    lacks its replay marker — folding an uncommitted crash remnant into
+    the flat files would make the epoch's redelivery double-append
+    (the substring-state compaction contract, operators/substring.py).
     """
     import shutil
 
-    def _n_files(d: str) -> int:
-        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    def _n_files(d: str) -> int | None:
+        """Recursive parquet count; None = an unmarked epoch remnant."""
+        total = 0
+        for root_dir, _dirs, files in os.walk(d):
+            base = os.path.basename(root_dir)
+            if base.startswith("batch_"):
+                key = base[len("batch_"):]
+                if not os.path.exists(
+                    os.path.join(state_path, f"_BATCH_{key}_OK")
+                ):
+                    return None
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
 
     did = False
     for sub in ("bands", "postings"):
         live = os.path.join(state_path, sub)
-        if not os.path.isdir(live) or _n_files(live) < min_files:
+        if not os.path.isdir(live):
+            continue
+        n = _n_files(live)
+        if n is None:
+            return False  # uncommitted crash remnant — do not fold
+        if n < min_files:
             continue
         tmp = os.path.join(state_path, f"_{sub}_compacting")
         shutil.rmtree(tmp, ignore_errors=True)
-        spark.read.parquet(live).repartition(target_files).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            live
+        ).repartition(target_files).write.mode("overwrite").parquet(tmp)
         old = os.path.join(state_path, f"_{sub}_old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(live, old)

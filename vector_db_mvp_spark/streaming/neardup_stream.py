@@ -25,16 +25,33 @@ fresh checkpoint, so an epoch-only key would silently drop the first
 batches of a legitimate new run. At 100 TB/day the state grows by the
 accepted docs only, and each micro-batch's cost is driven by the batch
 size, not the corpus — the same asymptotics as the batch incremental path.
+
+Idempotent state appends (the substring-gate fix, r11, applied here for
+the same crash window): a crash AFTER the state append but BEFORE the
+marker write redelivers the epoch, and a second append is NOT harmless —
+``_jaccard_verify`` counts postings ROWS, so a double-appended doc's
+Jaccard inflates (c=2,n1=4,n2=4 gives 0.333; doubling doc1's rows gives
+0.5 — a false positive can cross tau). Worse, the state is TWO sequential
+writes (bands, then postings); a crash between them leaves a doc with
+band rows but no postings — candidates that silently verify to nothing.
+Both hazards close the same way: each epoch's band/posting rows land in
+their OWN batch-keyed subdirectories (overwrite mode) and the handler
+removes its crash remnants BEFORE detection, so a redelivery is
+bit-identical. State reads use recursiveFileLookup
+(operators/incremental.py), accepting flat batch-built layouts and the
+stream's per-epoch subdirectories alike.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.incremental import build_dedup_state, incremental_minhash_pairs
+from ..operators.dedup import _band_rows, _shingle_digests, _spread_tokens
+from ..operators.incremental import incremental_minhash_pairs
 from .replay import batch_key
 
 
@@ -77,12 +94,25 @@ class NearDupIngest:
         key = batch_key(self.checkpoint_dir, batch_id)
         return os.path.join(self.state_path, f"_BATCH_{key}_OK")
 
+    def _batch_state_dirs(self, batch_id: int) -> tuple[str, str]:
+        key = batch_key(self.checkpoint_dir, batch_id)
+        return (
+            os.path.join(self.state_path, "bands", f"batch_{key}"),
+            os.path.join(self.state_path, "postings", f"batch_{key}"),
+        )
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         # foreachBatch re-delivers a batch after failures; the marker makes
         # the whole handler idempotent — a replayed batch is skipped before
         # any sink or state append can double-write.
         if os.path.exists(self._batch_marker(batch_id)):
             return
+        # Crash remnants: a prior delivery of THIS epoch appended some or
+        # all of its state subdirectories but died before the marker.
+        # Remove them so detection reruns against the exact pre-batch
+        # state (module docstring: a double-append inflates Jaccard).
+        for d in self._batch_state_dirs(batch_id):
+            shutil.rmtree(d, ignore_errors=True)
         spark = batch.sparkSession
         idc = self.id_col
         batch = batch.localCheckpoint(eager=True)  # micro-batches are small
@@ -128,15 +158,23 @@ class NearDupIngest:
         dupes.write.mode("append").parquet(self.dupes_path)
         accepted.write.mode("append").parquet(self.accepted_path)
         had_state = self._state_exists()
-        build_dedup_state(
-            accepted,
-            self.state_path,
-            mode="append" if had_state else "overwrite",
-            force=True,
-            id_col=idc,
-            text_col=self.text_col,
-            **self.cfg,
+        # Idempotent state append: this epoch's band/posting rows live in
+        # their own deterministic subdirectories (overwrite mode), so a
+        # replayed epoch rewrites rather than duplicates, and a torn
+        # bands-without-postings append is healed by the remnant cleanup.
+        post = _shingle_digests(
+            _spread_tokens(accepted, self.text_col, idc), self.cfg["n"]
+        ).localCheckpoint(eager=True)
+        bands_dir, post_dir = self._batch_state_dirs(batch_id)
+        _band_rows(
+            post, self.cfg["num_hashes"], self.cfg["bands"]
+        ).write.mode("overwrite").parquet(bands_dir)
+        post.withColumnRenamed("m", "s").write.mode("overwrite").parquet(
+            post_dir
         )
+        if not had_state:
+            with open(os.path.join(self.state_path, "_STATE_OK"), "w") as f:
+                f.write("ok")
         with open(self._batch_marker(batch_id), "w") as f:
             f.write("ok")
 

@@ -57,6 +57,9 @@ _CHANGED_THIS_ROUND = [
     "exact_substring_pairs",
     "incremental_substring",
     "substring_clusters",
+    # near-dup incremental: state reads via recursiveFileLookup (the
+    # neardup gate's idempotent per-epoch subdirectory layout)
+    "incremental_dedup",
     # pagerank/PPR: round loop factored into _rank_rounds with the
     # broadcast_shares knob (expressions unchanged; plans identical at
     # gate scale — re-verified anyway)
