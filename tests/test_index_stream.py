@@ -90,7 +90,10 @@ def test_replayed_batch_is_noop(spark, setup, tmp_path):
     changes = [("add", 10**9, new_vec, 1)]
     _run_changes(spark, tmp_path, handler, changes, "one")
 
-    idx = spark.read.parquet(handler.index_path)
+    # the artifact contract is recursive reads (per-epoch subdirs)
+    idx = spark.read.option("recursiveFileLookup", "true").parquet(
+        handler.index_path
+    )
     n1 = idx.count()
     assert idx.filter(F.col("vec_id") == 10**9).count() == 1
 
@@ -99,5 +102,89 @@ def test_replayed_batch_is_noop(spark, setup, tmp_path):
         changes, "op string, vec_id long, embedding array<float>, label int"
     )
     handler(batch, 0)
-    assert spark.read.parquet(handler.index_path).count() == n1
+    assert (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(handler.index_path)
+        .count()
+        == n1
+    )
     assert os.path.exists(handler._batch_marker(0))
+
+
+def test_crash_between_append_and_marker_is_idempotent(spark, setup, tmp_path):
+    """A crash AFTER the vector append but BEFORE the marker write
+    redelivers the epoch; the redelivery must rewrite the epoch's own
+    subdirectory, not append a second copy — duplicate ids in a serving
+    artifact surface as duplicate top-k results."""
+    _, qv, base_path = setup
+    root = str(tmp_path / "idx3")
+    handler = IndexMaintenance(base_path, PLANES, root=root)
+    new_vec = [0.1] * 64
+    changes = [("add", 10**9, new_vec, 1)]
+    _run_changes(spark, tmp_path, handler, changes, "crash")
+
+    def _count_new():
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(handler.index_path)
+            .filter(F.col("vec_id") == 10**9)
+            .count()
+        )
+
+    assert _count_new() == 1
+    os.remove(handler._batch_marker(0))  # simulate the crash window
+    batch = spark.createDataFrame(
+        changes, "op string, vec_id long, embedding array<float>, label int"
+    )
+    handler(batch, 0)  # redelivery
+    assert _count_new() == 1  # rewritten, not duplicated
+    # and the served query returns unique ids
+    got = lsh_topk_served(spark, base_path, new_vec, 5, PLANES, root=root)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert len(ids) == len(set(ids)) and 10**9 in ids
+
+
+def test_compaction_carries_stream_markers_and_refuses_remnants(
+    spark, setup, tmp_path
+):
+    """compact_served_artifact must (a) refuse while an epoch subdirectory
+    lacks its marker (uncommitted crash remnant), (b) carry the marker
+    files across the directory swap — losing them would make every past
+    epoch replayable (double-appends after compaction)."""
+    import shutil
+
+    from vector_db_mvp_spark.operators.served import (
+        compact_served_artifact,
+        tombstone_delete,
+    )
+
+    _, qv, base_path = setup
+    root = str(tmp_path / "idx4")
+    handler = IndexMaintenance(base_path, PLANES, root=root)
+    changes = [("add", 10**9, [0.1] * 64, 1)]
+    _run_changes(spark, tmp_path, handler, changes, "compact")
+    tombstone_delete(spark, handler.index_path, [1])
+
+    marker = handler._batch_marker(0)
+    os.remove(marker)  # unmarked epoch remnant
+    assert compact_served_artifact(spark, handler.index_path) is False
+    with open(marker, "w") as f:
+        f.write("ok")
+    assert compact_served_artifact(spark, handler.index_path) is True
+    assert os.path.exists(marker)  # carried across the swap
+    # replaying the folded epoch is STILL a no-op
+    n = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(handler.index_path)
+        .count()
+    )
+    batch = spark.createDataFrame(
+        changes, "op string, vec_id long, embedding array<float>, label int"
+    )
+    handler(batch, 0)
+    assert (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(handler.index_path)
+        .count()
+        == n
+    )

@@ -100,6 +100,7 @@ def append_to_served_index(
     *,
     embedding_col: str = "embedding",
     root: str | None = None,
+    subdir: str | None = None,
 ) -> str:
     """O(batch) ingestion into an existing LSH serving artifact: hash ONLY
     the new vectors (same Arrow matmul path as the build — codes are
@@ -109,7 +110,15 @@ def append_to_served_index(
     batch lands with one map-only job and queries see it immediately.
 
     Contract: ``new_rows`` ids must not already exist in the artifact
-    (append-only ingestion invariant)."""
+    (append-only ingestion invariant).
+
+    ``subdir``: idempotent-append mode for at-least-once callers (the
+    index-maintenance stream): rows land in ``<path>/<subdir>/`` with
+    OVERWRITE semantics, so a replayed epoch rewrites its own directory
+    instead of appending duplicate vectors (duplicate ids in a serving
+    artifact surface as duplicate top-k results). Serve paths read the
+    artifact with recursiveFileLookup, so flat and subdirectory layouts
+    are equivalent."""
     path = served_index_path(corpus_path, planes, root=root)
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         raise FileNotFoundError(f"no served index at {path}; build first")
@@ -118,7 +127,10 @@ def append_to_served_index(
         planes,
         embedding_col=embedding_col,
     )
-    indexed.write.mode("append").parquet(path)
+    if subdir is not None:
+        indexed.write.mode("overwrite").parquet(os.path.join(path, subdir))
+    else:
+        indexed.write.mode("append").parquet(path)
     return path
 
 
@@ -253,7 +265,10 @@ def pq_topk_served(
     from .pq import pq_topk
 
     encoded = apply_tombstones(
-        spark, spark.read.parquet(path), path, id_col=id_col
+        spark,
+        spark.read.option("recursiveFileLookup", "true").parquet(path),
+        path,
+        id_col=id_col,
     )
     return pq_topk(
         encoded, codebooks, [float(x) for x in query_vector], k,
@@ -281,7 +296,10 @@ def lsh_topk_served(
         spark, corpus_path, planes, embedding_col=embedding_col, root=root
     )
     idx = apply_tombstones(
-        spark, spark.read.parquet(path), path, id_col=id_col
+        spark,
+        spark.read.option("recursiveFileLookup", "true").parquet(path),
+        path,
+        id_col=id_col,
     )
     qv = [float(x) for x in query_vector]
     qc = bucket_codes_native(qv, planes)
@@ -348,24 +366,45 @@ def compact_served_artifact(
     directories are swapped only after the write succeeds — a reader
     mid-swap sees old or new state, never a mix. Returns True if a rewrite
     happened. Run it when the tombstone set approaches the broadcast
-    budget; until then deletes stay O(batch)."""
+    budget; until then deletes stay O(batch).
+
+    Stream-epoch awareness: the index-maintenance stream appends one
+    subdirectory per epoch (idempotent replays). Compaction folds them
+    flat, REFUSES while any epoch subdirectory lacks its replay marker
+    (an uncommitted crash remnant must stay a directory so its
+    redelivery cleanup can remove it), and carries the marker files into
+    the new layout — they live inside the artifact directory, and losing
+    them across the swap would make every past epoch replayable."""
     import shutil
 
     td = os.path.join(path, "_tombstones")
     if not os.path.isdir(td):
         return False
+    for d in os.listdir(path):
+        if d.startswith("batch_") and os.path.isdir(os.path.join(path, d)):
+            key = d[len("batch_"):]
+            if not os.path.exists(
+                os.path.join(path, f"_STREAM_BATCH_{key}_OK")
+            ):
+                return False  # uncommitted crash remnant — do not fold
     n_tombs = spark.read.parquet(td).select(id_col).distinct().count()
     if n_tombs < min_tombstones:
         return False
     tmp = path + "_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     live = apply_tombstones(
-        spark, spark.read.parquet(path), path, id_col=id_col
+        spark,
+        spark.read.option("recursiveFileLookup", "true").parquet(path),
+        path,
+        id_col=id_col,
     )
     live.write.mode("overwrite").parquet(tmp)
-    # carry sidecars (codebooks/centroids) into the new layout
+    # carry sidecars (codebooks/centroids) AND stream replay markers into
+    # the new layout
     for f in os.listdir(path):
-        if f.endswith(".json"):
+        if f.endswith(".json") or (
+            f.startswith("_STREAM_BATCH_") and f.endswith("_OK")
+        ):
             shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
     old = path + "_old"
     shutil.rmtree(old, ignore_errors=True)

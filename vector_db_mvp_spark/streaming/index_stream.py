@@ -77,6 +77,9 @@ class IndexMaintenance:
         key = batch_key(self.checkpoint_dir, batch_id)
         return os.path.join(self.index_path, f"_STREAM_BATCH_{key}_OK")
 
+    def _batch_subdir(self, batch_id: int) -> str:
+        return f"batch_{batch_key(self.checkpoint_dir, batch_id)}"
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._batch_marker(batch_id)):
             return
@@ -85,12 +88,25 @@ class IndexMaintenance:
             spark, self.corpus_path, self.planes,
             embedding_col=self.embedding_col, root=self.root,
         )
+        # Crash remnant: a prior delivery of THIS epoch appended its
+        # vectors but died before the marker write. Remove its directory
+        # so the redelivery is a rewrite, not a duplicate append —
+        # duplicate ids in a serving artifact surface as duplicate top-k
+        # results. (Tombstone re-appends are already idempotent: markers
+        # are distinct-ed at read time.)
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.index_path, self._batch_subdir(batch_id)),
+            ignore_errors=True,
+        )
         batch = batch.localCheckpoint(eager=True)  # micro-batches are small
         adds = batch.filter(F.col("op") == "add").drop("op")
         if adds.take(1):
             append_to_served_index(
                 spark, adds, self.corpus_path, self.planes,
                 embedding_col=self.embedding_col, root=self.root,
+                subdir=self._batch_subdir(batch_id),
             )
         del_ids = batch.filter(F.col("op") == "delete").select(self.id_col)
         if del_ids.take(1):
