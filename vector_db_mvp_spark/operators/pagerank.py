@@ -349,3 +349,114 @@ def sql_pagerank(
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def hits(
+    edges: DataFrame,
+    iters: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_distinct: bool = False,
+    broadcast_shares: bool | str = "auto",
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg '99) over a DIRECTED edge list:
+    hub scores for sources, authority scores for destinations, L1
+    normalization after each half-step (sum-to-one keeps every update a
+    rational of exact decimal sums — the same cross-engine pinning
+    discipline as :func:`pagerank`: per-edge terms rounded to 12 decimals
+    and summed as decimal(38,12), divisions double-rounded to 12).
+
+    Returns (node, role, score) with role ∈ {'hub', 'authority'} — every
+    source node gets a hub row, every destination an authority row.
+
+    Physical plan per round: two keyed aggregations (one shuffle each, on
+    dst then src) over the static checkpointed edge scan, plus two 1-row
+    norm aggregates broadcast back via crossJoin. The score-frame joins
+    follow the ``broadcast_shares`` knob: broadcast below
+    ``broadcast_max_nodes``, shuffle-hash co-shuffle above it (no
+    |V|-sized broadcast at web scale) — same contract, same "auto"
+    resolution as pagerank, both paths bit-identical.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    hub = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("score")
+    )
+    use_broadcast = _resolve_broadcast(broadcast_shares, hub, broadcast_max_nodes)
+
+    def _join(scores: DataFrame, key: str) -> DataFrame:
+        s = scores.select(F.col("node").alias(key), "score")
+        return (
+            e.join(F.broadcast(s), key)
+            if use_broadcast
+            else e.join(s.hint("shuffle_hash"), key)
+        )
+
+    def _half_step(scores: DataFrame, from_key: str, to_key: str) -> DataFrame:
+        raw = (
+            _join(scores, from_key)
+            .select(
+                F.col(to_key).alias("node"),
+                F.round("score", 12).cast("decimal(38,12)").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+            .localCheckpoint(eager=True)  # consumed by the norm agg AND the division
+        )
+        tot = raw.agg(F.sum("_s").alias("_tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.round(
+                F.col("_s").cast("double") / F.col("_tot").cast("double"), 12
+            ).alias("score"),
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+    return hub.select("node", F.lit("hub").alias("role"), "score").unionAll(
+        auth.select("node", F.lit("authority").alias("role"), "score")
+    )
+
+
+def sql_hits(edges_cte: str, iters: int) -> str:
+    """DuckDB unrolled mirror of :func:`hits`. ``edges_cte`` must yield a
+    distinct directed (src, dst)."""
+    parts = [
+        f"e AS ({edges_cte})",
+        "h0 AS (SELECT DISTINCT src AS node, 1.0 AS score FROM e)",
+    ]
+    for i in range(1, iters + 1):
+        for raw, cur, prev, jk, gk in (
+            (f"a{i}_raw", f"a{i}", f"h{i - 1}", "src", "dst"),
+            (f"h{i}_raw", f"h{i}", f"a{i}", "dst", "src"),
+        ):
+            parts.append(
+                f"""{raw} AS (
+  SELECT e.{gk} AS node,
+         SUM(CAST(ROUND(p.score, 12) AS DECIMAL(38,12))) AS s
+  FROM e JOIN {prev} p ON e.{jk} = p.node
+  GROUP BY 1
+)"""
+            )
+            parts.append(
+                f"""{cur} AS (
+  SELECT node,
+         ROUND(CAST(s AS DOUBLE)
+               / CAST((SELECT SUM(s) FROM {raw}) AS DOUBLE), 12) AS score
+  FROM {raw}
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, 'hub' AS role, score FROM h{iters}
+UNION ALL
+SELECT node, 'authority' AS role, score FROM a{iters}"""
+    )

@@ -6834,3 +6834,385 @@ def _sql_hll_audience_overlap() -> str:
 
 QUERIES["hll_audience_overlap"] = q_hll_audience_overlap
 ORACLE_SQL["hll_audience_overlap"] = _sql_hll_audience_overlap()
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood-structure graph features (round 11): local clustering
+# coefficient, Adamic-Adar link prediction, HITS hubs/authorities — the
+# per-node / per-pair / bipartite-rank companions to the whole-graph family
+# (triangles, k-core, assortativity, PageRank). All three ride the shared
+# co-purchase / trade edge builds (workload/copurchase.py et al.), so their
+# corpus-sized cost is the already-factored edge scan.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_SQL = """
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the >=2-order co-purchase graph
+    (operators/linkpred.py): how tightly each part's co-purchase
+    neighborhood closes on itself — the per-node refinement of
+    ``part_triangles``'s raw counts. Top 20 by (coeff, deg) among nodes
+    with deg >= 3 (deg-2 nodes are trivially 0-or-1 and would drown the
+    ranking in ties). Triangle side is the degree-oriented wedge join;
+    degree side one map-side-combined groupBy; both bounded, never
+    all-pairs."""
+    from ..operators.linkpred import clustering_coefficient
+    from .copurchase import copurchase_weighted
+
+    pairs = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        clustering_coefficient(pairs)
+        .filter(F.col("deg") >= 3)
+        .orderBy(F.desc("coeff"), F.desc("deg"), "node")
+        .limit(20)
+    )
+
+
+def _sql_part_clustering_coeff() -> str:
+    from ..operators.linkpred import sql_clustering_coefficient
+
+    body = sql_clustering_coefficient(_COPURCHASE_EDGES_SQL)
+    return (
+        f"SELECT * FROM ({body}) cc"
+        "\nWHERE deg >= 3 ORDER BY coeff DESC, deg DESC, node ASC LIMIT 20"
+    )
+
+
+def q_part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the >=2-order co-purchase graph
+    (operators/linkpred.py): the 20 strongest NOT-yet-co-purchased part
+    pairs by shared-neighborhood evidence Σ 1/ln(deg) — the classic
+    "customers who bought these also bought" candidate generator. Wedge
+    join keyed on the common neighbor, existing edges excluded by a
+    left-anti join; per-center terms decimal-pinned so engine/partition
+    order cannot drift the score. The production hub cap
+    (max_center_degree) stays off here so the oracle is exact."""
+    from ..operators.linkpred import adamic_adar
+    from .copurchase import copurchase_weighted
+
+    pairs = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        adamic_adar(pairs)
+        .orderBy(F.desc("score"), "a", "b")
+        .limit(20)
+    )
+
+
+def _sql_part_adamic_adar() -> str:
+    from ..operators.linkpred import sql_adamic_adar
+
+    return (
+        sql_adamic_adar(_COPURCHASE_EDGES_SQL)
+        + "\nORDER BY score DESC, a ASC, b ASC LIMIT 20"
+    )
+
+
+def q_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round HITS over the DIRECTED customer->supplier trade graph
+    (operators/pagerank.py hits): customers as hubs, suppliers as
+    authorities, L1-normalized each half-step. Top 15 per role. The
+    bipartite direction is what PageRank's symmetrized walk cannot see:
+    a good hub is a customer whose suppliers are themselves endorsed by
+    other well-connected customers. Same share-join knob as pagerank
+    (broadcast below 2M nodes, co-shuffle above)."""
+    from ..operators.pagerank import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    scores = hits(pairs, 2, assume_distinct=True)
+    hub_top = (
+        scores.filter(F.col("role") == "hub")
+        .orderBy(F.desc("score"), "node")
+        .limit(15)
+    )
+    auth_top = (
+        scores.filter(F.col("role") == "authority")
+        .orderBy(F.desc("score"), "node")
+        .limit(15)
+    )
+    return hub_top.unionAll(auth_top).orderBy(
+        "role", F.desc("score"), "node"
+    )
+
+
+def _sql_trade_hits() -> str:
+    from ..operators.pagerank import sql_hits
+
+    edges = """
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+    body = sql_hits(edges, 2)
+    return f"""
+WITH scores AS ({body})
+SELECT * FROM (
+  (SELECT node, role, score FROM scores WHERE role = 'hub'
+   ORDER BY score DESC, node ASC LIMIT 15)
+  UNION ALL
+  (SELECT node, role, score FROM scores WHERE role = 'authority'
+   ORDER BY score DESC, node ASC LIMIT 15)
+)
+ORDER BY role ASC, score DESC, node ASC
+"""
+
+
+QUERIES["part_clustering_coeff"] = q_part_clustering_coeff
+ORACLE_SQL["part_clustering_coeff"] = _sql_part_clustering_coeff()
+QUERIES["part_adamic_adar"] = q_part_adamic_adar
+ORACLE_SQL["part_adamic_adar"] = _sql_part_adamic_adar()
+QUERIES["trade_hits"] = q_trade_hits
+ORACLE_SQL["trade_hits"] = _sql_trade_hits()
+
+
+# ---------------------------------------------------------------------------
+# Time-series structure of the daily revenue series (round 11): ACF and
+# weekly seasonal decomposition — the lag/seasonality companions to the
+# trend (Mann-Kendall), level-shift (CUSUM/changepoint), and smoothing
+# (moving-average) queries already in the family. Both collapse the corpus
+# to the saturating |days| domain first (one map-side-combined groupBy in
+# integer cents), so every pairwise/windowed step after that is
+# N-independent — the Mann-Kendall scale argument verbatim.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..14 — the "is
+    there weekly periodicity" instrument (the lag-7/14 spikes) a forecast
+    pipeline computes before choosing seasonal terms.
+
+    EXACT integer arithmetic end-to-end: with T = Σy, n = |days| and the
+    lag-k pair set P_k, the biased ACF estimator r_k = num_k / den with
+      n²·num_k = n²·Σ_{P_k} y_t·y_{t+k} − n·T·Σ_{P_k}(y_t + y_{t+k}) + |P_k|·T²
+      n²·den   = n²·Σ y² − n·T²
+    is a ratio of exact DECIMAL(38,0) integers (cents), so the only float
+    step is the final division — engine- and partitioning-independent by
+    construction (the Spearman/changepoint lesson). Magnitudes stay under
+    1e38 through sf100.
+
+    Physical plan: per-day groupBy (integer cents, map-side partials),
+    then a 14-way explode of the |days| frame self-joined on x+lag —
+    pairwise work is |days|·14, N-independent; the stats frame is one
+    broadcast row."""
+    o = load_table(spark, sf_dir, "orders")
+    d18 = "decimal(18,0)"
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("_d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("_d"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=True)  # feeds stats, both join sides
+    )
+    stats = daily.agg(
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("y").cast(d18) * F.col("y").cast(d18)).cast(d38))
+        .cast(d38)
+        .alias("syy"),
+    )
+    exp = daily.select(
+        "x",
+        F.col("y").alias("y1"),
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag"),
+    ).withColumn("x2", F.col("x") + F.col("lag"))
+    pairs = exp.join(
+        daily.select(F.col("x").alias("x2"), F.col("y").alias("y2")), "x2"
+    )
+    by_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("y1").cast(d18) * F.col("y2").cast(d18)).cast(d38))
+        .cast(d38)
+        .alias("s12"),
+        F.sum((F.col("y1").cast(d18) + F.col("y2").cast(d18)).cast(d38))
+        .cast(d38)
+        .alias("s1p2"),
+    )
+    n2 = F.col("n").cast(d38) * F.col("n").cast(d38)
+    num = (
+        n2 * F.col("s12")
+        - F.col("n").cast(d38) * F.col("t") * F.col("s1p2")
+        + F.col("n_pairs").cast(d38) * F.col("t") * F.col("t")
+    )
+    den = n2 * F.col("syy") - F.col("n").cast(d38) * F.col("t") * F.col("t")
+    return (
+        by_lag.crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+SQL_REVENUE_ACF = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+stats AS (
+  SELECT CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS t,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM daily),
+by_lag AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(d1.y AS HUGEINT) * CAST(d2.y AS HUGEINT)) AS HUGEINT) AS s12,
+         CAST(SUM(CAST(d1.y AS HUGEINT) + CAST(d2.y AS HUGEINT)) AS HUGEINT) AS s1p2
+  FROM daily d1
+  CROSS JOIN (SELECT UNNEST(range(1, 15)) AS lag) l
+  JOIN daily d2 ON d2.x = d1.x + l.lag
+  GROUP BY 1)
+SELECT lag, n_pairs,
+       round(CAST(n*n*s12 - n*t*s1p2 + CAST(n_pairs AS HUGEINT)*t*t AS DOUBLE)
+             / CAST(n*n*syy - n*t*t AS DOUBLE), 6) AS acf
+FROM by_lag CROSS JOIN stats
+ORDER BY lag
+"""
+
+
+def q_revenue_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition of daily revenue — classical
+    moving-average decomposition, the STL-lite every demand-forecast
+    pipeline runs first: trend = centered 7-day moving average (only
+    where all 7 days exist), seasonal(dow) = mean of the detrended
+    series per day-of-week. Output: one row per dow slot (x mod 7 —
+    calendar-function-free, so both engines agree on negative/edge
+    dates), the day count, and the seasonal index in dollars.
+
+    Exact until the last step: the 7-day trend is kept as the UNDIVIDED
+    window sum (trend7 = Σ±3 y, integer cents), the detrended series as
+    7·y − trend7 (exact), so seasonal = Σdet / m / 7 / 100 is one double
+    division at the end, rounded to 6.
+
+    Physical plan: per-day groupBy, a 7-way explode/regroup for the
+    centered window (|days|-sized, N-independent; no single-partition
+    ORDER BY window), one |dow|=7 groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("_d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("_d"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=True)  # window contributions + detrend join
+    )
+    win = (
+        daily.select(
+            "y", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("o"),
+            F.col("x").alias("_x"),
+        )
+        .select((F.col("_x") + F.col("o")).alias("x"), "y")
+        .groupBy("x")
+        .agg(
+            F.sum(F.col("y").cast(d38)).cast(d38).alias("trend7"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+        .filter(F.col("_m") == 7)
+    )
+    det = daily.join(win, "x").select(
+        F.pmod(F.col("x"), F.lit(7)).cast("long").alias("dow_idx"),
+        (F.lit(7).cast(d38) * F.col("y").cast(d38) - F.col("trend7")).alias("det"),
+    )
+    return (
+        det.groupBy("dow_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("det").cast(d38).alias("_sd"),
+        )
+        .select(
+            "dow_idx",
+            "n_days",
+            F.round(
+                F.col("_sd").cast("double")
+                / F.col("n_days").cast("double")
+                / 7.0
+                / 100.0,
+                6,
+            ).alias("seasonal_dollars"),
+        )
+        .orderBy("dow_idx")
+    )
+
+
+SQL_REVENUE_WEEKLY_SEASONALITY = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+win AS (
+  SELECT d.x + o.o AS x,
+         CAST(SUM(CAST(d.y AS HUGEINT)) AS HUGEINT) AS trend7,
+         COUNT(*) AS m
+  FROM daily d CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS o) o
+  GROUP BY 1 HAVING COUNT(*) = 7),
+det AS (
+  SELECT CAST(((d.x % 7) + 7) % 7 AS BIGINT) AS dow_idx,
+         7 * CAST(d.y AS HUGEINT) - w.trend7 AS det
+  FROM daily d JOIN win w ON d.x = w.x)
+SELECT dow_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(SUM(det) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 7.0 / 100.0,
+             6) AS seasonal_dollars
+FROM det GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["revenue_acf"] = q_revenue_acf
+ORACLE_SQL["revenue_acf"] = SQL_REVENUE_ACF
+QUERIES["revenue_weekly_seasonality"] = q_revenue_weekly_seasonality
+ORACLE_SQL["revenue_weekly_seasonality"] = SQL_REVENUE_WEEKLY_SEASONALITY
