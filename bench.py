@@ -143,6 +143,12 @@ HEADLINE = [
     "dedup_weighted_jaccard",
     "part_kcore",
     "hll_audience_overlap",
+    "part_clustering_coeff",
+    "part_adamic_adar",
+    "trade_hits",
+    "revenue_acf",
+    "ql_dirichlet_search",
+    "nb_language_confusion",
 ]
 
 

@@ -38,6 +38,10 @@ ALLOWED: dict[str, set[str]] = {
     "media_resize": {"CONST_COL:width", "CONST_COL:height"},
     "temperature_mix": {"CONST_COL:quota"},
     "topk_cosine_filtered": {"CONST_COL:label"},
+    # top-15 by QL score: full-match docs dominate, so n_matched saturates
+    # at |Q| in the head by construction (score is the instrument, 15
+    # distinct values; the unit tests pin the 0/partial-match legs)
+    "ql_dirichlet_search": {"CONST_COL:n_matched"},
     "customers_all_priorities": {"CONST_COL:n_priorities"},
     "fuzzy_part_names": {"CONST_COL:dist"},
     # whole-corpus total repeated per row

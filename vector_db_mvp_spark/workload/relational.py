@@ -6994,13 +6994,14 @@ ORACLE_SQL["trade_hits"] = _sql_trade_hits()
 
 
 # ---------------------------------------------------------------------------
-# Time-series structure of the daily revenue series (round 11): ACF and
-# weekly seasonal decomposition — the lag/seasonality companions to the
-# trend (Mann-Kendall), level-shift (CUSUM/changepoint), and smoothing
-# (moving-average) queries already in the family. Both collapse the corpus
-# to the saturating |days| domain first (one map-side-combined groupBy in
-# integer cents), so every pairwise/windowed step after that is
-# N-independent — the Mann-Kendall scale argument verbatim.
+# Time-series structure of the daily revenue series (round 11): the
+# autocorrelation function — the lag-structure companion to the trend
+# (Mann-Kendall), level-shift (CUSUM/changepoint), smoothing
+# (moving-average) and decomposition (revenue_seasonal_decomposition)
+# queries already in the family. Collapses the corpus to the saturating
+# |days| domain first (one map-side-combined groupBy in integer cents),
+# so the lagged pair join is N-independent — the Mann-Kendall scale
+# argument verbatim.
 # ---------------------------------------------------------------------------
 
 
@@ -7113,106 +7114,5 @@ ORDER BY lag
 """
 
 
-def q_revenue_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly seasonal decomposition of daily revenue — classical
-    moving-average decomposition, the STL-lite every demand-forecast
-    pipeline runs first: trend = centered 7-day moving average (only
-    where all 7 days exist), seasonal(dow) = mean of the detrended
-    series per day-of-week. Output: one row per dow slot (x mod 7 —
-    calendar-function-free, so both engines agree on negative/edge
-    dates), the day count, and the seasonal index in dollars.
-
-    Exact until the last step: the 7-day trend is kept as the UNDIVIDED
-    window sum (trend7 = Σ±3 y, integer cents), the detrended series as
-    7·y − trend7 (exact), so seasonal = Σdet / m / 7 / 100 is one double
-    division at the end, rounded to 6.
-
-    Physical plan: per-day groupBy, a 7-way explode/regroup for the
-    centered window (|days|-sized, N-independent; no single-partition
-    ORDER BY window), one |dow|=7 groupBy."""
-    o = load_table(spark, sf_dir, "orders")
-    d38 = "decimal(38,0)"
-    daily = (
-        o.groupBy(F.to_date("o_orderdate").alias("_d"))
-        .agg(
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-            )
-            .cast("long")
-            .alias("y")
-        )
-        .select(
-            F.datediff(F.col("_d"), F.lit("1995-01-01").cast("date"))
-            .cast("long")
-            .alias("x"),
-            "y",
-        )
-        .localCheckpoint(eager=True)  # window contributions + detrend join
-    )
-    win = (
-        daily.select(
-            "y", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("o"),
-            F.col("x").alias("_x"),
-        )
-        .select((F.col("_x") + F.col("o")).alias("x"), "y")
-        .groupBy("x")
-        .agg(
-            F.sum(F.col("y").cast(d38)).cast(d38).alias("trend7"),
-            F.count(F.lit(1)).alias("_m"),
-        )
-        .filter(F.col("_m") == 7)
-    )
-    det = daily.join(win, "x").select(
-        F.pmod(F.col("x"), F.lit(7)).cast("long").alias("dow_idx"),
-        (F.lit(7).cast(d38) * F.col("y").cast(d38) - F.col("trend7")).alias("det"),
-    )
-    return (
-        det.groupBy("dow_idx")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.sum("det").cast(d38).alias("_sd"),
-        )
-        .select(
-            "dow_idx",
-            "n_days",
-            F.round(
-                F.col("_sd").cast("double")
-                / F.col("n_days").cast("double")
-                / 7.0
-                / 100.0,
-                6,
-            ).alias("seasonal_dollars"),
-        )
-        .orderBy("dow_idx")
-    )
-
-
-SQL_REVENUE_WEEKLY_SEASONALITY = """
-WITH daily AS (
-  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-              AS BIGINT) AS x,
-         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-              AS BIGINT) AS y
-  FROM orders GROUP BY 1),
-win AS (
-  SELECT d.x + o.o AS x,
-         CAST(SUM(CAST(d.y AS HUGEINT)) AS HUGEINT) AS trend7,
-         COUNT(*) AS m
-  FROM daily d CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS o) o
-  GROUP BY 1 HAVING COUNT(*) = 7),
-det AS (
-  SELECT CAST(((d.x % 7) + 7) % 7 AS BIGINT) AS dow_idx,
-         7 * CAST(d.y AS HUGEINT) - w.trend7 AS det
-  FROM daily d JOIN win w ON d.x = w.x)
-SELECT dow_idx,
-       CAST(COUNT(*) AS BIGINT) AS n_days,
-       round(CAST(SUM(det) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 7.0 / 100.0,
-             6) AS seasonal_dollars
-FROM det GROUP BY 1 ORDER BY 1
-"""
-
-
 QUERIES["revenue_acf"] = q_revenue_acf
 ORACLE_SQL["revenue_acf"] = SQL_REVENUE_ACF
-QUERIES["revenue_weekly_seasonality"] = q_revenue_weekly_seasonality
-ORACLE_SQL["revenue_weekly_seasonality"] = SQL_REVENUE_WEEKLY_SEASONALITY

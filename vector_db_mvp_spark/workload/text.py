@@ -1912,3 +1912,81 @@ ORDER BY id1, id2
 
 QUERIES["dedup_weighted_jaccard"] = q_dedup_weighted_jaccard
 ORACLE_SQL["dedup_weighted_jaccard"] = _sql_weighted_jaccard(5, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic lexical retrieval + supervised labeling (round 11): the
+# Dirichlet query-likelihood ranker beside BM25, and multinomial Naive
+# Bayes language classification beside the heuristic n-gram language ID —
+# both postings-sized plans (operators/qlm.py, operators/nbayes.py).
+# ---------------------------------------------------------------------------
+
+_QL_TERMS = ["vector", "join", "hash", "stream"]
+
+
+def q_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-15 for the same 4-term query the
+    BM25 instance uses (operators/qlm.py) — the probabilistic-LM ranking
+    a hybrid retrieval stack runs beside Okapi BM25; the two orderings
+    disagree exactly where doc-length normalization differs, which is
+    what the instrument exercises. Map-side term prune before any
+    shuffle; unmatched docs still score (by length, as smoothing
+    dictates) without ever being joined."""
+    from ..operators.qlm import ql_dirichlet_scores
+
+    return (
+        ql_dirichlet_scores(load_table(spark, sf_dir, "documents"), _QL_TERMS)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+def _sql_ql_dirichlet_search() -> str:
+    from ..operators.qlm import sql_ql_dirichlet_scores
+
+    body = sql_ql_dirichlet_scores(_QL_TERMS, toks_expr=_TOKS)
+    return f"SELECT * FROM ({body}) s ORDER BY score DESC, doc_id ASC LIMIT 15"
+
+
+def q_nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification, trained on the
+    even-doc_id half of the corpus and applied to the odd half
+    (operators/nbayes.py), reported as the (true lang, predicted lang)
+    confusion matrix — the supervised twin of the n-gram language-ID
+    heuristic, and the canonical cheap-labeler shape for corpus curation.
+    Laplace-smoothed counts, postings-only evidence join, decimal-pinned
+    log arithmetic; the deterministic doc_id parity split needs no RNG,
+    so the oracle is exact."""
+    from ..operators.nbayes import nb_predictions
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = nb_predictions(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    return (
+        preds.groupBy(F.col("lang"), F.col("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _sql_nb_language_confusion() -> str:
+    from ..operators.nbayes import sql_nb_predictions
+
+    body = sql_nb_predictions(
+        train_where="doc_id % 2 = 0",
+        test_where="doc_id % 2 = 1",
+        toks_expr=_TOKS,
+    )
+    return f"""
+SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ({body}) p
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["ql_dirichlet_search"] = q_ql_dirichlet_search
+ORACLE_SQL["ql_dirichlet_search"] = _sql_ql_dirichlet_search()
+QUERIES["nb_language_confusion"] = q_nb_language_confusion
+ORACLE_SQL["nb_language_confusion"] = _sql_nb_language_confusion()
