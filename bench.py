@@ -149,6 +149,9 @@ HEADLINE = [
     "revenue_acf",
     "ql_dirichlet_search",
     "nb_language_confusion",
+    "part_anf_profile",
+    "customer_spend_gini",
+    "benford_price_digits",
 ]
 
 

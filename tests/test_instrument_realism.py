@@ -46,6 +46,8 @@ ALLOWED: dict[str, set[str]] = {
     "fuzzy_part_names": {"CONST_COL:dist"},
     # whole-corpus total repeated per row
     "distinct_agg": {"CONST_COL:n_suppliers", "CONST_COL:n_parts"},
+    # static node set repeated per ANF round (the avg_ball denominator)
+    "part_anf_profile": {"CONST_COL:n_nodes"},
     "frequent_tokens_guaranteed": {"CONST_COL:n_total"},
     "customer_spend_deciles": {"CONST_COL:n_customers"},
     "metadata_catalog": {"CONST_COL:n_docs"},

@@ -7116,3 +7116,260 @@ ORDER BY lag
 
 QUERIES["revenue_acf"] = q_revenue_acf
 ORACLE_SQL["revenue_acf"] = SQL_REVENUE_ACF
+
+
+# ---------------------------------------------------------------------------
+# Round 11, wave 3: ANF reachability profile (HLL-sketched neighborhood
+# function), Gini/top-share spend concentration (distributed prefix-sum
+# CDF), Benford first-digit audit (exact string digits, injected expected
+# constants — the _ALPHA constant-folding lesson applied).
+# ---------------------------------------------------------------------------
+
+
+def q_part_anf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Neighborhood Function over the >=2-order co-purchase
+    graph (operators/anf.py): per round t = 0..3, the HLL-estimated
+    Σ_v |B(v, t)| — the reachability profile whose 90% knee is the
+    effective diameter. One bounded sketch per node, one edge join +
+    register max per round; both engines compute identical md5 registers
+    and the integer-scaled estimator, so the oracle replays the rounds
+    as unrolled CTEs."""
+    from ..operators.anf import anf_rounds
+    from .copurchase import copurchase_weighted
+
+    half = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # disjoint orientations of a distinct half-graph: already distinct
+    return anf_rounds(edges, 3, assume_distinct=True)
+
+
+def _sql_part_anf_profile() -> str:
+    from ..operators.anf import sql_anf_rounds
+
+    edges = f"""
+  WITH half AS ({_COPURCHASE_EDGES_SQL})
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+"""
+    return sql_anf_rounds(edges, 3)
+
+
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration statistics over per-customer lifetime revenue:
+    exact Gini coefficient plus top-1% / top-10% revenue shares — the
+    inequality diagnostics a monetization or sampling pipeline reads
+    before choosing strata.
+
+    Exact integer arithmetic: spends in cents; the rank-weighted sum
+    Σ i·x_(i) evaluated VALUE-LEVEL (per distinct spend v with count c
+    and prefix count K: v·(c·K + c(c+1)/2) — tie-order-free by
+    construction) in DECIMAL(38,0); top-k shares from the spend-CDF row
+    that brackets rank n−k, with the tied block split analytically. The
+    only doubles are three final divisions, rounded to 6.
+
+    Physical plan: per-customer groupBy (corpus pass), then per-value
+    aggregation and the distributed two-phase prefix sums
+    (operators/rank.py) over the |distinct spends| frame — never a
+    single-partition window."""
+    from ..operators.rank import global_prefix_sums
+
+    d38 = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("s")
+    )
+    vals = spend.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).withColumn("vc", F.col("v") * F.col("c"))
+    pref = global_prefix_sums(vals, "v", ["c", "vc"])
+    tot = pref.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("vc").cast(d38).alias("t"),
+    )
+    # S = Σ_v v·(c·K + c(c+1)/2), K = prefix count before the block
+    s_row = pref.select(
+        (
+            F.col("v").cast(d38)
+            * (
+                F.col("c").cast(d38) * (F.col("cum_c") - F.col("c")).cast(d38)
+                + (F.col("c").cast(d38) * (F.col("c") + 1).cast(d38))
+                / F.lit(2).cast(d38)
+            )
+        ).alias("_term")
+    ).agg(F.sum("_term").cast(d38).alias("s_rank"))
+
+    def _top_share(k_expr):
+        # boundary row: the block containing ascending rank n-k
+        b = (
+            pref.crossJoin(F.broadcast(tot))
+            .withColumn("_k", k_expr)
+            .filter(
+                (F.col("cum_c") >= F.col("n") - F.col("_k"))
+                & (F.col("cum_c") - F.col("c") < F.col("n") - F.col("_k"))
+            )
+            .select(
+                (
+                    (F.col("cum_vc") - F.col("vc")).cast(d38)
+                    + F.col("v").cast(d38)
+                    * (
+                        F.col("n") - F.col("_k") - (F.col("cum_c") - F.col("c"))
+                    ).cast(d38)
+                ).alias("_bottom")
+            )
+        )
+        return b
+
+    b10 = _top_share(F.floor(F.col("n") / 10).cast("long")).select(
+        F.col("_bottom").alias("_b10")
+    )
+    b1 = _top_share(F.floor(F.col("n") / 100).cast("long")).select(
+        F.col("_bottom").alias("_b1")
+    )
+    return (
+        tot.crossJoin(F.broadcast(s_row))
+        .crossJoin(F.broadcast(b10))
+        .crossJoin(F.broadcast(b1))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(
+                (
+                    F.lit(2).cast(d38) * F.col("s_rank")
+                    - (F.col("n") + 1).cast(d38) * F.col("t")
+                ).cast("double")
+                / (F.col("n").cast(d38) * F.col("t")).cast("double"),
+                6,
+            ).alias("gini"),
+            F.round(
+                (F.col("t") - F.col("_b10")).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("top10pct_share"),
+            F.round(
+                (F.col("t") - F.col("_b1")).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("top1pct_share"),
+        )
+    )
+
+
+SQL_CUSTOMER_SPEND_GINI = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS s
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT s,
+         CAST(ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS BIGINT) AS rn,
+         CAST(SUM(s) OVER (ORDER BY s, o_custkey
+                           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+  FROM spend),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(s AS HUGEINT)) AS HUGEINT) AS t,
+               CAST(SUM(CAST(rn AS HUGEINT) * CAST(s AS HUGEINT)) AS HUGEINT)
+                 AS s_rank
+        FROM ranked),
+b10 AS (SELECT r.cum AS b FROM ranked r CROSS JOIN tot
+        WHERE r.rn = tot.n - CAST(FLOOR(tot.n / 10) AS BIGINT)),
+b1 AS (SELECT r.cum AS b FROM ranked r CROSS JOIN tot
+       WHERE r.rn = tot.n - CAST(FLOOR(tot.n / 100) AS BIGINT))
+SELECT tot.n AS n_customers,
+       round(CAST(2 * s_rank - (n + 1) * t AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * t AS DOUBLE), 6) AS gini,
+       round(CAST(t - b10.b AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS top10pct_share,
+       round(CAST(t - b1.b AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS top1pct_share
+FROM tot CROSS JOIN b10 CROSS JOIN b1
+"""
+
+
+def _benford_expected() -> dict[int, float]:
+    """log10(1 + 1/d) computed ONCE in Python and injected as literals on
+    both engines — deriving it in-engine is not portable (Spark constant-
+    folds in DECIMAL, DuckDB in DOUBLE: the operators/hll.py _ALPHA
+    lesson)."""
+    import math
+
+    return {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals — the
+    classic synthetic-data / fraud smoke test. The first digit comes from
+    the DECIMAL STRING of integer cents (no float log10 — engine-exact
+    at power-of-ten boundaries); expected frequencies are injected
+    Python-computed literals. Per digit: observed count, observed and
+    expected percentages, absolute deviation. Map-side groupBy on 9
+    cells; nothing here grows with the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n_tot"))
+    exp = _benford_expected()
+    exp_col = F.element_at(
+        F.create_map(*[F.lit(x) for d in exp for x in (d, exp[d])]),
+        F.col("digit"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(
+                F.col("n_obs").cast("double") / F.col("n_tot").cast("double"), 6
+            ).alias("obs_pct"),
+            F.round(exp_col, 6).alias("benford_pct"),
+            F.round(
+                F.abs(
+                    F.col("n_obs").cast("double") / F.col("n_tot").cast("double")
+                    - exp_col
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _sql_benford_price_digits() -> str:
+    exp = _benford_expected()
+    cases = " ".join(f"WHEN {d} THEN {exp[d]!r}" for d in sorted(exp))
+    return f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM obs)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS obs_pct,
+       round(CASE digit {cases} END, 6) AS benford_pct,
+       round(abs(CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                 - (CASE digit {cases} END)), 6) AS abs_dev
+FROM obs CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+QUERIES["part_anf_profile"] = q_part_anf_profile
+ORACLE_SQL["part_anf_profile"] = _sql_part_anf_profile()
+QUERIES["customer_spend_gini"] = q_customer_spend_gini
+ORACLE_SQL["customer_spend_gini"] = SQL_CUSTOMER_SPEND_GINI
+QUERIES["benford_price_digits"] = q_benford_price_digits
+ORACLE_SQL["benford_price_digits"] = _sql_benford_price_digits()
