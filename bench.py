@@ -152,6 +152,7 @@ HEADLINE = [
     "part_anf_profile",
     "customer_spend_gini",
     "benford_price_digits",
+    "welch_ttest_price_by_flag",
 ]
 
 

@@ -38,28 +38,27 @@ from ..functions.text import tokens
 D3812 = "decimal(38,12)"
 
 
-def nb_predictions(
+def _tok_counts(df: DataFrame, keys: list[str], text_col: str) -> DataFrame:
+    return (
+        df.select(*keys, F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(*keys, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def nb_model(
     train: DataFrame,
-    test: DataFrame,
     *,
     label_col: str = "lang",
-    id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Train multinomial NB on ``train`` and classify ``test``.
-    Returns (id_col, label_col, predicted, score) — one row per test doc
-    with its true label, argmax label, and the winning log-score
-    (rounded to 6)."""
-
-    def _tok_counts(df: DataFrame, keys: list[str]) -> DataFrame:
-        return (
-            df.select(*keys, F.explode(tokens(F.col(text_col))).alias("w"))
-            .filter(F.col("w") != "")
-            .groupBy(*keys, "w")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-
-    tr = _tok_counts(train, [label_col]).localCheckpoint(eager=True)
+) -> tuple[DataFrame, DataFrame]:
+    """Train the model: returns (base, model) frames —
+    base = (_l, _logprior, _logden) one row per label;
+    model = (_l, w, _logc) postings, one row per (label, training word).
+    Both carry only 12-pinned decimals, so they serialize exactly
+    (publish-once/serve-many: :func:`publish_nb_model`)."""
+    tr = _tok_counts(train, [label_col], text_col).localCheckpoint(eager=True)
     # Per-lang token totals and the global training vocabulary size.
     tot = tr.groupBy(label_col).agg(F.sum("n").cast("long").alias("tot"))
     vocab = tr.select("w").distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
@@ -99,8 +98,23 @@ def nb_predictions(
         .cast("decimal(18,12)")
         .alias("_logc"),
     )
+    return base, model
 
-    te = _tok_counts(test, [id_col]).localCheckpoint(eager=True)
+
+def nb_score(
+    test: DataFrame,
+    base: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained model: returns (id_col, predicted, score, margin)
+    — argmax label, its log-score (rounded to 6), and the margin over
+    the runner-up label (the standard low-confidence routing signal;
+    exact decimal difference, rounded to 6). Postings-only evidence
+    join; per-doc windows are tiny (|labels| rows)."""
+    te = _tok_counts(test, [id_col], text_col).localCheckpoint(eager=True)
     n_d = te.groupBy(id_col).agg(F.sum("n").cast("long").alias("_nd"))
     # Matched-token evidence per (doc, lang): postings join on w.
     ev = (
@@ -126,13 +140,59 @@ def nb_predictions(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("_l"))
-    best = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
-    truth = test.select(id_col, label_col)
-    return best.join(truth, id_col).select(
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_next", F.lead("_score").over(w)
+    )
+    return ranked.filter(F.col("_rk") == 1).select(
         id_col,
-        label_col,
         F.col("_l").alias("predicted"),
         F.round(F.col("_score").cast("double"), 6).alias("score"),
+        F.round(
+            (F.col("_score") - F.coalesce(F.col("_next"), F.col("_score")))
+            .cast("double"),
+            6,
+        ).alias("margin"),
+    )
+
+
+def publish_nb_model(
+    base: DataFrame, model: DataFrame, path: str
+) -> None:
+    """Persist a trained model (build-once/serve-many — the
+    operators/served.py contract applied to a classifier): two parquet
+    frames of 12-pinned decimals, exact through the round-trip."""
+    import os
+
+    base.write.mode("overwrite").parquet(os.path.join(path, "base"))
+    model.write.mode("overwrite").parquet(os.path.join(path, "model"))
+
+
+def load_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "base")),
+        spark.read.parquet(os.path.join(path, "model")),
+    )
+
+
+def nb_predictions(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train multinomial NB on ``train`` and classify ``test``.
+    Returns (id_col, label_col, predicted, score) — one row per test doc
+    with its true label, argmax label, and the winning log-score
+    (rounded to 6). Composition of :func:`nb_model` + :func:`nb_score`."""
+    base, model = nb_model(train, label_col=label_col, text_col=text_col)
+    best = nb_score(test, base, model, id_col=id_col, text_col=text_col)
+    truth = test.select(id_col, label_col)
+    return best.join(truth, id_col).select(
+        id_col, label_col, "predicted", "score"
     )
 
 

@@ -7373,3 +7373,116 @@ QUERIES["customer_spend_gini"] = q_customer_spend_gini
 ORACLE_SQL["customer_spend_gini"] = SQL_CUSTOMER_SPEND_GINI
 QUERIES["benford_price_digits"] = q_benford_price_digits
 ORACLE_SQL["benford_price_digits"] = _sql_benford_price_digits()
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (round 11): the parametric member of the
+# two-sample family beside the exact K-S (distributional) and Mann-Whitney
+# (rank) tests on the same A-vs-R price split — the three tests a feature
+# gate runs together. Corpus collapses to five exact integer moments per
+# group in ONE map-side-combined pass; every double after that lives in a
+# SHARED expression string evaluated on a single row (the chi2/OLS
+# determinism recipe), so both engines build the identical float tree.
+# ---------------------------------------------------------------------------
+
+_WELCH_VA = (
+    "((CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE)"
+    " - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))"
+    " / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))"
+)
+_WELCH_VB = (
+    "((CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE)"
+    " - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))"
+    " / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))"
+)
+_WELCH_SE2 = (
+    f"({_WELCH_VA} / CAST(n_a AS DOUBLE) + {_WELCH_VB} / CAST(n_b AS DOUBLE))"
+)
+_WELCH_SELECT = [
+    "n_a",
+    "n_b",
+    "round(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) AS mean_a",
+    "round(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) AS mean_b",
+    (
+        "round((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        f" / sqrt({_WELCH_SE2}), 6) AS t_stat"
+    ),
+    (
+        f"round({_WELCH_SE2} * {_WELCH_SE2} / ("
+        f"({_WELCH_VA} / CAST(n_a AS DOUBLE)) * ({_WELCH_VA} / CAST(n_a AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) - 1.0)"
+        f" + ({_WELCH_VB} / CAST(n_b AS DOUBLE)) * ({_WELCH_VB} / CAST(n_b AS DOUBLE))"
+        " / (CAST(n_b AS DOUBLE) - 1.0)), 4) AS welch_df"
+    ),
+]
+
+
+def q_welch_ttest_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t on the extended-price split A vs R: integer-cent moments
+    (Σx as BIGINT, Σx² as DECIMAL(38,0) — the square of 1e9-cent prices
+    wraps int64 within a decade), then the shared single-row double tree
+    for mean difference, t statistic, and the Welch-Satterthwaite df."""
+    d18 = "decimal(18,0)"
+    d38 = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    x = li.select(
+        F.col("l_returnflag").alias("g"), cents.alias("x")
+    )
+    m = x.groupBy().agg(
+        F.sum(F.when(F.col("g") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == "R", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g") == "A", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("g") == "R", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_b"),
+        F.sum(
+            F.when(
+                F.col("g") == "A",
+                (F.col("x").cast(d18) * F.col("x").cast(d18)).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        )
+        .cast(d38)
+        .alias("sxx_a"),
+        F.sum(
+            F.when(
+                F.col("g") == "R",
+                (F.col("x").cast(d18) * F.col("x").cast(d18)).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        )
+        .cast(d38)
+        .alias("sxx_b"),
+    )
+    return m.selectExpr(*_WELCH_SELECT)
+
+
+def _sql_welch_ttest_price_by_flag() -> str:
+    cols = ",\n       ".join(_WELCH_SELECT)
+    return f"""
+WITH m AS (
+  SELECT CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(SUM(CASE WHEN l_returnflag = 'A'
+                       THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS sxx_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS sxx_b
+  FROM (SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')) t
+)
+SELECT {cols}
+FROM m
+"""
+
+
+QUERIES["welch_ttest_price_by_flag"] = q_welch_ttest_price_by_flag
+ORACLE_SQL["welch_ttest_price_by_flag"] = _sql_welch_ttest_price_by_flag()
