@@ -153,6 +153,8 @@ HEADLINE = [
     "customer_spend_gini",
     "benford_price_digits",
     "welch_ttest_price_by_flag",
+    "part_adamic_adar_capped",
+    "price_woe_iv",
 ]
 
 

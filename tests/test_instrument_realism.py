@@ -48,6 +48,10 @@ ALLOWED: dict[str, set[str]] = {
     "distinct_agg": {"CONST_COL:n_suppliers", "CONST_COL:n_parts"},
     # static node set repeated per ANF round (the avg_ball denominator)
     "part_anf_profile": {"CONST_COL:n_nodes"},
+    # with centers capped at deg<=6 the gate-scale top-20 all share
+    # n_common=2 (score still discriminates, 20 distinct values; the
+    # uncapped twin's n_common varies and is gate-checked)
+    "part_adamic_adar_capped": {"CONST_COL:n_common"},
     "frequent_tokens_guaranteed": {"CONST_COL:n_total"},
     "customer_spend_deciles": {"CONST_COL:n_customers"},
     "metadata_catalog": {"CONST_COL:n_docs"},

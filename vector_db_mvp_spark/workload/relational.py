@@ -7486,3 +7486,147 @@ FROM m
 
 QUERIES["welch_ttest_price_by_flag"] = q_welch_ttest_price_by_flag
 ORACLE_SQL["welch_ttest_price_by_flag"] = _sql_welch_ttest_price_by_flag()
+
+
+# ---------------------------------------------------------------------------
+# Round 11, wave 4: the hub-capped Adamic-Adar twin (the skew knob as a
+# driver-checked instance — the substring_pairs_capped pattern) and
+# weight-of-evidence / information-value feature binning.
+# ---------------------------------------------------------------------------
+
+
+def q_part_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production skew path of ``part_adamic_adar``: wedge centers
+    above max_center_degree=6 are dropped before the self-join (at web
+    scale a hub's 1/ln(deg) evidence is near-zero, so the cap is a skew
+    guard that barely moves scores — the Lee-et-al sampling compromise
+    applied to wedges). The cap BINDS at gate scale (sf0.01's max degree
+    is 13, and capping at 6 changes the top-20 — verified when the
+    instance was picked), so this verifies the capped semantics, not a
+    no-op; the oracle replays the degree filter exactly."""
+    from ..operators.linkpred import adamic_adar
+    from .copurchase import copurchase_weighted
+
+    pairs = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        adamic_adar(pairs, max_center_degree=6)
+        .orderBy(F.desc("score"), "a", "b")
+        .limit(20)
+    )
+
+
+def _sql_part_adamic_adar_capped() -> str:
+    from ..operators.linkpred import sql_adamic_adar
+
+    body = sql_adamic_adar(_COPURCHASE_EDGES_SQL)
+    body = body.replace(
+        "GROUP BY 1 HAVING COUNT(*) >= 2",
+        "GROUP BY 1 HAVING COUNT(*) >= 2 AND COUNT(*) <= 6",
+    )
+    return body + "\nORDER BY score DESC, a ASC, b ASC LIMIT 20"
+
+
+def q_price_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning of extended price
+    against the "returned" target (l_returnflag = 'R' vs A/N) — the
+    standard credit-scoring / feature-selection diagnostic an ML pipeline
+    computes per candidate feature before training.
+
+    Exact machinery: per-price good/bad counts (one map-side groupBy),
+    decile assignment from the distributed prefix-sum CDF (a price block
+    belongs to the decile of its FIRST rank — deterministic on both
+    engines, no mid-block straddling ambiguity), exact BIGINT bin counts;
+    WOE = ln(pct_good/pct_bad) and the IV term are one shared double
+    expression per bin row, rounded to 6."""
+    from ..operators.rank import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("bad"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("long")
+        .alias("good"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    pref = global_prefix_sums(vals, "v", ["cnt"])
+    tot = pref.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("good").cast("long").alias("g"),
+        F.sum("bad").cast("long").alias("b"),
+    )
+    binned = (
+        pref.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.floor(
+                    (F.col("cum_cnt") - F.col("cnt")) * 10 / F.col("n")
+                ).cast("int")
+                + 1
+            ).alias("decile"),
+            "good",
+            "bad",
+            "g",
+            "b",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("good").cast("long").alias("n_good"),
+            F.sum("bad").cast("long").alias("n_bad"),
+            F.max("g").alias("g"),
+            F.max("b").alias("b"),
+        )
+    )
+    pg = "(CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE))"
+    pb = "(CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE))"
+    return binned.selectExpr(
+        "decile",
+        "n_good",
+        "n_bad",
+        f"round(ln({pg} / {pb}), 6) AS woe",
+        f"round(({pg} - {pb}) * ln({pg} / {pb}), 6) AS iv_term",
+    ).orderBy("decile")
+
+
+SQL_PRICE_WOE_IV = """
+WITH vals AS (
+  SELECT l_extendedprice AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS bad,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS good,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1),
+pref AS (
+  SELECT v, good, bad, cnt,
+         SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_cnt
+  FROM vals),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(good) AS BIGINT) AS g,
+               CAST(SUM(bad) AS BIGINT) AS b FROM vals),
+binned AS (
+  SELECT CAST(FLOOR((p.cum_cnt - p.cnt) * 10 / tot.n) AS INTEGER) + 1 AS decile,
+         CAST(SUM(p.good) AS BIGINT) AS n_good,
+         CAST(SUM(p.bad) AS BIGINT) AS n_bad,
+         MAX(tot.g) AS g, MAX(tot.b) AS b
+  FROM pref p CROSS JOIN tot
+  GROUP BY 1)
+SELECT decile, n_good, n_bad,
+       round(ln((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE))
+                / (CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE))), 6) AS woe,
+       round(((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE))
+              - (CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE)))
+             * ln((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE))
+                  / (CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE))), 6) AS iv_term
+FROM binned
+ORDER BY decile
+"""
+
+
+QUERIES["part_adamic_adar_capped"] = q_part_adamic_adar_capped
+ORACLE_SQL["part_adamic_adar_capped"] = _sql_part_adamic_adar_capped()
+QUERIES["price_woe_iv"] = q_price_woe_iv
+ORACLE_SQL["price_woe_iv"] = SQL_PRICE_WOE_IV
