@@ -67,13 +67,25 @@ def clustering_coefficient(
     (the numerator/denominator are exact integers on both engines, so the
     only float step is one division).
 
-    Physical plan: the triangle side is the degree-oriented wedge join
-    (one |E|-keyed shuffle, fan-out bounded by ordered out-degree); the
-    degree side is one map-side-combined groupBy; the final join is
-    |V|-sized on both inputs.
+    Physical plan: the canonical edge set is built and checkpointed ONCE
+    and feeds both consumers (degree groupBy + wedge join) — without the
+    shared build the upstream edge derivation (often a corpus-sized
+    self-join) executes twice and dominates at scale (measured at sf10).
+    The triangle side is the degree-oriented wedge join (one |E|-keyed
+    shuffle, fan-out bounded by ordered out-degree); the degree side is
+    one map-side-combined groupBy; the final join is |V|-sized on both
+    inputs.
     """
-    deg = degrees(edges, src_col=src_col, dst_col=dst_col).filter(F.col("deg") >= 2)
-    tri = triangle_participation(edges, src_col=src_col, dst_col=dst_col)
+    e = _oriented_distinct(edges, src_col, dst_col).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    tri = triangle_participation(
+        e, src_col="u", dst_col="v", assume_canonical=True
+    )
     return (
         deg.join(tri, "node", "left")
         .select(

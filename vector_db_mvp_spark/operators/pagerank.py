@@ -170,6 +170,7 @@ def triangle_participation(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected edge list.
 
@@ -183,16 +184,25 @@ def triangle_participation(
     shuffle-bounding trick (Suri & Vassilvitskii, WWW'11).
 
     Returns (node, n_triangles) for every node in >=1 triangle.
+
+    ``assume_canonical``: the input is ALREADY the distinct oriented
+    (u < v) edge set, materialized by the caller — skip the per-call
+    canonicalize + checkpoint so callers that also need degrees (e.g.
+    the clustering coefficient) pay the edge build ONCE, not once per
+    consumer (measured 13x -> family-band decade multiple at sf10).
     """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    if assume_canonical:
+        e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    else:
+        e = (
+            edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     w1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     w2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
     wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))

@@ -50,6 +50,16 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
+    # round 11 (continued session)
+    # clustering coefficient: canonical edge build factored to ONE shared
+    # checkpoint feeding both the degree agg and the wedge join (sf10
+    # decade 13.01x -> 5.97x); triangle_participation gained the
+    # assume_canonical fast path it rides on
+    "part_clustering_coeff",
+    # NB classifier: train/apply split into nb_model/nb_score (+margin);
+    # the registered confusion query now composes the two — outputs
+    # identical, re-verify anyway
+    "nb_language_confusion",
     # round 11
     # substring family: max_postings cap added (the uncapped path's dup_h
     # aggregation now also counts occurrences) + postings state read via
