@@ -155,6 +155,8 @@ HEADLINE = [
     "welch_ttest_price_by_flag",
     "part_adamic_adar_capped",
     "price_woe_iv",
+    "part_communities",
+    "embedding_norm_psi",
 ]
 
 

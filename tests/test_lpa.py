@@ -1,0 +1,75 @@
+"""Synchronous label propagation (operators/lpa.py)."""
+
+from __future__ import annotations
+
+from vector_db_mvp_spark.operators.lpa import label_propagation
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_two_cliques_with_bridge_match_reference(spark):
+    """Two triangles joined by one bridge edge: the fixed-round
+    deterministic run must match the pure-python reference exactly
+    (synchronous LPA with min tie-break oscillates on symmetric
+    structures — the CONTRACT is determinism, not convergence)."""
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    pairs = tri1 + tri2 + [(3, 10)]
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        labels = {
+            n: min(
+                {labels[m] for m in nbrs},
+                key=lambda l: (-sum(labels[m] == l for m in nbrs), l),
+            )
+            for n, nbrs in adj.items()
+        }
+    got = {
+        r.node: r.label
+        for r in label_propagation(_edges(spark, pairs), 3).collect()
+    }
+    assert got == labels
+
+
+def test_clique_converges_to_min_label(spark):
+    pairs = [(x, y) for x in (5, 6, 7, 8) for y in (5, 6, 7, 8) if x < y]
+    labels = {
+        r.node: r.label for r in label_propagation(_edges(spark, pairs), 3).collect()
+    }
+    assert set(labels.values()) == {5}
+
+
+def test_deterministic_across_runs(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (5, 6)]
+    a = sorted(map(tuple, label_propagation(_edges(spark, pairs), 3).collect()))
+    b = sorted(map(tuple, label_propagation(_edges(spark, pairs), 3).collect()))
+    assert a == b
+
+
+def test_matches_pure_python_reference(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5), (6, 7), (7, 8)]
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(
+                (l for l in counts), key=lambda l: (-counts[l], l)
+            )
+        labels = new
+    got = {
+        r.node: r.label for r in label_propagation(_edges(spark, pairs), 3).collect()
+    }
+    assert got == labels

@@ -7630,3 +7630,59 @@ QUERIES["part_adamic_adar_capped"] = q_part_adamic_adar_capped
 ORACLE_SQL["part_adamic_adar_capped"] = _sql_part_adamic_adar_capped()
 QUERIES["price_woe_iv"] = q_price_woe_iv
 ORACLE_SQL["price_woe_iv"] = SQL_PRICE_WOE_IV
+
+
+
+# ---------------------------------------------------------------------------
+# Round 11, wave 5: label-propagation communities — the density-partition
+# member of the graph family beside connected components (connectivity)
+# and k-core (density without partitions).
+# ---------------------------------------------------------------------------
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label propagation over the >=2-order
+    co-purchase graph (operators/lpa.py): deterministic min tie-break
+    (classic LPA randomizes; the pin makes the fixed-round run
+    engine-reproducible), one (dst, label) aggregation shuffle per round.
+    Output: the 20 largest communities by member count."""
+    from ..operators.lpa import label_propagation
+    from .copurchase import copurchase_weighted
+
+    half = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, 3, assume_symmetric=True)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
+    )
+
+
+def _sql_part_communities() -> str:
+    from ..operators.lpa import sql_label_propagation
+
+    edges = f"""
+  WITH half AS ({_COPURCHASE_EDGES_SQL})
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+"""
+    body = sql_label_propagation(edges, 3)
+    return f"""
+WITH labels AS ({body})
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM labels GROUP BY 1
+ORDER BY n_members DESC, label ASC LIMIT 20
+"""
+
+
+QUERIES["part_communities"] = q_part_communities
+ORACLE_SQL["part_communities"] = _sql_part_communities()

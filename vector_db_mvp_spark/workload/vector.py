@@ -1482,3 +1482,121 @@ ORDER BY nprobe
 
 QUERIES["ann_ivf_recall_curve"] = q_ann_ivf_recall_curve
 ORACLE_SQL["ann_ivf_recall_curve"] = _sql_ann_ivf_recall_curve()
+
+
+
+def q_embedding_norm_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the embedding-norm distribution,
+    even vec_ids (reference population) vs odd (current) — the standard
+    model-monitoring drift gauge, here over the one scalar every vector
+    pipeline already computes. Bins are the reference deciles; a value
+    block belongs to the decile of the reference mass BEFORE it (exact
+    prefix-sum rule, deterministic on both engines; current-only values
+    land in the reference bin they interleave into, tail clamped to 10).
+    Norms are rounded to 6 before binning — both engines fold the same
+    double sequence (functions/vector.py l2_norm vs the _DUCK_COS
+    machinery), and the round-6 pin removes any boundary ambiguity.
+    PSI terms (p-q)*ln(p/q) are one shared per-bin double expression.
+
+    Physical plan: one corpus pass computes norms; per-value aggregation
+    (distinct rounded norms), distributed prefix sums over that
+    saturating value domain, a 10-row final groupBy."""
+    from ..functions.vector import l2_norm
+    from ..operators.rank import global_prefix_sums
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vals = (
+        emb.select(
+            F.round(l2_norm(F.col("embedding")), 6).alias("v"),
+            (F.col("vec_id") % 2 == 0).alias("_is_ref"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("_is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("ref"),
+            F.sum(F.when(~F.col("_is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("cur"),
+        )
+    )
+    pref = global_prefix_sums(vals, "v", ["ref"])
+    tot = pref.agg(
+        F.sum("ref").cast("long").alias("r"),
+        F.sum("cur").cast("long").alias("c"),
+    )
+    binned = (
+        pref.crossJoin(F.broadcast(tot))
+        .select(
+            F.least(
+                F.floor((F.col("cum_ref") - F.col("ref")) * 10 / F.col("r")).cast(
+                    "int"
+                )
+                + 1,
+                F.lit(10),
+            ).alias("bin"),
+            "ref",
+            "cur",
+            "r",
+            "c",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("ref").cast("long").alias("n_ref"),
+            F.sum("cur").cast("long").alias("n_cur"),
+            F.max("r").alias("r"),
+            F.max("c").alias("c"),
+        )
+    )
+    p = "(CAST(n_ref AS DOUBLE) / CAST(r AS DOUBLE))"
+    q = "(CAST(n_cur AS DOUBLE) / CAST(c AS DOUBLE))"
+    return binned.selectExpr(
+        "bin",
+        "n_ref",
+        "n_cur",
+        f"CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL "
+        f"ELSE round(({p} - {q}) * ln({p} / {q}), 6) END AS psi_term",
+    ).orderBy("bin")
+
+
+_DUCK_NORM = (
+    "round(sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), x -> x * x))), 6)"
+)
+
+SQL_EMBEDDING_NORM_PSI = f"""
+WITH vals AS (
+  SELECT {_DUCK_NORM.format(a="embedding")} AS v,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref,
+         CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cur
+  FROM embeddings WHERE embedding IS NOT NULL
+  GROUP BY 1),
+pref AS (
+  SELECT v, ref, cur,
+         SUM(ref) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ref
+  FROM vals),
+tot AS (SELECT CAST(SUM(ref) AS BIGINT) AS r, CAST(SUM(cur) AS BIGINT) AS c
+        FROM vals),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((p.cum_ref - p.ref) * 10 / tot.r) AS INTEGER) + 1,
+               10) AS bin,
+         CAST(SUM(p.ref) AS BIGINT) AS n_ref,
+         CAST(SUM(p.cur) AS BIGINT) AS n_cur,
+         MAX(tot.r) AS r, MAX(tot.c) AS c
+  FROM pref p CROSS JOIN tot
+  GROUP BY 1)
+SELECT bin, n_ref, n_cur,
+       CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+            ELSE round(((CAST(n_ref AS DOUBLE) / CAST(r AS DOUBLE))
+                        - (CAST(n_cur AS DOUBLE) / CAST(c AS DOUBLE)))
+                       * ln((CAST(n_ref AS DOUBLE) / CAST(r AS DOUBLE))
+                            / (CAST(n_cur AS DOUBLE) / CAST(c AS DOUBLE))), 6)
+       END AS psi_term
+FROM binned
+ORDER BY bin
+"""
+
+
+QUERIES["embedding_norm_psi"] = q_embedding_norm_psi
+ORACLE_SQL["embedding_norm_psi"] = SQL_EMBEDDING_NORM_PSI
