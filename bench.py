@@ -157,6 +157,8 @@ HEADLINE = [
     "price_woe_iv",
     "part_communities",
     "embedding_norm_psi",
+    "part_ktruss",
+    "part_harmonic_centrality",
 ]
 
 

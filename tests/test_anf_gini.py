@@ -104,3 +104,28 @@ def test_benford_digits_partition_and_expected_constants(spark, sf_dir):
     exp = _benford_expected()
     for r in rows:
         assert r.benford_pct == pytest.approx(round(exp[r.digit], 6), abs=1e-9)
+
+
+def test_hyperball_harmonic_orders_path_center_first(spark):
+    """Path a-b-c-d-e: the center c reaches everything closest -> highest
+    harmonic centrality; symmetric pairs tie."""
+    from vector_db_mvp_spark.operators.anf import hyperball_harmonic
+
+    e = _edges(spark, _sym([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]))
+    got = {r.node: r.harmonic for r in hyperball_harmonic(e, 4).collect()}
+    assert got["c"] == max(got.values())
+    assert got["a"] == got["e"] and got["b"] == got["d"]
+    assert got["b"] > got["a"]
+    # exact harmonic of the center at tiny scale: 2/1 + 2/2 = 3, LC-
+    # corrected estimates land near it
+    assert got["c"] == pytest.approx(3.0, rel=0.15)
+
+
+def test_hyperball_zero_increment_after_saturation(spark):
+    """A single edge saturates at t=1: rounds 2..3 add nothing."""
+    from vector_db_mvp_spark.operators.anf import hyperball_harmonic
+
+    e = _edges(spark, _sym([("a", "b")]))
+    h1 = {r.node: r.harmonic for r in hyperball_harmonic(e, 1).collect()}
+    h3 = {r.node: r.harmonic for r in hyperball_harmonic(e, 3).collect()}
+    assert h1 == h3

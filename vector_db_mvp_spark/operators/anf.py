@@ -209,3 +209,149 @@ FROM ({body})
 ORDER BY t
 """
     )
+
+
+def _per_node_estimate(state: DataFrame) -> DataFrame:
+    """(node, est) — the LinearCounting-corrected ball-size estimate as
+    decimal(38,6), the per-node form of :func:`_estimate_sum`'s body."""
+    from .hll import hll_estimate_from_state
+
+    est = hll_estimate_from_state(state, "node")
+    v_empty = F.lit(M) - F.col("registers_hit")
+    corrected = F.when(
+        (v_empty > 0) & (F.col("distinct_estimate") <= F.lit(int(2.5 * M))),
+        F.round(
+            F.lit(float(M)) * F.log(F.lit(float(M)) / v_empty.cast("double")), 6
+        ),
+    ).otherwise(F.col("distinct_estimate").cast("double"))
+    return est.select("node", corrected.cast("decimal(38,6)").alias("est"))
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    rounds: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna, WWW'14): per node,
+    H(v) = Σ_{t=1..rounds} (|B(v,t)| − |B(v,t−1)|) / t — the number of
+    nodes first reached at distance t, harmonically discounted. The
+    centrality that, unlike closeness, is well-defined on disconnected
+    graphs, computed from the SAME per-round HLL sketches as
+    :func:`anf_rounds` (one edge join + register max per round).
+
+    Determinism: per-round ball estimates are the decimal(38,6) pinned
+    values; each increment (est_t − est_{t−1})/t is ONE double division
+    rounded to 6 and accumulated as exact decimals — no float folds.
+
+    Returns (node, harmonic) for every node, harmonic as double
+    (round 6)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = node_sketch(nodes).localCheckpoint(eager=True)
+    prev = _per_node_estimate(state)
+    harm = prev.select(
+        "node", F.lit(0).cast("decimal(38,6)").alias("h"), F.col("est").alias("_p")
+    )
+    for t in range(1, rounds + 1):
+        nbr = e.join(
+            state.select(F.col("node").alias("src"), "reg", "rho"), "src"
+        ).select(F.col("dst").alias("node"), "reg", "rho")
+        state = (
+            state.unionAll(nbr)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        cur = _per_node_estimate(state)
+        harm = (
+            harm.join(cur, "node")
+            .select(
+                "node",
+                (
+                    F.col("h")
+                    + F.round(
+                        (F.col("est") - F.col("_p")).cast("double") / F.lit(float(t)),
+                        6,
+                    ).cast("decimal(38,6)")
+                ).alias("h"),
+                F.col("est").alias("_p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return harm.select("node", F.round(F.col("h").cast("double"), 6).alias("harmonic"))
+
+
+def sql_hyperball_harmonic(edges_cte: str, rounds: int) -> str:
+    """DuckDB unrolled mirror of :func:`hyperball_harmonic`."""
+    est_cte = """
+est{t} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN ({m} - hit) > 0 AND raw <= {smallmax}
+              THEN CAST(round({m}.0 * ln({m}.0 / CAST({m} - hit AS DOUBLE)),
+                        6) AS DECIMAL(38,6))
+              ELSE CAST(raw AS DECIMAL(38,6)) END AS est
+  FROM (
+    SELECT node, COUNT(*) AS hit,
+           CAST(FLOOR(CAST({alpha!r} AS DOUBLE) * 65536.0 * {two53} /
+                CAST(({m} - COUNT(*)) * CAST({two53_i} AS HUGEINT)
+                     + SUM(CAST(1 AS HUGEINT) << (53 - rho)) AS DOUBLE))
+                AS BIGINT) AS raw
+    FROM s{t} GROUP BY node
+  )
+)"""
+    parts = [
+        f"e AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """s0 AS MATERIALIZED (
+  SELECT node,
+         CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 2)) AS INTEGER) AS reg,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 3, 13)) AS BIGINT) = 0
+              THEN 53
+              ELSE 53 - length(format('{:b}',
+                   CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 3, 13)) AS BIGINT)))
+         END AS rho
+  FROM nodes
+)""",
+    ]
+    kw = dict(alpha=_ALPHA, two53=float(TWO53), two53_i=TWO53, m=M,
+              smallmax=int(2.5 * M))
+    parts.append(est_cte.format(t=0, **kw).strip())
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT node, reg, MAX(rho) AS rho FROM (
+    SELECT node, reg, rho FROM s{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.reg, p.rho
+    FROM e JOIN s{t - 1} p ON e.src = p.node
+  ) GROUP BY 1, 2
+)"""
+        )
+        parts.append(est_cte.format(t=t, **kw).strip())
+    incr = " + ".join(
+        f"CAST(round(CAST(est{t}.est - est{t - 1}.est AS DOUBLE) / {float(t)!r}, 6)"
+        f" AS DECIMAL(38,6))"
+        for t in range(1, rounds + 1)
+    )
+    joins = "\n".join(
+        f"JOIN est{t} ON est0.node = est{t}.node" for t in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT est0.node, round(CAST({incr} AS DOUBLE), 6) AS harmonic
+FROM est0
+{joins}
+"""
+    )

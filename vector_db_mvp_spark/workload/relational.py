@@ -7686,3 +7686,95 @@ ORDER BY n_members DESC, label ASC LIMIT 20
 
 QUERIES["part_communities"] = q_part_communities
 ORACLE_SQL["part_communities"] = _sql_part_communities()
+
+
+# ---------------------------------------------------------------------------
+# Round 11, wave 6: k-truss (edge-cohesion refinement of k-core) and
+# HyperBall harmonic centrality (the sketch-powered centrality the exact
+# BFS family cannot afford per node).
+# ---------------------------------------------------------------------------
+
+
+def q_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the >=2-order co-purchase graph (operators/ktruss.py):
+    synchronous support peeling at k=3 (every surviving edge sits in a
+    surviving triangle — the 4-truss is EMPTY at gate scale, which the
+    realism audit caught as a vacuous instrument), 3 rounds; the oracle
+    replays identical rounds so parity holds converged or not. Output:
+    top 20 truss members by surviving degree — the strongest
+    bundle-candidate parts."""
+    from ..operators.ktruss import ktruss_edges
+    from .copurchase import copurchase_weighted
+
+    pairs = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    alive = ktruss_edges(pairs, 3, 3)
+    return (
+        alive.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("truss_deg"))
+        .orderBy(F.desc("truss_deg"), "node")
+        .limit(20)
+    )
+
+
+def _sql_part_ktruss() -> str:
+    from ..operators.ktruss import sql_ktruss_edges
+
+    body = sql_ktruss_edges(_COPURCHASE_EDGES_SQL, 3, 3)
+    return f"""
+WITH alive AS ({body})
+SELECT node, CAST(COUNT(*) AS BIGINT) AS truss_deg
+FROM (SELECT u AS node FROM alive UNION ALL SELECT v FROM alive)
+GROUP BY 1 ORDER BY truss_deg DESC, node ASC LIMIT 20
+"""
+
+
+def q_part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality over the >=2-order co-purchase
+    graph (operators/anf.py hyperball_harmonic, 3 rounds): per node,
+    newly-reached nodes at distance t discounted by 1/t, estimated from
+    the same per-round HLL sketches as the ANF profile — the top-20
+    most central parts. Well-defined on the disconnected co-purchase
+    graph (closeness is not)."""
+    from ..operators.anf import hyperball_harmonic
+    from .copurchase import copurchase_weighted
+
+    half = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        hyperball_harmonic(edges, 3, assume_distinct=True)
+        .orderBy(F.desc("harmonic"), "node")
+        .limit(20)
+    )
+
+
+def _sql_part_harmonic_centrality() -> str:
+    from ..operators.anf import sql_hyperball_harmonic
+
+    edges = f"""
+  WITH half AS ({_COPURCHASE_EDGES_SQL})
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+"""
+    body = sql_hyperball_harmonic(edges, 3)
+    return (
+        f"SELECT * FROM ({body}) h"
+        "\nORDER BY harmonic DESC, node ASC LIMIT 20"
+    )
+
+
+QUERIES["part_ktruss"] = q_part_ktruss
+ORACLE_SQL["part_ktruss"] = _sql_part_ktruss()
+QUERIES["part_harmonic_centrality"] = q_part_harmonic_centrality
+ORACLE_SQL["part_harmonic_centrality"] = _sql_part_harmonic_centrality()
