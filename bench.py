@@ -159,6 +159,8 @@ HEADLINE = [
     "embedding_norm_psi",
     "part_ktruss",
     "part_harmonic_centrality",
+    "revenue_customer_ccf",
+    "fd_violations",
 ]
 
 

@@ -7778,3 +7778,221 @@ QUERIES["part_ktruss"] = q_part_ktruss
 ORACLE_SQL["part_ktruss"] = _sql_part_ktruss()
 QUERIES["part_harmonic_centrality"] = q_part_harmonic_centrality
 ORACLE_SQL["part_harmonic_centrality"] = _sql_part_harmonic_centrality()
+
+
+# ---------------------------------------------------------------------------
+# Round 11, wave 7: cross-correlation between two daily series (lead-lag
+# structure — the bivariate sibling of revenue_acf) and a functional-
+# dependency violation profiler (the data-quality prerequisite of every
+# dedup/survivorship pipeline).
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_customer_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily revenue vs daily active customers at
+    lags −7..+7 — "does customer influx LEAD revenue, and by how many
+    days" (positive-lag peaks = x leads y). Same exact-integer discipline
+    as revenue_acf: full-series means/variances, the lag-k cross moment
+    n²·Σx_t·y_{t+k} − n·Tx·Sy(k) − n·Ty·Sx(k) + m_k·Tx·Ty as exact
+    DECIMAL(38,0)/HUGEINT, one double division + sqrt at the end.
+    Physical plan: per-day groupBy collapses the corpus, the 15-way
+    explode self-join is |days|·15, N-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    d18 = "decimal(18,0)"
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("_d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("x"),
+            F.count_distinct(F.col("o_custkey")).cast("long").alias("y"),
+        )
+        .select(
+            F.datediff(F.col("_d"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("tx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("ty"),
+        F.sum((F.col("x").cast(d18) * F.col("x").cast(d18)).cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum((F.col("y").cast(d18) * F.col("y").cast(d18)).cast(d38))
+        .cast(d38)
+        .alias("syy"),
+    )
+    exp = daily.select(
+        F.col("d"),
+        F.col("x").alias("x1"),
+        F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag"),
+    ).withColumn("d2", F.col("d") + F.col("lag"))
+    pairs = exp.join(
+        daily.select(F.col("d").alias("d2"), F.col("y").alias("y2")), "d2"
+    )
+    by_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("x1").cast(d18) * F.col("y2").cast(d18)).cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum(F.col("x1").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y2").cast(d38)).cast(d38).alias("sy"),
+    )
+    n2 = F.col("n").cast(d38) * F.col("n").cast(d38)
+    num = (
+        n2 * F.col("sxy")
+        - F.col("n").cast(d38) * F.col("tx") * F.col("sy")
+        - F.col("n").cast(d38) * F.col("ty") * F.col("sx")
+        + F.col("n_pairs").cast(d38) * F.col("tx") * F.col("ty")
+    )
+    den = F.sqrt(
+        (n2 * F.col("sxx") - F.col("n").cast(d38) * F.col("tx") * F.col("tx"))
+        .cast("double")
+        * (n2 * F.col("syy") - F.col("n").cast(d38) * F.col("ty") * F.col("ty"))
+        .cast("double")
+    )
+    return (
+        by_lag.crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(num.cast("double") / den, 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+SQL_REVENUE_CUSTOMER_CCF = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS tx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS ty,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM daily),
+by_lag AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(d1.x AS HUGEINT) * CAST(d2.y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(d1.x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(d2.y AS HUGEINT)) AS HUGEINT) AS sy
+  FROM daily d1
+  CROSS JOIN (SELECT UNNEST(range(-7, 8)) AS lag) l
+  JOIN daily d2 ON d2.d = d1.d + l.lag
+  GROUP BY 1)
+SELECT lag, n_pairs,
+       round(CAST(n*n*sxy - n*tx*sy - n*ty*sx
+                  + CAST(n_pairs AS HUGEINT)*tx*ty AS DOUBLE)
+             / sqrt(CAST(n*n*sxx - n*tx*tx AS DOUBLE)
+                    * CAST(n*n*syy - n*ty*ty AS DOUBLE)), 6) AS ccf
+FROM by_lag CROSS JOIN stats
+ORDER BY lag
+"""
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation profiler over candidate column
+    pairs — the schema-discovery pass (TANE-style agree-set counting,
+    restricted to named candidates) a survivorship/dedup pipeline runs
+    to pick merge keys: for each candidate LHS → RHS, how many LHS
+    values map to >1 distinct RHS, and how badly. One groupBy per
+    candidate (map-side partial distinct), outputs exact counts — at
+    100 TB each candidate is one shuffle on its LHS, candidates run
+    independently."""
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    cands = [
+        ("part.p_name -> p_brand", part, "p_name", "p_brand"),
+        ("part.p_brand -> p_type", part, "p_brand", "p_type"),
+        ("part.p_type -> p_brand", part, "p_type", "p_brand"),
+        ("part.p_size -> p_type", part, F.col("p_size").cast("string"), "p_type"),
+        (
+            "orders.o_custkey -> o_orderpriority",
+            orders,
+            F.col("o_custkey").cast("string"),
+            "o_orderpriority",
+        ),
+    ]
+    outs = []
+    for name, df, lhs, rhs in cands:
+        lhs_col = lhs if isinstance(lhs, F.Column) else F.col(lhs)
+        g = df.groupBy(lhs_col.alias("_l")).agg(
+            F.count_distinct(F.col(rhs) if isinstance(rhs, str) else rhs).alias(
+                "_nd"
+            )
+        )
+        outs.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("_nd").cast("long").alias("max_rhs_per_lhs"),
+            ).select(
+                "fd",
+                "n_lhs",
+                "n_violating",
+                F.round(
+                    F.col("n_violating").cast("double")
+                    / F.col("n_lhs").cast("double"),
+                    6,
+                ).alias("violation_pct"),
+                "max_rhs_per_lhs",
+            )
+        )
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("fd")
+
+
+SQL_FD_VIOLATIONS = """
+WITH c1 AS (
+  SELECT 'part.p_name -> p_brand' AS fd, p_name AS l,
+         COUNT(DISTINCT p_brand) AS nd FROM part GROUP BY 1, 2),
+c2 AS (
+  SELECT 'part.p_brand -> p_type' AS fd, p_brand AS l,
+         COUNT(DISTINCT p_type) AS nd FROM part GROUP BY 1, 2),
+c3 AS (
+  SELECT 'part.p_type -> p_brand' AS fd, p_type AS l,
+         COUNT(DISTINCT p_brand) AS nd FROM part GROUP BY 1, 2),
+c4 AS (
+  SELECT 'part.p_size -> p_type' AS fd, CAST(p_size AS VARCHAR) AS l,
+         COUNT(DISTINCT p_type) AS nd FROM part GROUP BY 1, 2),
+c5 AS (
+  SELECT 'orders.o_custkey -> o_orderpriority' AS fd,
+         CAST(o_custkey AS VARCHAR) AS l,
+         COUNT(DISTINCT o_orderpriority) AS nd FROM orders GROUP BY 1, 2),
+allc AS (
+  SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+  UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5)
+SELECT fd,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS violation_pct,
+       CAST(MAX(nd) AS BIGINT) AS max_rhs_per_lhs
+FROM allc GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["revenue_customer_ccf"] = q_revenue_customer_ccf
+ORACLE_SQL["revenue_customer_ccf"] = SQL_REVENUE_CUSTOMER_CCF
+QUERIES["fd_violations"] = q_fd_violations
+ORACLE_SQL["fd_violations"] = SQL_FD_VIOLATIONS
