@@ -51,6 +51,14 @@ for _m in _MODULES:
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
     # round 11 (continued session)
+    # trade family: edge build factored into workload/trade.py (edge SET
+    # identical — the per-query inline builds were verbatim copies).
+    # supplier_pagerank/supplier_ppr ALSO changed earlier this round
+    # (_rank_rounds + broadcast_shares knob) — single entry each, both
+    # change notes merged here per the r10 ADVICE bookkeeping rule.
+    "supplier_pagerank",
+    "supplier_ppr",
+    "trade_hits",
     # clustering coefficient: canonical edge build factored to ONE shared
     # checkpoint feeding both the degree agg and the wedge join (sf10
     # decade 13.01x -> 5.97x); triangle_participation gained the
@@ -70,11 +78,8 @@ _CHANGED_THIS_ROUND = [
     # near-dup incremental: state reads via recursiveFileLookup (the
     # neardup gate's idempotent per-epoch subdirectory layout)
     "incremental_dedup",
-    # pagerank/PPR: round loop factored into _rank_rounds with the
-    # broadcast_shares knob (expressions unchanged; plans identical at
-    # gate scale — re-verified anyway)
-    "supplier_pagerank",
-    "supplier_ppr",
+    # (pagerank/PPR _rank_rounds + broadcast_shares changes: merged into
+    # the round-11-continued entries above)
     # co-purchase graph family: edge build factored into
     # workload/copurchase.py (edge SET identical; the symmetrize now
     # derives from the grouped half-graph instead of union+distinct)

@@ -1701,32 +1701,12 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     30 nodes by rank. One shuffle per round, decimal-exact contribution
     sums; the oracle replays the identical unrolled iterations."""
     from ..operators.pagerank import pagerank
+    from .trade import trade_edges_symmetric
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    # Distinct on the raw INT keys, then stringify: the distinct's shuffle
-    # carries two longs instead of two ~8-char strings (same edge set —
-    # prefixed-concat is injective on the key pair; measured 1.65 s ->
-    # 1.05 s for the edge build at sf0.1). The orders side broadcasts.
-    pairs = (
-        li.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-    )
-    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
-        pairs.selectExpr("s AS src", "c AS dst")
-    )
-    # assume_distinct: pairs is distinct and the two union branches are
-    # disjoint by construction (src prefixes 'c' vs 's'), so pagerank's
-    # edge-dedup shuffle would be pure waste.
+    # Shared trade edge build (workload/trade.py): distinct on raw INT
+    # keys, disjoint 'c'/'s' prefixes make the symmetrized union distinct
+    # by construction, so the edge-dedup shuffle is skipped.
+    edges = trade_edges_symmetric(spark, sf_dir)
     return (
         pagerank(edges, 3, assume_distinct=True)
         .orderBy(F.desc("rank"), "node")
@@ -1763,25 +1743,9 @@ def q_supplier_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank is impossible here — mass concentrates around the seed), so the
     instrument discriminates by construction."""
     from ..operators.pagerank import personalized_pagerank
+    from .trade import trade_edges_symmetric
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        li.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-    )
-    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
-        pairs.selectExpr("s AS src", "c AS dst")
-    )
+    edges = trade_edges_symmetric(spark, sf_dir)
     return (
         personalized_pagerank(edges, 3, "c1", assume_distinct=True)
         .orderBy(F.desc("rank"), "node")
@@ -6931,23 +6895,9 @@ def q_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     other well-connected customers. Same share-join knob as pagerank
     (broadcast below 2M nodes, co-shuffle above)."""
     from ..operators.pagerank import hits
+    from .trade import trade_pairs
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        li.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-    )
-    scores = hits(pairs, 2, assume_distinct=True)
+    scores = hits(trade_pairs(spark, sf_dir), 2, assume_distinct=True)
     hub_top = (
         scores.filter(F.col("role") == "hub")
         .orderBy(F.desc("score"), "node")
