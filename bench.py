@@ -161,6 +161,7 @@ HEADLINE = [
     "part_harmonic_centrality",
     "revenue_customer_ccf",
     "fd_violations",
+    "dedup_minhash_quality",
 ]
 
 

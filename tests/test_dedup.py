@@ -272,3 +272,73 @@ def test_weighted_prefix_filter_is_lossless(spark, sf_dir):
             for r in weighted_jaccard_pairs(docs, n=5, tau=tau).collect()
         }
         assert pf == exact, (tau, set(exact) ^ set(pf))
+
+
+def test_km_slots_not_degenerate(spark):
+    """The round-11 hash-family fix (functions/text.py): with the old
+    40-bit h2, ONE shingle minimized h1 + i*h2 for every slot i, so the
+    16 signature slots agreed all-or-nothing between any two documents
+    and the banding knob was void. Pin the repaired behavior: on docs
+    with partial overlap, some pair must agree on a strict subset of
+    slots (0 < k < 16)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vector_db_mvp_spark.operators.dedup import (
+        _km_hash_cols,
+        _shingle_digests,
+        _spread_tokens,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{j}" for j in range(60)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, 30))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    post = _shingle_digests(_spread_tokens(docs, "text", "doc_id"), 1)
+    sig = post.groupBy("_id").agg(
+        *[
+            F.min(h).alias(f"s{i}")
+            for i, h in enumerate(_km_hash_cols(F.col("m"), 16))
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    ks = {
+        r.k
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(agree.alias("k"))
+        .distinct()
+        .collect()
+    }
+    assert any(0 < k < 16 for k in ks), (
+        f"slot agreement is all-or-nothing again (observed {sorted(ks)}) — "
+        "the KM family has re-degenerated"
+    )
+
+
+def test_minhash_banding_recall_monotone(spark, sf_dir):
+    """More rows per band => stricter candidate test => recall cannot
+    rise. The registered quality instrument relies on this shape."""
+    from vector_db_mvp_spark.operators.dedup import (
+        minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+    from vector_db_mvp_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(docs, n=5, tau=0.4)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
+    hits = []
+    for bands in (8, 4, 2):  # rows/band 2, 4, 8
+        c = minhash_candidates(docs, n=5, num_hashes=16, bands=bands)
+        hits.append(c.join(truth, ["id1", "id2"], "left_semi").count())
+    assert hits[0] >= hits[1] >= hits[2]

@@ -81,6 +81,15 @@ ALLOWED: dict[str, set[str]] = {
     "cohort_retention": {"CONST_COL:cohort_week", "CONST_COL:n_active"},
     # sf0.001-only tiny-scale artifacts (non-empty at sf0.01 — the gate SF)
     "idle_rich_customers": {"ZERO_ROWS", "CONST_COL:n_customers"},
+    # at sf0.001 every banding config catches all ~3 truth pairs, so the
+    # whole curve is flat; at sf0.01 (the driver gate SF) recall reads
+    # 1.0/0.96/0.92 across configs (.claude/audit_realism.json) — only
+    # n_truth (whole-corpus total) and precision (no false candidates at
+    # tau=0.4) stay constant there
+    "dedup_minhash_quality": {
+        "CONST_COL:n_truth", "CONST_COL:n_cands", "CONST_COL:n_hits",
+        "CONST_COL:recall", "CONST_COL:precision",
+    },
     "important_part_stock": {"ZERO_ROWS"},
     "min_cost_supplier": {"ZERO_ROWS"},
     "event_throttle_dedup": {"CONST_COL:n_dropped"},

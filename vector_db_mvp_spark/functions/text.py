@@ -70,12 +70,26 @@ def sql_h64(expr: str) -> str:
 # MinHash signature (Kirsch–Mitzenmacher family over one md5 per shingle)
 # ---------------------------------------------------------------------------
 #
-# h_i(s) = h1(s) + i * h2(s), where h1 = first 60 bits and h2 = 40 bits
-# (hex chars 17-26) of ONE md5 digest per shingle. The classic double-
+# h_i(s) = h1(s) + i * h2(s), where h1 = first 60 bits and h2 = 56 bits
+# (hex chars 17-30) of ONE md5 digest per shingle. The classic double-
 # hashing construction preserves minhash accuracy while computing a single
 # cryptographic hash per shingle instead of k salted ones (16x less md5 on
-# the hot path). Bounds: h1 < 2^60, i*h2 <= 15*2^40 < 2^44, so the sum
-# stays far below 2^63 — no ANSI-mode long overflow on either engine.
+# the hot path). Bounds: h1 < 2^60 ≈ 1.16e18, i*h2 <= 15*2^56 ≈ 1.09e18,
+# so the sum stays below 2.3e18 < 2^63 — no ANSI-mode long overflow on
+# either engine.
+#
+# h2 MUST be wide relative to h1 (round-11 fix): with the original 40-bit
+# h2, i*h2 <= 2^44 was ~4 orders of magnitude below the typical gap
+# between the two smallest h1 values in a document (~2^60 / |shingles|²),
+# so ONE shingle minimized h1 + i*h2 for every i — the 16 signature
+# slots collapsed to a single effective hash. Measured at sf0.01: the
+# slot-agreement distribution between all doc pairs was EXACTLY {0, 16}
+# (nothing between), banding configs (16,2)/(16,4)/(16,8) produced
+# byte-identical candidate sets, and candidate recall for a jaccard-j
+# pair degraded to ~j instead of 1-(1-j^r)^b. At 56 bits, i*h2 spans the
+# h1 min-gap scale, per-slot minimizers differ, and the banding knob
+# works (pinned by tests/test_dedup.py::test_km_slots_not_degenerate and
+# the dedup_minhash_quality instrument's monotone curve).
 # Portability: md5/substr/conv exist identically in Spark and DuckDB, so
 # the oracle reproduces signatures bit-for-bit.
 
@@ -93,7 +107,7 @@ def _km_hash(i: int):
     # as a binary (element, index) lambda, binding ``i`` to the array index
     def fn(m: Column) -> Column:
         h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-        h2 = F.conv(F.substring(m, 17, 10), 16, 10).cast("long")
+        h2 = F.conv(F.substring(m, 17, 14), 16, 10).cast("long")
         return h1 + F.lit(i) * h2
 
     return fn
@@ -112,7 +126,7 @@ def sql_minhash_signature_from_md5s(md5s_expr: str, k: int) -> str:
     for i in range(k):
         km = (
             f"CAST(('0x' || substr(m, 1, 15)) AS BIGINT) "
-            f"+ {i} * CAST(('0x' || substr(m, 17, 10)) AS BIGINT)"
+            f"+ {i} * CAST(('0x' || substr(m, 17, 14)) AS BIGINT)"
         )
         parts.append(f"list_min(list_transform({md5s_expr}, m -> {km}))")
     return "[" + ", ".join(parts) + "]"

@@ -283,9 +283,19 @@ def minhash_lsh_pairs(
     # by ReuseExchange (the distinct's shuffle is byte-identical in every
     # branch of the single final plan).
     post = _shingle_digests(_spread_tokens(df, text_col, id_col), n)
+    cands = _banded_candidates(post, num_hashes, bands)
+    # exact-Jaccard verify on candidates only (digest equality == shingle
+    # equality on both engines, so counts match the string-based verify)
+    return _jaccard_verify(cands, post.withColumnRenamed("m", "s"), tau)
+
+
+def _banded_candidates(post: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct (id1 < id2) candidate pairs agreeing on >= 1 full band —
+    the pre-verification stage, exposed so quality instruments can
+    measure candidate recall/precision against exact ground truth."""
     band_rows = _band_rows(post, num_hashes, bands)
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
-    cands = (
+    return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -295,9 +305,23 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
-    # exact-Jaccard verify on candidates only (digest equality == shingle
-    # equality on both engines, so counts match the string-based verify)
-    return _jaccard_verify(cands, post.withColumnRenamed("m", "s"), tau)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded candidate pairs WITHOUT the Jaccard verify — what the LSH
+    stage alone proposes. Recall against exact ground truth is the
+    banding quality; see the ``dedup_minhash_quality`` instrument."""
+    assert num_hashes % bands == 0
+    post = _shingle_digests(_spread_tokens(df, text_col, id_col), n)
+    return _banded_candidates(post, num_hashes, bands)
 
 
 def _km_hash_cols(m, num_hashes: int) -> list:
@@ -306,7 +330,7 @@ def _km_hash_cols(m, num_hashes: int) -> list:
     bounds; this is the codegen-friendly column twin of the array-lambda
     form there)."""
     h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(m, 17, 10), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 17, 14), 16, 10).cast("long")
     return [h1 + F.lit(i) * h2 for i in range(num_hashes)]
 
 

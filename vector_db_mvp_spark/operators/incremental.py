@@ -54,9 +54,11 @@ def dedup_state_path(
         "SPARK_GRAFT_INDEX_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_served_index"),
     )
-    # "km1" versions the hash family (Kirsch–Mitzenmacher over per-shingle
-    # md5s): state persisted under an older family must never be reused.
-    key = hashlib.md5(f"{corpus_key}|{n}|{num_hashes}|{bands}|km1".encode()).hexdigest()[:16]
+    # "km2" versions the hash family (Kirsch–Mitzenmacher over per-shingle
+    # md5s; km2 = the 56-bit-h2 family that fixed the km1 slot-degeneracy,
+    # functions/text.py): state persisted under an older family must never
+    # be reused — bands from different families silently never match.
+    key = hashlib.md5(f"{corpus_key}|{n}|{num_hashes}|{bands}|km2".encode()).hexdigest()[:16]
     return os.path.join(root, f"dedupstate-{key}")
 
 

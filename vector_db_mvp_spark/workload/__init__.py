@@ -51,6 +51,15 @@ for _m in _MODULES:
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
     # round 11 (continued session)
+    # MinHash hash-family fix (functions/text.py km2): the 40-bit h2 made
+    # the 16 signature slots degenerate to ONE effective hash (slot
+    # agreement exactly {0,16}, banding knob void); h2 widened to 56 bits.
+    # Every minhash-derived result changes — re-verify the whole family.
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "corpus_curation",
+    "incremental_dedup",
     # trade family: edge build factored into workload/trade.py (edge SET
     # identical — the per-query inline builds were verbatim copies).
     # supplier_pagerank/supplier_ppr ALSO changed earlier this round
@@ -75,9 +84,8 @@ _CHANGED_THIS_ROUND = [
     "exact_substring_pairs",
     "incremental_substring",
     "substring_clusters",
-    # near-dup incremental: state reads via recursiveFileLookup (the
-    # neardup gate's idempotent per-epoch subdirectory layout)
-    "incremental_dedup",
+    # (near-dup incremental recursiveFileLookup change: merged into the
+    # km2 family entry above)
     # (pagerank/PPR _rank_rounds + broadcast_shares changes: merged into
     # the round-11-continued entries above)
     # co-purchase graph family: edge build factored into

@@ -1990,3 +1990,139 @@ QUERIES["ql_dirichlet_search"] = q_ql_dirichlet_search
 ORACLE_SQL["ql_dirichlet_search"] = _sql_ql_dirichlet_search()
 QUERIES["nb_language_confusion"] = q_nb_language_confusion
 ORACLE_SQL["nb_language_confusion"] = _sql_nb_language_confusion()
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH banding quality curve (round 11): candidate recall/precision
+# vs exact ground truth per (bands, rows-per-band) operating point — the
+# dedup twin of the IVF recall-vs-nprobe curve (workload/vector.py): the
+# instrument that justifies a banding config BEFORE a 100 TB run, where a
+# recall miss is unrecoverable.
+# ---------------------------------------------------------------------------
+
+_MHQ_N, _MHQ_HASHES, _MHQ_TAU = 5, 16, 0.4
+_MHQ_BANDS = [8, 4, 2]  # rows/band 2, 4, 8: recall falls as bands coarsen
+
+
+def q_dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per banding config: exact-truth pair count (n-gram Jaccard >= tau,
+    full postings self-join — no LSH), banded candidate count, their
+    intersection, and the derived recall (hits/truth) and precision
+    (hits/candidates). All counts exact; the curve must be monotone in
+    rows-per-band (pinned in tests). One shingle pass feeds every config
+    (signatures are per-document, corpus-independent)."""
+    from ..operators.dedup import minhash_candidates, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(docs, n=_MHQ_N, tau=_MHQ_TAU)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    rows = []
+    for bands in _MHQ_BANDS:
+        cands = minhash_candidates(
+            docs, n=_MHQ_N, num_hashes=_MHQ_HASHES, bands=bands
+        ).localCheckpoint(eager=True)
+        n_cands = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+        n_hits = (
+            cands.join(truth, ["id1", "id2"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        rows.append(
+            n_truth.crossJoin(F.broadcast(n_cands))
+            .crossJoin(F.broadcast(n_hits))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(_MHQ_HASHES // bands).cast("int").alias("rows_per_band"),
+                "n_truth",
+                "n_cands",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_truth").cast("double"),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_cands").cast("double"),
+                    6,
+                ).alias("precision"),
+            )
+        )
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("rows_per_band")
+
+
+def _sql_dedup_minhash_quality() -> str:
+    n, tau = _MHQ_N, _MHQ_TAU
+    sh = sql_shingles("t", n)
+    sig = sql_minhash_signature_from_md5s("shm", _MHQ_HASHES)
+    parts = [
+        f"toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)",
+        f"shs AS (SELECT doc_id, {sh} AS sh FROM toks)",
+        """shs2 AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm
+         FROM shs WHERE len(sh) > 0)""",
+        f"sigs AS MATERIALIZED (SELECT doc_id, {sig} AS sig FROM shs2)",
+        """post AS MATERIALIZED (
+  SELECT DISTINCT doc_id, u.s AS s FROM shs2, UNNEST(shm) AS u(s))""",
+        """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM post GROUP BY 1)""",
+        f"""truth AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT pa.doc_id AS id1, pb.doc_id AS id2, COUNT(*) AS common
+    FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+    GROUP BY 1, 2) c
+  JOIN sizes s1 ON c.id1 = s1.doc_id JOIN sizes s2 ON c.id2 = s2.doc_id
+  WHERE round(common::DOUBLE / (s1.n_sh + s2.n_sh - common), 6) >= {tau})""",
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)",
+    ]
+    selects = []
+    for bands in _MHQ_BANDS:
+        r = _MHQ_HASHES // bands
+        band_structs = ", ".join(
+            "{'band': %d, 'bh': md5(%s)}"
+            % (
+                b,
+                " || ',' || ".join(
+                    f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for b in range(bands)
+        )
+        parts.append(
+            f"""cands_{bands} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM (SELECT doc_id, u.b.band AS band, u.b.bh AS bh
+        FROM sigs, UNNEST([{band_structs}]) AS u(b)) a
+  JOIN (SELECT doc_id, u.b.band AS band, u.b.bh AS bh
+        FROM sigs, UNNEST([{band_structs}]) AS u(b)) b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+        )
+        selects.append(
+            f"""(SELECT {bands} AS bands, {r} AS rows_per_band,
+        nt.n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands_{bands}) AS n_cands,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands_{bands} c
+          WHERE EXISTS (SELECT 1 FROM truth t
+                        WHERE t.id1 = c.id1 AND t.id2 = c.id2)) AS n_hits
+ FROM nt)"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT bands, rows_per_band, n_truth, n_cands, n_hits,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_cands AS DOUBLE), 6) AS precision
+FROM ({body})
+ORDER BY rows_per_band
+"""
+    )
+
+
+QUERIES["dedup_minhash_quality"] = q_dedup_minhash_quality
+ORACLE_SQL["dedup_minhash_quality"] = _sql_dedup_minhash_quality()
