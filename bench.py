@@ -353,7 +353,15 @@ def main() -> None:
     # its median in the latest round's record (r9: price_mad_by_flag
     # 6.29/6.61, spearman 2.64/3.43, K-S 2.46/1.61, hdr 0.89/1.48;
     # r10: mann_kendall_trend 4.79/5.43 — added per the rule, r10 verdict
-    # finding 2) — the crowded-vs-quiet split separates neighborhood
+    # finding 2; r11 final record: dbscan_knn_clusters 5.84/5.25,
+    # dbscan_embedding_clusters 3.37/3.59, global_price_median 2.26/2.08,
+    # part_golden_record 1.26/1.75, association_rules 0.97/1.88 — all
+    # added per the same rule. Sub-second violators (boolean_search
+    # 0.17/0.32, copurchase_hub_profile 0.27/0.48) are excluded: their
+    # crowd variance exceeds their plan cost, so a quiet-JVM number
+    # carries no signal either way — the BENCH_CREEP.md sub-second
+    # exclusion, stated here so the omission is the rule, not an
+    # oversight) — the crowded-vs-quiet split separates neighborhood
     # contention from plan cost for exactly the queries where the crowded
     # number alone can't.
     ISOLATED_PROBE = [
@@ -363,6 +371,11 @@ def main() -> None:
         "ks_test_price_by_flag",
         "hdr_price_quantiles",
         "mann_kendall_trend",
+        "dbscan_knn_clusters",
+        "dbscan_embedding_clusters",
+        "global_price_median",
+        "part_golden_record",
+        "association_rules",
     ]
     # Absolute canary (r10 verdict task 1): a FIXED family-spanning set,
     # re-timed every round under this same quiet-JVM protocol and compared
