@@ -162,6 +162,7 @@ HEADLINE = [
     "revenue_customer_ccf",
     "fd_violations",
     "dedup_minhash_quality",
+    "price_moments_by_flag",
 ]
 
 

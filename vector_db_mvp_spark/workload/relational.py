@@ -7946,3 +7946,95 @@ QUERIES["revenue_customer_ccf"] = q_revenue_customer_ccf
 ORACLE_SQL["revenue_customer_ccf"] = SQL_REVENUE_CUSTOMER_CCF
 QUERIES["fd_violations"] = q_fd_violations
 ORACLE_SQL["fd_violations"] = SQL_FD_VIOLATIONS
+
+
+# ---------------------------------------------------------------------------
+# Round 11, wave 8: per-group distribution shape (skewness / excess
+# kurtosis) — the higher-moment completion of the two-sample family
+# (Welch mean test, K-S distribution test, MW rank test, MAD robustness).
+# ---------------------------------------------------------------------------
+
+_MOM_M = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_MOM_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_MOM_M} * {_MOM_M})"
+_MOM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3.0 * {_MOM_M} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 2.0 * {_MOM_M} * {_MOM_M} * {_MOM_M})"
+)
+_MOM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4.0 * {_MOM_M} * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 6.0 * {_MOM_M} * {_MOM_M} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3.0 * {_MOM_M} * {_MOM_M} * {_MOM_M} * {_MOM_M})"
+)
+_MOM_SELECT = [
+    "flag",
+    "n",
+    f"round({_MOM_M} / 100.0, 6) AS mean_price",
+    (
+        f"round(sqrt(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)"
+        f" * {_MOM_M2}) / 100.0, 6) AS stddev_price"
+    ),
+    f"round({_MOM_M3} / pow({_MOM_M2}, 1.5), 6) AS skewness",
+    f"round({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3.0, 6) AS excess_kurtosis",
+]
+
+
+def q_price_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distribution shape of extended price: mean, sample
+    stddev, skewness, excess kurtosis — the "is this even close to
+    normal" pre-check before the parametric members of the family.
+
+    Four exact integer power sums per group (cents; Σx⁴ stays under
+    DECIMAL(38,0)/HUGEINT through ~sf100: x⁴ ≈ 1.6e29 at max price,
+    ×2.4e8 rows ≈ 4e37), then ONE shared double expression per output
+    column evaluated on the 3-row moment frame — the chi2/OLS/Welch
+    determinism recipe; skewness and kurtosis are scale-invariant so the
+    cents→dollars scaling touches only mean/stddev."""
+    d18 = "decimal(18,0)"
+    d38 = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    x2 = (F.col("_x").cast(d18) * F.col("_x").cast(d18)).cast(d38)
+    m = (
+        li.select(F.col("l_returnflag").alias("flag"), x.alias("_x"))
+        .withColumn("_x2", x2)
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_x").cast(d38)).cast(d38).alias("s1"),
+            F.sum("_x2").cast(d38).alias("s2"),
+            F.sum((F.col("_x2") * F.col("_x").cast(d18)).cast(d38))
+            .cast(d38)
+            .alias("s3"),
+            F.sum((F.col("_x2") * F.col("_x2")).cast(d38)).cast(d38).alias("s4"),
+        )
+    )
+    return m.selectExpr(*_MOM_SELECT).orderBy("flag")
+
+
+def _sql_price_moments_by_flag() -> str:
+    cols = ",\n       ".join(_MOM_SELECT)
+    return f"""
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+              AS HUGEINT) AS s3,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+                  * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS s4
+  FROM (SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM lineitem) t
+  GROUP BY 1
+)
+SELECT {cols}
+FROM m
+ORDER BY flag
+"""
+
+
+QUERIES["price_moments_by_flag"] = q_price_moments_by_flag
+ORACLE_SQL["price_moments_by_flag"] = _sql_price_moments_by_flag()
