@@ -110,6 +110,33 @@ def test_ambiguous_docs_route_to_review(run_classify):
     assert review[9].margin < 0.5
 
 
+def test_tokenless_docs_route_to_review(run_classify):
+    """A doc whose text tokenizes to nothing produces no nb_score rows;
+    the gate must still route it — to review with NULL predicted and
+    margin 0, never silently drop it from both sinks."""
+    labeled, review, _ = run_classify(
+        [
+            [
+                (1, "the cat ran in the park near the dog"),
+                (5, "   "),
+                (7, ""),
+            ]
+        ]
+    )
+    assert labeled[1].predicted == "en"
+    for d in (5, 7):
+        assert d in review and d not in labeled
+        assert review[d].predicted is None
+        assert review[d].margin == 0.0
+
+
+def test_tokenless_doc_never_confident_even_at_zero_margin(run_classify):
+    """min_margin=0 would pass margin>=0 for a coalesced token-less doc;
+    the NULL-prediction guard must still route it to review."""
+    labeled, review, _ = run_classify([[(5, "   ")]], min_margin=0.0)
+    assert 5 in review and 5 not in labeled
+
+
 def test_replayed_epoch_is_noop(spark, run_classify, tmp_path):
     """Redelivering a marked epoch must not double-append."""
     labeled, _, handler = run_classify(

@@ -107,6 +107,26 @@ def test_adamic_adar_center_degree_cap(spark):
     assert adamic_adar(e, max_center_degree=3).count() == 0
 
 
+def test_hits_rejects_zero_iters(spark):
+    """iters=0 would leave auth=None and crash on the final union; the
+    entry guard must reject it up front (matching ktruss_edges)."""
+    e = _edges(spark, [("c1", "s1")])
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, 0)
+
+
+def test_sql_adamic_adar_cap_param_renders(spark):
+    """The oracle-side cap is a first-class parameter, not a string
+    replace — it must appear in the HAVING clause when set and be absent
+    otherwise."""
+    from vector_db_mvp_spark.operators.linkpred import sql_adamic_adar
+
+    capped = sql_adamic_adar("SELECT 1 AS src, 2 AS dst", max_center_degree=6)
+    uncapped = sql_adamic_adar("SELECT 1 AS src, 2 AS dst")
+    assert "COUNT(*) <= 6" in capped
+    assert "COUNT(*) <=" not in uncapped
+
+
 def test_hits_bipartite_known(spark):
     """2 customers x 2 suppliers, c1 buys from both, c2 from s1 only:
     the better-connected supplier s1 must out-rank s2, and the

@@ -73,3 +73,37 @@ def test_matches_pure_python_reference(spark):
         r.node: r.label for r in label_propagation(_edges(spark, pairs), 3).collect()
     }
     assert got == labels
+
+
+def test_max_degree_noop_when_cap_exceeds_max_degree(spark):
+    """The skew knob must be exact when it doesn't bind: capped at the
+    graph's max degree == uncapped, bit-identical."""
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)]
+    a = sorted(map(tuple, label_propagation(_edges(spark, pairs), 3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(_edges(spark, pairs), 3, max_degree=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_max_degree_caps_hub_fanout(spark):
+    """With a binding cap, a degree-N hub propagates via at most
+    max_degree out-edges per round; every node still gets a label and
+    the run stays deterministic."""
+    import pytest
+
+    n = 40
+    pairs = [(0, i) for i in range(1, n + 1)] + [(i, i + 1) for i in range(1, n)]
+    a = sorted(
+        map(tuple, label_propagation(_edges(spark, pairs), 2, max_degree=5).collect())
+    )
+    b = sorted(
+        map(tuple, label_propagation(_edges(spark, pairs), 2, max_degree=5).collect())
+    )
+    assert a == b  # deterministic hash-ordered sample
+    assert len(a) == n + 1  # every node labeled, none dropped by the cap
+    with pytest.raises(ValueError, match="max_degree"):
+        label_propagation(_edges(spark, pairs), 2, max_degree=0)

@@ -68,6 +68,36 @@ def test_triangle_orientation_dedups_reversed_edges(spark):
     assert got == {"a": 1, "b": 1, "c": 1}
 
 
+def test_wedge_join_is_degree_oriented(spark):
+    """A small-id hub must generate ZERO wedges: every hub edge points AT
+    the hub under the (degree, id) orientation. Triangle counts stay
+    exact. (The id-oriented plan this replaces gave the hub C(N,2)
+    wedges — .claude/probe_r12_wedge_orient.json measures 2000x at
+    N=4000.)"""
+    from pyspark.sql import functions as F
+
+    from vector_db_mvp_spark.operators.pagerank import (
+        _oriented_wedge_triangles,
+    )
+
+    n = 30
+    rows = [(0, i) for i in range(1, n + 1)] + [(i, i + 1) for i in range(1, n)]
+    e = (
+        spark.createDataFrame(rows, "a long, b long")
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    tri = _oriented_wedge_triangles(e).collect()
+    # ring edge (i, i+1) + hub closes triangle {0, i, i+1}: n-1 triangles
+    assert len(tri) == n - 1
+    assert all({r.x, r.y, r.z} == {0, i, i + 1} for r, i in zip(
+        sorted(tri, key=lambda r: min({r.x, r.y, r.z} - {0})), range(1, n)
+    ))
+    # the hub (max degree) must never be a wedge CENTER: x is the
+    # (deg,id)-lowest vertex of each triangle, and the hub is highest
+    assert all(r.x != 0 for r in tri)
+
+
 def test_no_triangles_in_a_path(spark):
     from vector_db_mvp_spark.operators.pagerank import triangle_participation
 

@@ -79,6 +79,20 @@ def test_ql_oov_terms_dropped(spark):
     assert all(r.score is not None for r in got)
 
 
+def test_ql_all_oov_query_degrades_to_length_only(spark):
+    """When EVERY query term is OOV, cf is empty and the K sum would be
+    NULL; the score must degrade to the length-only term (here 0 matched
+    terms ⇒ score 0 after the _nq=0 cancellation), never NULL."""
+    rows = [(1, "vector data"), (2, "other words entirely different")]
+    got = {
+        r.doc_id: (r.n_matched, r.score)
+        for r in ql_dirichlet_scores(
+            _docs(spark, rows), ["zzz_oov", "qqq_oov"]
+        ).collect()
+    }
+    assert got[1] == (0, 0.0) and got[2] == (0, 0.0)
+
+
 def _labeled(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, lang string, text string")
 

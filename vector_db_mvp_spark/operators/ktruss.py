@@ -42,22 +42,28 @@ def _canonical(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 
 
 def _edge_support(e: DataFrame) -> DataFrame:
-    """(u, v, support) for every canonical edge in ≥1 triangle."""
-    w1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    w2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = (
-        w1.join(w2, "x")
-        .filter(F.col("y") < F.col("z"))
-        .join(e, (F.col("y") == e.u) & (F.col("z") == e.v))
-        .select("x", "y", "z")
-    )
+    """(u, v, support) for every canonical edge in ≥1 triangle.
+
+    Triangle enumeration is the shared (degree, id)-oriented wedge join
+    (pagerank._oriented_wedge_triangles) over the CURRENT survivor set —
+    degrees are recomputed each peel round, so the fan-out bound tracks
+    the shrinking graph. Triangles come back ordered by (deg, id), not
+    node id, so each of the three edges is re-canonicalized to (least,
+    greatest) by id to match the ``alive`` keys and the SQL oracle.
+    """
+    from .pagerank import _oriented_wedge_triangles
+
+    tri = _oriented_wedge_triangles(e)
+
+    def _edge(a: str, b: str):
+        return F.struct(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+
     tri_edges = tri.select(
         F.explode(
-            F.array(
-                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
-                F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
-                F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
-            )
+            F.array(_edge("x", "y"), _edge("x", "z"), _edge("y", "z"))
         ).alias("_e")
     ).select("_e.u", "_e.v")
     return tri_edges.groupBy("u", "v").agg(

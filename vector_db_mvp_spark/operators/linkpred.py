@@ -204,9 +204,17 @@ def adamic_adar(
     )
 
 
-def sql_adamic_adar(edges_cte: str) -> str:
-    """DuckDB mirror of :func:`adamic_adar` (uncapped); ``edges_cte`` must
-    yield (src, dst)."""
+def sql_adamic_adar(
+    edges_cte: str, *, max_center_degree: int | None = None
+) -> str:
+    """DuckDB mirror of :func:`adamic_adar`; ``edges_cte`` must yield
+    (src, dst). ``max_center_degree`` mirrors the Spark hub cap: centers
+    with degree above it are dropped from wedge generation."""
+    cap = (
+        f" AND COUNT(*) <= {int(max_center_degree)}"
+        if max_center_degree is not None
+        else ""
+    )
     return f"""
 WITH raw AS ({edges_cte}),
 e AS (
@@ -221,7 +229,7 @@ adj AS (
 centers AS (
   SELECT z,
          CAST(round(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 12) AS DECIMAL(38,12)) AS t
-  FROM adj GROUP BY 1 HAVING COUNT(*) >= 2
+  FROM adj GROUP BY 1 HAVING COUNT(*) >= 2{cap}
 ),
 wedges AS (
   SELECT a1.nbr AS a, a2.nbr AS b, c.t

@@ -35,17 +35,54 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_symmetric: bool = False,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Run ``rounds`` synchronous LPA iterations over an undirected graph
     given as an edge list (symmetrized internally unless
     ``assume_symmetric``). Returns (node, label) after the final round.
-    Labels must be numeric (node ids)."""
+    Labels must be numeric (node ids).
+
+    ``max_degree``: the family skew knob (substring max_postings /
+    Adamic-Adar hub-cap pattern). The per-round neighbor join hashes on
+    ``src`` — a degree-D super-hub makes one D-row hot key EVERY round.
+    With the cap set, hubs propagate their label through a deterministic
+    sample of ``max_degree`` out-edges (smallest xxhash64(src,dst) —
+    engine-reproducible, no RNG); their own label update still sees the
+    FULL in-neighborhood (the dst-side histogram is a map-side-combined
+    aggregate, skew-safe without help). Sampling super-hub adjacency is
+    standard web-scale LPA practice; results are exact when the cap
+    doesn't bind (pytest pin) and approximate when it does. One-time
+    build cost: the row_number window runs over HUB rows only (the
+    non-hub edge set passes through an anti-join untouched).
+    """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_symmetric:
         e = e.unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     e = e.localCheckpoint(eager=True)
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError("label_propagation: max_degree must be >= 1")
+        from pyspark.sql import Window
+
+        hubs = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > max_degree)
+            .select("src")
+        )
+        normal = e.join(hubs, "src", "left_anti")
+        w = Window.partitionBy("src").orderBy(
+            F.xxhash64("src", "dst"), F.col("dst")
+        )
+        sampled = (
+            e.join(hubs, "src", "left_semi")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_degree)
+            .drop("_rn")
+        )
+        e = normal.unionAll(sampled).localCheckpoint(eager=True)
     labels = (
         e.select(F.col("src").alias("node"))
         .distinct()

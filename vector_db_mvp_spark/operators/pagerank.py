@@ -174,22 +174,29 @@ def triangle_participation(
 ) -> DataFrame:
     """Per-node triangle counts over an undirected edge list.
 
-    Implementation is the degree-oriented wedge join: orient each edge from
-    the lower to the higher endpoint (here by node id — a deterministic
-    total order), join oriented edges on their source to form wedges
-    (u<v, u<w, v<w by construction when both edges leave u and v<w), and
-    close each wedge against the oriented edge set. Orientation means each
-    triangle is found exactly once and the wedge join fans out on
-    out-degree under the total order, not raw degree — the standard
-    shuffle-bounding trick (Suri & Vassilvitskii, WWW'11).
+    Implementation is the degree-oriented wedge join (Suri &
+    Vassilvitskii, WWW'11): orient each edge from its LOWER endpoint
+    under the (degree, id) lexicographic total order, join oriented edges
+    on their source to form wedges, and close each wedge against the
+    oriented edge set. Orientation means each triangle is found exactly
+    once, and — because every edge leaves its lower-degree endpoint —
+    per-node wedge fan-out is bounded by ~O(√m) regardless of hub
+    placement: a degree-N hub generates ZERO wedges (all its edges point
+    at it), where orientation by bare node id would give a small-id hub
+    its full deg² (see ``.claude/probe_r12_wedge_orient.py``).
 
-    Returns (node, n_triangles) for every node in >=1 triangle.
+    Returns (node, n_triangles) for every node in >=1 triangle. The
+    triangle SET is orientation-invariant, so results are bit-identical
+    to the id-oriented SQL mirror.
 
-    ``assume_canonical``: the input is ALREADY the distinct oriented
+    ``assume_canonical``: the input is ALREADY the distinct id-canonical
     (u < v) edge set, materialized by the caller — skip the per-call
-    canonicalize + checkpoint so callers that also need degrees (e.g.
-    the clustering coefficient) pay the edge build ONCE, not once per
-    consumer (measured 13x -> family-band decade multiple at sf10).
+    dedup + checkpoint so callers that also need degrees (e.g. the
+    clustering coefficient) pay the edge build ONCE, not once per
+    consumer (measured 13x -> family-band decade multiple at sf10). The
+    (degree, id) re-orientation still happens here: it is two |E|-keyed
+    hash joins against the |V|-sized degree frame, linear work that buys
+    the fan-out bound.
     """
     if assume_canonical:
         e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -203,19 +210,49 @@ def triangle_participation(
             .distinct()
             .localCheckpoint(eager=True)
         )
-    w1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    w2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
-    tri = wedges.join(
-        e,
-        (wedges.y == e.u) & (wedges.z == e.v),
-    ).select("x", "y", "z")
     per_node = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        _oriented_wedge_triangles(e)
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def _oriented_wedge_triangles(e: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the distinct undirected edge set ``e``
+    (any consistent (u, v) form) exactly once as (x, y, z) ordered by the
+    (degree, id) total order — the Suri-Vassilvitskii degree orientation.
+
+    Plan: one map-side-combined degree groupBy over |E|, two hash joins
+    to tag endpoints with their degree, a re-orientation select, then the
+    wedge self-join on the oriented source and the closure join on the
+    oriented (y, z) pair. Struct comparison gives the lexicographic
+    (deg, id) order natively (no string concat, no precision games).
+    """
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    tagged = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("_d", "_du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("_d", "_dv"), "v")
+    )
+    ku = F.struct(F.col("_du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("_dv").alias("d"), F.col("v").alias("n"))
+    # orient from the (deg, id)-lower endpoint; carry the head's key so the
+    # wedge pair (y, z) can be ordered without re-joining degrees
+    o = tagged.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(ku < kv, kv).otherwise(ku).alias("_tk"),
+    ).localCheckpoint(eager=True)
+    w1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"), F.col("_tk").alias("_yk"))
+    w2 = o.select(F.col("s").alias("x"), F.col("t").alias("z"), F.col("_tk").alias("_zk"))
+    wedges = w1.join(w2, "x").filter(F.col("_yk") < F.col("_zk"))
+    closure = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    return wedges.join(closure, ["y", "z"]).select("x", "y", "z")
 
 
 def sql_triangle_participation(edges_cte: str) -> str:
@@ -389,6 +426,8 @@ def hits(
     |V|-sized broadcast at web scale) — same contract, same "auto"
     resolution as pagerank, both paths bit-identical.
     """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_distinct:
         e = e.distinct()

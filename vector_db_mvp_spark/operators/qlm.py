@@ -110,7 +110,11 @@ def ql_dirichlet_scores(
             F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
             F.round(
                 (
-                    F.col("_k")
+                    # _k is a SUM over cf: if EVERY query term is OOV, cf is
+                    # empty and the sum is NULL — coalesce to 0 so the score
+                    # degrades to the length-only term (OOV-drop convention)
+                    # instead of going NULL across the whole corpus.
+                    F.coalesce(F.col("_k"), F.lit(0).cast(d3812))
                     + F.coalesce(F.col("_adj"), F.lit(0).cast(d3812))
                     # narrow factors: decimal(6,0) x decimal(18,12) keeps
                     # the product at scale 12 exactly (a (38,12)x(38,12)

@@ -80,9 +80,23 @@ class ClassifyIngest:
         preds = nb_score(
             batch, base, model, id_col=self.id_col, text_col=self.text_col
         )
-        enriched = batch.join(preds, self.id_col).localCheckpoint(eager=True)
-        confident = enriched.filter(F.col("margin") >= self.min_margin)
-        review = enriched.filter(F.col("margin") < self.min_margin)
+        # Left join: documents whose text tokenizes to nothing produce no
+        # rows in nb_score, but the gate's contract is that EVERY arriving
+        # doc is routed somewhere — token-less docs get NULL predicted and
+        # margin 0, which sends them to review regardless of min_margin.
+        enriched = (
+            batch.join(preds, self.id_col, "left")
+            .withColumn("margin", F.coalesce(F.col("margin"), F.lit(0.0)))
+            .localCheckpoint(eager=True)
+        )
+        confident = enriched.filter(
+            (F.col("margin") >= self.min_margin)
+            & F.col("predicted").isNotNull()
+        )
+        review = enriched.filter(
+            (F.col("margin") < self.min_margin)
+            | F.col("predicted").isNull()
+        )
         os.makedirs(self.labeled_path, exist_ok=True)
         confident.write.mode("append").parquet(
             os.path.join(self.labeled_path, "data")

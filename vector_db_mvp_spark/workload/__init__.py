@@ -50,53 +50,18 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 11 (continued session)
-    # MinHash hash-family fix (functions/text.py km2): the 40-bit h2 made
-    # the 16 signature slots degenerate to ONE effective hash (slot
-    # agreement exactly {0,16}, banding knob void); h2 widened to 56 bits.
-    # Every minhash-derived result changes — re-verify the whole family.
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "corpus_curation",
-    "incremental_dedup",
-    # trade family: edge build factored into workload/trade.py (edge SET
-    # identical — the per-query inline builds were verbatim copies).
-    # supplier_pagerank/supplier_ppr ALSO changed earlier this round
-    # (_rank_rounds + broadcast_shares knob) — single entry each, both
-    # change notes merged here per the r10 ADVICE bookkeeping rule.
-    "supplier_pagerank",
-    "supplier_ppr",
-    "trade_hits",
-    # clustering coefficient: canonical edge build factored to ONE shared
-    # checkpoint feeding both the degree agg and the wedge join (sf10
-    # decade 13.01x -> 5.97x); triangle_participation gained the
-    # assume_canonical fast path it rides on
-    "part_clustering_coeff",
-    # NB classifier: train/apply split into nb_model/nb_score (+margin);
-    # the registered confusion query now composes the two — outputs
-    # identical, re-verify anyway
-    "nb_language_confusion",
-    # round 11
-    # substring family: max_postings cap added (the uncapped path's dup_h
-    # aggregation now also counts occurrences) + postings state read via
-    # recursiveFileLookup for the streaming gate's per-epoch subdirs
-    "exact_substring_pairs",
-    "incremental_substring",
-    "substring_clusters",
-    # (near-dup incremental recursiveFileLookup change: merged into the
-    # km2 family entry above)
-    # (pagerank/PPR _rank_rounds + broadcast_shares changes: merged into
-    # the round-11-continued entries above)
-    # co-purchase graph family: edge build factored into
-    # workload/copurchase.py (edge SET identical; the symmetrize now
-    # derives from the grouped half-graph instead of union+distinct)
-    "copurchase_pairs",
-    "part_reachability",
-    "part_cheapest_routes",
+    # round 12
+    # Wedge joins re-oriented by (degree, id) — the true Suri-Vassilvitskii
+    # bound the docstrings claimed (r11 verdict finding #1): triangle sets
+    # are orientation-invariant so outputs are bit-identical, but the plan
+    # changed for every wedge consumer — re-verify all three.
     "part_triangles",
-    "part_degree_assortativity",
-    "part_kcore",
+    "part_clustering_coeff",
+    "part_ktruss",
+    # qlm: the all-OOV-query K sum now coalesces NULL -> 0 (ADVICE r11);
+    # registered query has in-corpus terms (output unchanged) but the
+    # operator's final select changed — re-verify.
+    "ql_dirichlet_search",
 ]
 
 

@@ -7472,11 +7472,7 @@ def q_part_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_part_adamic_adar_capped() -> str:
     from ..operators.linkpred import sql_adamic_adar
 
-    body = sql_adamic_adar(_COPURCHASE_EDGES_SQL)
-    body = body.replace(
-        "GROUP BY 1 HAVING COUNT(*) >= 2",
-        "GROUP BY 1 HAVING COUNT(*) >= 2 AND COUNT(*) <= 6",
-    )
+    body = sql_adamic_adar(_COPURCHASE_EDGES_SQL, max_center_degree=6)
     return body + "\nORDER BY score DESC, a ASC, b ASC LIMIT 20"
 
 
