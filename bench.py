@@ -340,7 +340,6 @@ def main() -> None:
         samples["engine_search_served"].append(time.perf_counter() - t0)
 
     metaspace["end"] = _metaspace_mb()
-    shutil.rmtree(_eng_root, ignore_errors=True)
 
     # Residual-contention probe (BENCH_CREEP.md part B): part_reachability's
     # per-round DISK_ONLY checkpoints contend with neighboring queries'
@@ -402,17 +401,38 @@ def main() -> None:
         "kmeans_clusters",          # iterative ML
         "streaming_heavy_hitters",  # streaming twin
     ]
+    # engine_search_served joined ISOLATED_PROBE in r12: two rounds of
+    # crowded creep (2.67 -> 3.80 -> 4.42 s r9->r11) with no quiet-JVM
+    # coverage — the crowded number alone can't say contention vs plan
+    # (r11 verdict task 2). It's not in QUERIES, so the quiet loop calls
+    # its pass closure directly; the served index is torn down AFTER.
+    ISOLATED_PROBE.append("engine_search_served")
+    # Sub-second canaries drown in JVM noise at 3 samples (r11: the three
+    # biggest apparent anchor "drifters" were exactly the three sub-second
+    # canaries, 1.27-1.38x on 0.3-0.6 s queries). Per the r11 verdict:
+    # keep the anchor UNTOUCHED and raise the sample count where the
+    # signal is smallest — any quiet median under 1 s re-samples to 7.
+    SUBSEC_RUNS = max(RUNS, 7)
     quiet_names = list(dict.fromkeys(ISOLATED_PROBE + CANARY))
     quiet: dict[str, list[float]] = {}
     for name in quiet_names:
-        vals = []
-        for _ in range(RUNS):
+        run_fn = (
+            _engine_search_pass
+            if name == "engine_search_served"
+            else (lambda n=name: QUERIES[n](spark, sf_dir).collect())
+        )
+        vals: list[float] = []
+        want = RUNS
+        while len(vals) < want:
             _gc.collect()
             _jvm_gc()
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            run_fn()
             vals.append(time.perf_counter() - t0)
+            if len(vals) == RUNS and sorted(vals)[len(vals) // 2] < 1.0:
+                want = SUBSEC_RUNS
         quiet[name] = [round(v, 4) for v in vals]
+    shutil.rmtree(_eng_root, ignore_errors=True)
     isolated = {n: quiet[n] for n in ISOLATED_PROBE}
     canary = {n: quiet[n] for n in CANARY}
 

@@ -67,3 +67,27 @@ def test_publish_is_idempotent(spark):
 def test_edges_distinct_by_construction(spark):
     e = copurchase_edges(spark, SF)
     assert e.count() == e.distinct().count()
+
+
+def test_served_kcore_consumer_plan_has_no_edge_build(spark):
+    """part_kcore_served's pre-peel frame must be a bare bucketed
+    FileScan of the published table: zero joins, zero lineitem stages —
+    the whole point of the build-once artifact."""
+    name = publish_copurchase_edges(spark, SF)
+    plan = _explain(spark.table(name).select("src", "dst"))
+    assert "lineitem" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_served_kcore_matches_rebuild(spark):
+    """The served twin and the rebuild query return identical rows at
+    fixture scale (same k/rounds instance, same edge set)."""
+    from vector_db_mvp_spark.workload.relational import (
+        q_part_kcore,
+        q_part_kcore_served,
+    )
+
+    a = sorted(map(tuple, q_part_kcore(spark, SF).collect()))
+    b = sorted(map(tuple, q_part_kcore_served(spark, SF).collect()))
+    assert a == b

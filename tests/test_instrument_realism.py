@@ -90,6 +90,14 @@ ALLOWED: dict[str, set[str]] = {
         "CONST_COL:n_truth", "CONST_COL:n_cands", "CONST_COL:n_hits",
         "CONST_COL:recall", "CONST_COL:precision",
     },
+    # sampled twin: 6 truth pairs in the half-corpus at sf0.01, all caught
+    # at every banding config — same class as the full instrument above;
+    # the exact per-config counts still discriminate engines, and the
+    # curve differentiates at sf0.1+ (probe_r12_mhq_sampled.json)
+    "dedup_minhash_quality_sampled": {
+        "CONST_COL:n_truth", "CONST_COL:n_cands", "CONST_COL:n_hits",
+        "CONST_COL:recall", "CONST_COL:precision",
+    },
     "important_part_stock": {"ZERO_ROWS"},
     "min_cost_supplier": {"ZERO_ROWS"},
     "event_throttle_dedup": {"CONST_COL:n_dropped"},

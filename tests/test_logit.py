@@ -1,0 +1,104 @@
+"""Fixed-round Newton logistic regression (operators/logit.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vector_db_mvp_spark.operators.logit import logistic_newton
+
+
+def _grouped(spark, rows):
+    return spark.createDataFrame(rows, "x double, n_pos long, n_neg long")
+
+
+def _py_newton(rows, rounds):
+    b0 = b1 = 0.0
+    out = []
+    for _ in range(rounds):
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for x, n1, n0 in rows:
+            n = n1 + n0
+            p = round(1.0 / (1.0 + math.exp(-(b0 + b1 * x))), 12)
+            resid = n1 - n * p
+            w = n * p * (1 - p)
+            g0 += round(resid, 6)
+            g1 += round(x * resid, 6)
+            h00 += round(w, 6)
+            h01 += round(w * x, 6)
+            h11 += round(w * x * x, 6)
+        det = h00 * h11 - h01 * h01
+        b0 = round(b0 + (h11 * g0 - h01 * g1) / det, 12)
+        b1 = round(b1 + (h00 * g1 - h01 * g0) / det, 12)
+        out.append((round(b0, 6), round(b1, 6)))
+    return out
+
+
+def test_matches_pure_python_trajectory(spark):
+    rows = [
+        (1.0, 5, 45),
+        (2.0, 12, 38),
+        (3.0, 20, 30),
+        (4.0, 33, 17),
+        (5.0, 41, 9),
+    ]
+    expect = _py_newton(rows, 4)
+    got = [
+        (r.b0, r.b1)
+        for r in logistic_newton(_grouped(spark, rows), 4)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == pytest.approx(expect, abs=2e-6)
+
+
+def test_recovers_separating_direction(spark):
+    """Positives concentrated at high x must yield b1 > 0 and a
+    monotone-in-x fitted probability."""
+    rows = [(float(x), x * 10, (10 - x) * 10) for x in range(1, 10)]
+    fit = (
+        logistic_newton(_grouped(spark, rows), 4)
+        .orderBy("round")
+        .collect()[-1]
+    )
+    assert fit.b1 > 0
+
+    def p(x):
+        return 1.0 / (1.0 + math.exp(-(fit.b0 + fit.b1 * x)))
+
+    assert p(9) > 0.8 > 0.2 > p(1)
+
+
+def test_rejects_zero_rounds(spark):
+    with pytest.raises(ValueError, match="rounds"):
+        logistic_newton(_grouped(spark, [(1.0, 1, 1)]), 0)
+
+
+def test_sql_mirror_matches_spark(spark):
+    """The unrolled DuckDB oracle replays the identical trajectory."""
+    import duckdb
+
+    from vector_db_mvp_spark.operators.logit import sql_logistic_newton
+
+    rows = [
+        (1.0, 5, 45),
+        (2.0, 12, 38),
+        (3.0, 20, 30),
+        (4.0, 33, 17),
+        (5.0, 41, 9),
+    ]
+    got = [
+        (r.round, r.b0, r.b1)
+        for r in logistic_newton(_grouped(spark, rows), 3)
+        .orderBy("round")
+        .collect()
+    ]
+    vals = ", ".join(f"({x}, {n1}, {n0})" for x, n1, n0 in rows)
+    cte = f"SELECT * FROM (VALUES {vals}) AS t(x, n_pos, n_neg)"
+    sql = sql_logistic_newton(cte, 3) + " ORDER BY round"
+    oracle = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    for (ra, b0a, b1a), (rb, b0b, b1b) in zip(got, oracle):
+        assert ra == rb
+        assert b0a == pytest.approx(b0b, abs=2e-6)
+        assert b1a == pytest.approx(b1b, abs=2e-6)

@@ -6709,8 +6709,33 @@ FROM e{rounds} GROUP BY 1 ORDER BY 1
 """
 
 
+def q_part_kcore_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_kcore's build-once/serve-many twin: the peel runs over the
+    PUBLISHED co-purchase edge table (workload/copurchase.py
+    publish_copurchase_edges — bucketed+sorted on src) instead of
+    rebuilding the lineitem self-join per consumer. Same (k, rounds)
+    instance, same oracle — the edge SET is identical by construction;
+    only the physical source changes (probe_r11_copurchase.json: sf10
+    rebuild-consumer 50.6 s vs served-consumer 16.2 s). Publish is
+    idempotent per session; the consumer's pre-peel plan is a bare
+    bucketed FileScan — zero joins, zero lineitem stages (plan-pinned in
+    tests/test_copurchase.py)."""
+    from ..operators.kcore import kcore_nodes
+    from .copurchase import publish_copurchase_edges
+
+    name = publish_copurchase_edges(spark, sf_dir)
+    edges = spark.table(name).select("src", "dst")
+    return (
+        kcore_nodes(edges, _KCORE_K, _KCORE_ROUNDS)
+        .select(F.col("node").alias("part"), "core_degree")
+        .orderBy("part")
+    )
+
+
 QUERIES["part_kcore"] = q_part_kcore
 ORACLE_SQL["part_kcore"] = _sql_part_kcore()
+QUERIES["part_kcore_served"] = q_part_kcore_served
+ORACLE_SQL["part_kcore_served"] = _sql_part_kcore()
 
 
 def q_copurchase_hub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8034,3 +8059,54 @@ ORDER BY flag
 
 QUERIES["price_moments_by_flag"] = q_price_moments_by_flag
 ORACLE_SQL["price_moments_by_flag"] = _sql_price_moments_by_flag()
+
+
+# ---------------------------------------------------------------------------
+# Round 12: fixed-round Newton logistic regression on a saturating domain —
+# the iterative-GLM member of the distributed-exact-statistics family
+# (operators/logit.py). One corpus pass collapses lineitem to the ~50-value
+# quantity domain; every Newton round then costs O(|domain|), corpus-
+# independent — the 100 TB shape for a low-dimensional fit.
+# ---------------------------------------------------------------------------
+
+_LOGIT_ROUNDS = 4
+
+
+def q_logistic_return_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(l_returnflag = 'R') as a logistic function of l_quantity, fitted
+    with 4 synchronous Newton rounds (operators/logit.py) — per-round
+    (b0, b1) trajectory so convergence is visible in the output. The
+    quantity domain saturates at 50 distinct values, so rounds 2..4 are
+    domain-frame-only work; sigmoids pin to 12 decimals, term sums are
+    exact DECIMAL(38,6), the 2x2 solve is one IEEE double sequence on
+    both engines (the OLS closed-form discipline)."""
+    from ..operators.logit import logistic_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(
+        F.col("l_quantity").cast("double").alias("x")
+    ).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("long").alias("n_pos"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 0).otherwise(1)
+        ).cast("long").alias("n_neg"),
+    )
+    return logistic_newton(grouped, _LOGIT_ROUNDS).orderBy("round")
+
+
+def _sql_logistic_return_by_quantity() -> str:
+    from ..operators.logit import sql_logistic_newton
+
+    grouped = """
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM lineitem GROUP BY 1"""
+    body = sql_logistic_newton(grouped, _LOGIT_ROUNDS)
+    return body + "\nORDER BY round"
+
+
+QUERIES["logistic_return_by_quantity"] = q_logistic_return_by_quantity
+ORACLE_SQL["logistic_return_by_quantity"] = _sql_logistic_return_by_quantity()
