@@ -163,6 +163,11 @@ HEADLINE = [
     "fd_violations",
     "dedup_minhash_quality",
     "price_moments_by_flag",
+    # round 12
+    "part_kcore_served",
+    "dedup_minhash_quality_sampled",
+    "logistic_return_by_quantity",
+    "part_communities_capped",
 ]
 
 

@@ -107,3 +107,29 @@ def test_max_degree_caps_hub_fanout(spark):
     assert len(a) == n + 1  # every node labeled, none dropped by the cap
     with pytest.raises(ValueError, match="max_degree"):
         label_propagation(_edges(spark, pairs), 2, max_degree=0)
+
+
+def test_registered_cap_binds_at_gate_scale(spark):
+    """The r11 gotcha: a capped twin whose cap exceeds the gate-scale max
+    degree verifies nothing. Pin that the >=2 co-purchase graph's max
+    degree exceeds _LPA_CAP at sf0.01 AND the capped output differs from
+    the uncapped one there."""
+    from pyspark.sql import functions as F
+
+    from vector_db_mvp_spark.workload.copurchase import copurchase_weighted
+    from vector_db_mvp_spark.workload.relational import (
+        _LPA_CAP,
+        q_part_communities,
+        q_part_communities_capped,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    half = copurchase_weighted(spark, sf).filter(F.col("n_orders") >= 2)
+    sym = half.select("src", "dst").unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    max_deg = sym.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert max_deg > _LPA_CAP
+    a = sorted(map(tuple, q_part_communities(spark, sf).collect()))
+    b = sorted(map(tuple, q_part_communities_capped(spark, sf).collect()))
+    assert a != b

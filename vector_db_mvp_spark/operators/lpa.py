@@ -46,14 +46,16 @@ def label_propagation(
     Adamic-Adar hub-cap pattern). The per-round neighbor join hashes on
     ``src`` — a degree-D super-hub makes one D-row hot key EVERY round.
     With the cap set, hubs propagate their label through a deterministic
-    sample of ``max_degree`` out-edges (smallest xxhash64(src,dst) —
-    engine-reproducible, no RNG); their own label update still sees the
-    FULL in-neighborhood (the dst-side histogram is a map-side-combined
-    aggregate, skew-safe without help). Sampling super-hub adjacency is
-    standard web-scale LPA practice; results are exact when the cap
-    doesn't bind (pytest pin) and approximate when it does. One-time
-    build cost: the row_number window runs over HUB rows only (the
-    non-hub edge set passes through an anti-join untouched).
+    sample of ``max_degree`` out-edges (smallest portable 60-bit hash
+    h64("src,dst"), then dst — engine-reproducible, no RNG, and
+    DuckDB-replayable so capped instances keep exact oracles); their own
+    label update still sees the FULL in-neighborhood (the dst-side
+    histogram is a map-side-combined aggregate, skew-safe without help).
+    Sampling super-hub adjacency is standard web-scale LPA practice;
+    results are exact when the cap doesn't bind (pytest pin) and
+    approximate when it does. One-time build cost: the row_number window
+    runs over HUB rows only (the non-hub edge set passes through an
+    anti-join untouched).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_symmetric:
@@ -66,6 +68,8 @@ def label_propagation(
             raise ValueError("label_propagation: max_degree must be >= 1")
         from pyspark.sql import Window
 
+        from ..functions.text import h64
+
         hubs = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
@@ -74,7 +78,14 @@ def label_propagation(
         )
         normal = e.join(hubs, "src", "left_anti")
         w = Window.partitionBy("src").orderBy(
-            F.xxhash64("src", "dst"), F.col("dst")
+            h64(
+                F.concat_ws(
+                    ",",
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            F.col("dst"),
         )
         sampled = (
             e.join(hubs, "src", "left_semi")
@@ -106,6 +117,29 @@ def label_propagation(
         # happen for nodes drawn from src — every node has >=1 neighbor)
         labels = new.localCheckpoint(eager=True)
     return labels
+
+
+def sql_capped_edges(edges_cte: str, max_degree: int) -> str:
+    """DuckDB mirror of the ``max_degree`` hub sampling: ``edges_cte``
+    must yield the SYMMETRIZED distinct (src, dst); returns a query for
+    the sampled edge set — non-hub edges untouched, hub edges kept in
+    (h64("src,dst"), dst) order up to the cap, exactly the Spark
+    window's order (functions/text.py h64 is bit-identical on both
+    engines). A first-class builder, not string surgery (the
+    sql_adamic_adar max_center_degree lesson)."""
+    from ..functions.text import sql_h64
+
+    key = sql_h64("CAST(s.src AS VARCHAR) || ',' || CAST(s.dst AS VARCHAR)")
+    return f"""
+WITH symcap AS ({edges_cte}),
+degcap AS (SELECT src, COUNT(*) AS _d FROM symcap GROUP BY 1),
+rkcap AS (
+  SELECT s.src, s.dst, d._d,
+         ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY {key}, s.dst) AS _rn
+  FROM symcap s JOIN degcap d ON s.src = d.src)
+SELECT src, dst FROM rkcap
+WHERE _d <= {int(max_degree)} OR _rn <= {int(max_degree)}
+"""
 
 
 def sql_label_propagation(edges_cte: str, rounds: int) -> str:

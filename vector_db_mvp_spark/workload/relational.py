@@ -7655,8 +7655,60 @@ ORDER BY n_members DESC, label ASC LIMIT 20
 """
 
 
+_LPA_CAP = 6
+
+
+def q_part_communities_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_communities with the max_degree hub cap BINDING (gate-scale
+    max degree is 13 > 6, asserted by tests/test_lpa_capped_binds): the
+    skew knob as a first-class verified instance, not just a code path —
+    hubs propagate through a deterministic portable-hash sample of 6
+    out-edges per round (operators/lpa.py), the oracle replays the
+    identical sample (sql_capped_edges)."""
+    from ..operators.lpa import label_propagation
+    from .copurchase import copurchase_weighted
+
+    half = (
+        copurchase_weighted(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(
+        edges, 3, assume_symmetric=True, max_degree=_LPA_CAP
+    )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
+    )
+
+
+def _sql_part_communities_capped() -> str:
+    from ..operators.lpa import sql_capped_edges, sql_label_propagation
+
+    sym = f"""
+  WITH half AS ({_COPURCHASE_EDGES_SQL})
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+"""
+    body = sql_label_propagation(sql_capped_edges(sym, _LPA_CAP), 3)
+    return f"""
+WITH labels AS ({body})
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM labels GROUP BY 1
+ORDER BY n_members DESC, label ASC LIMIT 20
+"""
+
+
 QUERIES["part_communities"] = q_part_communities
 ORACLE_SQL["part_communities"] = _sql_part_communities()
+QUERIES["part_communities_capped"] = q_part_communities_capped
+ORACLE_SQL["part_communities_capped"] = _sql_part_communities_capped()
 
 
 # ---------------------------------------------------------------------------
