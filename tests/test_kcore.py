@@ -101,3 +101,23 @@ def test_kcore_validates_args(spark):
         kcore_nodes(edges, 0, 3)
     with pytest.raises(ValueError):
         kcore_nodes(edges, 3, 0)
+
+
+def test_broadcast_and_shuffle_peel_bit_identical(spark):
+    """The broadcast_keep knob must not change results (the pagerank
+    broadcast_shares contract applied to the peel)."""
+    from vector_db_mvp_spark.operators.kcore import kcore_nodes
+
+    pairs = []
+    # K6 core + a fringe path that peels away at k=3
+    nodes = list(range(6))
+    for i in nodes:
+        for j in nodes:
+            if i != j:
+                pairs.append((i, j))
+    pairs += [(6, 0), (0, 6), (6, 7), (7, 6)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    a = sorted(map(tuple, kcore_nodes(e, 3, 4, broadcast_keep=True).collect()))
+    b = sorted(map(tuple, kcore_nodes(e, 3, 4, broadcast_keep=False).collect()))
+    assert a == b
+    assert {n for n, _ in a} == set(range(6))

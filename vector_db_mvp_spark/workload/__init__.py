@@ -62,6 +62,11 @@ _CHANGED_THIS_ROUND = [
     # registered query has in-corpus terms (output unchanged) but the
     # operator's final select changed — re-verify.
     "ql_dirichlet_search",
+    # kcore: peel semi-joins gained the broadcast_keep="auto" leg (the
+    # pagerank broadcast_shares contract); results bit-identical (pytest
+    # pin) but the plan changed — re-verify. (part_kcore_served is new
+    # this round and already priority 0.)
+    "part_kcore",
 ]
 
 
