@@ -102,3 +102,10 @@ def test_sql_mirror_matches_spark(spark):
         assert ra == rb
         assert b0a == pytest.approx(b0b, abs=2e-6)
         assert b1a == pytest.approx(b1b, abs=2e-6)
+
+
+def test_rejects_single_distinct_x(spark):
+    """One distinct x makes the Hessian singular — every beta would be
+    NaN from round 1; the entry guard must fail loudly instead."""
+    with pytest.raises(ValueError, match="distinct x"):
+        logistic_newton(_grouped(spark, [(1.0, 3, 7)]), 2)

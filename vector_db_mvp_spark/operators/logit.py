@@ -48,6 +48,14 @@ def logistic_newton(grouped: DataFrame, rounds: int) -> DataFrame:
         F.col("n_pos").cast("double").alias("n1"),
         (F.col("n_pos") + F.col("n_neg")).cast("double").alias("n"),
     ).localCheckpoint(eager=True)  # bounded domain, feeds every round
+    # A single distinct x makes the Hessian singular (det = 0) and every
+    # beta NaN from round 1 — fail loudly instead (the hits()/ktruss
+    # entry-guard discipline). One scalar off the checkpointed bounded
+    # frame: control-plane, not a corpus pass.
+    if g.count() < 2:
+        raise ValueError(
+            "logistic_newton: need >= 2 distinct x values (singular Hessian)"
+        )
 
     beta = spark.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
