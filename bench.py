@@ -168,6 +168,7 @@ HEADLINE = [
     "dedup_minhash_quality_sampled",
     "logistic_return_by_quantity",
     "part_communities_capped",
+    "part_pagerank_weighted",
 ]
 
 

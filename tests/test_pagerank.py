@@ -160,3 +160,47 @@ def test_ppr_auto_threshold_drops_broadcast(spark):
     plan = _explain(df)
     assert "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_weighted_pagerank_matches_pure_python(spark):
+    """Weighted variant against a direct float reference with the same
+    12-decimal pinning (weights change both out-degree normalization and
+    per-edge contribution)."""
+    from vector_db_mvp_spark.operators.pagerank import pagerank
+
+    pairs = [("a", "b", 3), ("b", "a", 3), ("a", "c", 1),
+             ("c", "a", 1), ("b", "c", 2), ("c", "b", 2)]
+    e = spark.createDataFrame(pairs, "src string, dst string, w long")
+    d = 0.85
+    nodes = {"a", "b", "c"}
+    outw = {}
+    for s, _, w in pairs:
+        outw[s] = outw.get(s, 0) + w
+    rank = {v: 1.0 / 3 for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in pairs:
+            contrib[t] += round(rank[s] / outw[s], 12) * w
+        rank = {
+            v: round((1 - d) / 3 + d * contrib[v], 12) for v in nodes
+        }
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, 3, weight_col="w", assume_distinct=True).collect()
+    }
+    import pytest as _pt
+
+    assert got == _pt.approx(rank, abs=2e-9)
+
+
+def test_weight_one_equals_unweighted(spark):
+    """All-ones weights must reproduce the unweighted ranks exactly."""
+    from vector_db_mvp_spark.operators.pagerank import pagerank
+
+    pairs = [(s, t) for s, t in
+             [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b")]]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    ew = e.withColumn("w", F.lit(1).cast("long"))
+    a = sorted(map(tuple, pagerank(e, 3).collect()))
+    b = sorted(map(tuple, pagerank(ew, 3, weight_col="w").collect()))
+    assert a == b

@@ -65,6 +65,7 @@ def _rank_rounds(
     restart: Column,
     damping: float,
     use_broadcast: bool,
+    weighted: bool = False,
 ) -> DataFrame:
     """The shared per-round body of pagerank/personalized_pagerank: share
     table (rank/out_deg per source node) into the static edge scan, then
@@ -73,25 +74,38 @@ def _rank_rounds(
     shuffles) or shuffle-hash co-shuffle on the join key (|V| beyond
     broadcast reach: shares shuffle on node/src, never materialize on one
     machine). Expressions are identical either way, so results are
-    bit-identical (pytest-pinned in tests/test_pagerank.py)."""
+    bit-identical (pytest-pinned in tests/test_pagerank.py).
+
+    ``weighted``: ``e`` additionally carries an integral weight column
+    ``w`` and ``deg.out_deg`` is the per-source WEIGHT sum; each edge's
+    contribution is (rank / out_w, round-12) x w. The per-source base is
+    narrowed to DECIMAL(18,12) (it is <= 1 by construction) so the
+    per-edge product with DECIMAL(9,0) w stays exact at scale 12 — the
+    Spark precision-loss trap the qlm/nbayes operators pinned."""
     for i in range(iters):
         rank_deg = (
             ranks.join(F.broadcast(deg), "node")
             if use_broadcast
             else ranks.join(deg.hint("shuffle_hash"), "node")
         )
+        base = F.round(F.col("rank") / F.col("out_deg"), 12)
         shares = rank_deg.select(
             F.col("node").alias("src"),
-            F.round(F.col("rank") / F.col("out_deg"), 12)
-            .cast("decimal(38,12)")
-            .alias("_c"),
+            base.cast("decimal(18,12)" if weighted else "decimal(38,12)")
+            .alias("_b" if weighted else "_c"),
         )
         joined = (
             e.join(F.broadcast(shares), "src")
             if use_broadcast
             else e.join(shares.hint("shuffle_hash"), "src")
         )
-        contrib = joined.select(F.col("dst").alias("node"), "_c")
+        if weighted:
+            contrib = joined.select(
+                F.col("dst").alias("node"),
+                (F.col("_b") * F.col("w").cast("decimal(9,0)")).alias("_c"),
+            )
+        else:
+            contrib = joined.select(F.col("dst").alias("node"), "_c")
         ranks = contrib.groupBy("node").agg(
             F.round(
                 restart + F.lit(damping) * F.sum("_c").cast("double"), 12
@@ -115,6 +129,7 @@ def pagerank(
     assume_distinct: bool = False,
     broadcast_shares: bool | str = "auto",
     broadcast_max_nodes: int = BROADCAST_MAX_NODES,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Run ``iters`` damped PageRank rounds over the (directed) edge list.
     Returns ``(node, rank)`` for every node that appears in ``edges``.
@@ -124,8 +139,24 @@ def pagerank(
     (src, dst) pairs — it skips a full edge-list dedup shuffle.
     ``broadcast_shares``: True/False force the share-table strategy;
     "auto" (default) broadcasts only while |V| <= ``broadcast_max_nodes``
-    and otherwise co-shuffles on src (module docstring)."""
-    sel = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    and otherwise co-shuffles on src (module docstring).
+
+    ``weight_col``: edge-weighted PageRank (the co-purchase recommender
+    shape: mass flows in proportion to integral edge weight instead of
+    uniformly). Out-degree becomes the per-source weight SUM; everything
+    else — damping, round pinning, broadcast/co-shuffle contract — is
+    identical, and ``weight_col=None`` leaves the unweighted plan
+    byte-for-byte untouched."""
+    if weight_col is None:
+        sel = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    else:
+        sel = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
     if not assume_distinct:
         sel = sel.distinct()
     # Materialize the (usually expensively-derived) edge list ONCE: every
@@ -143,9 +174,14 @@ def pagerank(
     # node has out-degree >= 1 by contract, so the degree frame's key set
     # IS the node set — no separate distinct shuffle). Checkpointed: it is
     # re-read every round for the share table.
+    deg_agg = (
+        F.sum(F.col("w").cast("decimal(18,0)")).cast("double")
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("double")
+    )
     deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+        .agg(deg_agg.alias("out_deg"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(eager=True)
     )
@@ -162,7 +198,10 @@ def pagerank(
     # |V|-sized frames once per round and feed it into the static edge
     # scan — broadcast below the threshold (zero per-round shuffles),
     # shuffle-hash co-shuffle on src above it (_rank_rounds).
-    return _rank_rounds(e, deg, ranks, iters, base, damping, use_broadcast)
+    return _rank_rounds(
+        e, deg, ranks, iters, base, damping, use_broadcast,
+        weighted=weight_col is not None,
+    )
 
 
 def triangle_participation(
@@ -291,6 +330,7 @@ def personalized_pagerank(
     assume_distinct: bool = False,
     broadcast_shares: bool | str = "auto",
     broadcast_max_nodes: int = BROADCAST_MAX_NODES,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank from one seed: the restart mass (1-d) returns
     to ``seed_node`` instead of spreading uniformly — the graph-proximity
@@ -306,13 +346,27 @@ def personalized_pagerank(
     """
     from pyspark import StorageLevel
 
-    sel = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if weight_col is None:
+        sel = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    else:
+        sel = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
     if not assume_distinct:
         sel = sel.distinct()
     e = sel.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    deg_agg = (
+        F.sum(F.col("w").cast("decimal(18,0)")).cast("double")
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("double")
+    )
     deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+        .agg(deg_agg.alias("out_deg"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(eager=True)
     )
@@ -326,7 +380,10 @@ def personalized_pagerank(
         F.lit(0.0)
     )
     use_broadcast = _resolve_broadcast(broadcast_shares, deg, broadcast_max_nodes)
-    return _rank_rounds(e, deg, ranks, iters, restart, damping, use_broadcast)
+    return _rank_rounds(
+        e, deg, ranks, iters, restart, damping, use_broadcast,
+        weighted=weight_col is not None,
+    )
 
 
 def sql_personalized_pagerank(
@@ -370,14 +427,25 @@ def sql_pagerank(
     iters: int,
     *,
     damping: float = 0.85,
+    weighted: bool = False,
 ) -> str:
     """DuckDB unrolled mirror of :func:`pagerank`. ``edges_cte`` must be a
-    SELECT yielding (src, dst), already distinct + symmetrized."""
+    SELECT yielding (src, dst) — plus an integral ``w`` when ``weighted``
+    — already distinct + symmetrized."""
+    deg_expr = (
+        "CAST(SUM(w) AS DOUBLE)" if weighted else "CAST(COUNT(*) AS DOUBLE)"
+    )
+    c_expr = (
+        "CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(18,12))"
+        " * CAST(e.w AS DECIMAL(9,0))"
+        if weighted
+        else "CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(38,12))"
+    )
     parts = [
         f"e AS ({edges_cte})",
         "nodes AS (SELECT DISTINCT src AS node FROM e)",
         "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
-        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS out_deg FROM e GROUP BY 1)",
+        f"deg AS (SELECT src, {deg_expr} AS out_deg FROM e GROUP BY 1)",
         "r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)",
     ]
     for i in range(1, iters + 1):
@@ -388,7 +456,7 @@ def sql_pagerank(
                + {damping} * CAST(SUM(c) AS DOUBLE), 12) AS rank
   FROM (
     SELECT e.dst,
-           CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(38,12)) AS c
+           {c_expr} AS c
     FROM e JOIN deg d ON e.src = d.src
            JOIN r{i - 1} r ON e.src = r.node
   ) CROSS JOIN n

@@ -67,6 +67,11 @@ _CHANGED_THIS_ROUND = [
     # pin) but the plan changed — re-verify. (part_kcore_served is new
     # this round and already priority 0.)
     "part_kcore",
+    # pagerank machinery gained weight_col (the weighted-variant wiring);
+    # the unweighted plans are expression-identical but the shared module
+    # changed — re-verify both existing rank queries.
+    "supplier_pagerank",
+    "supplier_ppr",
 ]
 
 

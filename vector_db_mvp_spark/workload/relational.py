@@ -8162,3 +8162,65 @@ def _sql_logistic_return_by_quantity() -> str:
 
 QUERIES["logistic_return_by_quantity"] = q_logistic_return_by_quantity
 ORACLE_SQL["logistic_return_by_quantity"] = _sql_logistic_return_by_quantity()
+
+
+# ---------------------------------------------------------------------------
+# Round 12: edge-weighted PageRank — the co-purchase recommender shape
+# (mass flows in proportion to co-order counts, not uniformly). Reuses the
+# pagerank machinery's broadcast/co-shuffle contract with weight-sum
+# out-degrees (operators/pagerank.py weight_col).
+# ---------------------------------------------------------------------------
+
+
+def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round damped PageRank over the FULL weighted co-purchase graph
+    (edge weight = number of co-orders): the 20 parts that accumulate the
+    most purchase-affinity mass. Unlike the >=2-filtered family members
+    this keeps weight-1 edges — the weights themselves do the
+    de-emphasis, which is the point of the weighted variant. Per-edge
+    contribution = round(rank/out_w, 12) x w with the narrow-decimal
+    product (operators/pagerank.py _rank_rounds)."""
+    from ..operators.pagerank import pagerank
+    from .copurchase import copurchase_weighted
+
+    half = copurchase_weighted(spark, sf_dir)
+    edges = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "n_orders"
+        )
+    )
+    return (
+        pagerank(
+            edges, 4, assume_distinct=True, weight_col="n_orders"
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select(F.col("node").alias("part"), "rank")
+    )
+
+
+def _sql_part_pagerank_weighted() -> str:
+    from ..operators.pagerank import sql_pagerank
+
+    edges = """
+  WITH half AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2)
+  SELECT src, dst, w FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM half
+"""
+    body = sql_pagerank(edges, 4, weighted=True)
+    return f"""
+WITH ranks AS ({body})
+SELECT node AS part, rank
+FROM ranks ORDER BY rank DESC, node ASC LIMIT 20
+"""
+
+
+QUERIES["part_pagerank_weighted"] = q_part_pagerank_weighted
+ORACLE_SQL["part_pagerank_weighted"] = _sql_part_pagerank_weighted()
