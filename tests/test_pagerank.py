@@ -180,7 +180,7 @@ def test_weighted_pagerank_matches_pure_python(spark):
     for _ in range(3):
         contrib = {v: 0.0 for v in nodes}
         for s, t, w in pairs:
-            contrib[t] += round(rank[s] / outw[s], 12) * w
+            contrib[t] += round(rank[s] / outw[s] * w, 12)
         rank = {
             v: round((1 - d) / 3 + d * contrib[v], 12) for v in nodes
         }
@@ -203,4 +203,73 @@ def test_weight_one_equals_unweighted(spark):
     ew = e.withColumn("w", F.lit(1).cast("long"))
     a = sorted(map(tuple, pagerank(e, 3).collect()))
     b = sorted(map(tuple, pagerank(ew, 3, weight_col="w").collect()))
+    assert a == b
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, w double")
+
+
+def test_weight_guard_rejects_zero_negative_fractional(spark):
+    """r12 verdict task 4 + ADVICE: the weighted path silently cast w to
+    long (fractions truncate) and DECIMAL(9,0) (w >= 1e9 NULLs out) —
+    the entry guard must fail loudly on every degenerate weight class
+    instead (the hits()/ktruss/logistic_newton discipline)."""
+    import pytest as _pt
+
+    from vector_db_mvp_spark.operators.pagerank import pagerank
+
+    base = [("a", "b", 2.0), ("b", "a", 2.0)]
+    with _pt.raises(ValueError, match="> 0"):
+        pagerank(_wedges(spark, base + [("a", "b", 0.0)]), 2,
+                 weight_col="w", assume_distinct=True).collect()
+    with _pt.raises(ValueError, match="> 0"):
+        pagerank(_wedges(spark, [("a", "b", -3.0), ("b", "a", 2.0)]), 2,
+                 weight_col="w", assume_distinct=True).collect()
+    with _pt.raises(ValueError, match="integral"):
+        pagerank(_wedges(spark, [("a", "b", 1.5), ("b", "a", 2.0)]), 2,
+                 weight_col="w", assume_distinct=True).collect()
+    with _pt.raises(ValueError, match="2\\^53"):
+        pagerank(_wedges(spark, [("a", "b", float(2**53)), ("b", "a", 2.0)]),
+                 2, weight_col="w", assume_distinct=True).collect()
+
+
+def test_large_weights_keep_significant_digits(spark):
+    """Two r12 defects in one pin: (a) the DECIMAL(9,0) product cast
+    silently NULLed any w >= 1e9 (edge contributions dropped from the
+    sum); (b) rounding the share BEFORE the weight multiply underflowed
+    the 12-decimal pin at large out-weight (uniform w=1e10 gave 0.339 vs
+    the exact 0.3333 — ~2 significant digits). With the round-after-
+    multiply form, uniform huge weights must cancel back to the
+    unweighted ranks to ~1e-9 (per-edge IEEE rounding only)."""
+    import pytest as _pt
+
+    from vector_db_mvp_spark.operators.pagerank import pagerank
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+             ("b", "c"), ("c", "b")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    ew = e.withColumn("w", F.lit(10_000_000_000).cast("double"))  # 1e10
+    a = dict(map(tuple, pagerank(e, 3).collect()))
+    b = dict(map(tuple, pagerank(ew, 3, weight_col="w").collect()))
+    assert b == _pt.approx(a, abs=1e-9)
+
+
+def test_duplicate_weighted_edges_sum(spark):
+    """ADVICE r12: with assume_distinct=False, duplicate (src, dst)
+    pairs differing only in w both survived distinct() and were double-
+    counted. They must now merge by SUMMING weights — identical to
+    presenting the pre-summed multigraph with assume_distinct=True."""
+    from vector_db_mvp_spark.operators.pagerank import pagerank
+
+    dup = [("a", "b", 1.0), ("a", "b", 2.0), ("b", "a", 3.0),
+           ("a", "c", 1.0), ("c", "a", 1.0), ("b", "c", 2.0),
+           ("c", "b", 2.0)]
+    summed = [("a", "b", 3.0), ("b", "a", 3.0), ("a", "c", 1.0),
+              ("c", "a", 1.0), ("b", "c", 2.0), ("c", "b", 2.0)]
+    a = sorted(map(tuple, pagerank(
+        _wedges(spark, dup), 3, weight_col="w").collect()))
+    b = sorted(map(tuple, pagerank(
+        _wedges(spark, summed), 3, weight_col="w",
+        assume_distinct=True).collect()))
     assert a == b

@@ -57,6 +57,92 @@ def _resolve_broadcast(broadcast_shares, deg: DataFrame, max_nodes: int) -> bool
     return bool(broadcast_shares)
 
 
+def _edge_frame(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+    assume_distinct: bool,
+) -> DataFrame:
+    """Shared edge-list preparation for pagerank/personalized_pagerank:
+    select/dedup, ONE eager materialization, and (weighted only) the
+    entry guard.
+
+    Materialize the (usually expensively-derived) edge list ONCE: every
+    round joins against it, and without the barrier each round re-runs
+    the whole upstream plan. Eager localCheckpoint, not cache — see
+    operators/semdedup.py (CacheManager leak per invocation). SERIALIZED
+    memory+disk: the edge list is corpus-sized, and default deserialized
+    on-heap blocks are ~5x the serialized size — the sf10 probe OOM'd a
+    48 GiB heap on exactly this pattern in bfs.py before its fix; the
+    per-round deserialization cost is noise next to the join shuffle.
+
+    Weighted dedup SUMS duplicate (src, dst) weights (multigraph merge);
+    the guard (over the CHECKPOINTED frame — one bounded scan, no
+    upstream replay) fails loudly on w <= 0 / fractional / >= 2^53
+    instead of silently corrupting ranks (ADVICE r12)."""
+    from pyspark import StorageLevel
+
+    if weight_col is None:
+        sel = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        if not assume_distinct:
+            sel = sel.distinct()
+    else:
+        sel = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        if not assume_distinct:
+            sel = sel.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    e = sel.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    if weight_col is not None:
+        chk = e.agg(
+            F.min("w").alias("mn"),
+            F.max("w").alias("mx"),
+            F.max((F.col("w") != F.floor("w")).cast("int")).alias("frac"),
+        ).first()
+        if chk["mn"] is not None:
+            if chk["frac"]:
+                raise ValueError(
+                    "pagerank: weight_col values must be integral "
+                    "(fractional weights would truncate silently)"
+                )
+            if chk["mn"] <= 0:
+                raise ValueError(
+                    "pagerank: weight_col values must be > 0 "
+                    f"(min weight {chk['mn']})"
+                )
+            if chk["mx"] >= float(1 << 53):
+                raise ValueError(
+                    "pagerank: weight_col values must be < 2^53 "
+                    "(exact integer-in-double bound)"
+                )
+    return e
+
+
+def _out_degrees(e: DataFrame, weighted: bool) -> DataFrame:
+    """(node, out_deg) for every source node: edge count, or the exact
+    weight sum (per-row DECIMAL(38,0) cast so the sum never overflows or
+    float-folds) converted to double once at the end — both engines cast
+    the same exact integer, so out_deg is bit-identical."""
+    deg_agg = (
+        F.sum(F.col("w").cast("decimal(38,0)")).cast("double")
+        if weighted
+        else F.count(F.lit(1)).cast("double")
+    )
+    return (
+        e.groupBy("src")
+        .agg(deg_agg.alias("out_deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+
+
 def _rank_rounds(
     e: DataFrame,
     deg: DataFrame,
@@ -77,21 +163,33 @@ def _rank_rounds(
     bit-identical (pytest-pinned in tests/test_pagerank.py).
 
     ``weighted``: ``e`` additionally carries an integral weight column
-    ``w`` and ``deg.out_deg`` is the per-source WEIGHT sum; each edge's
-    contribution is (rank / out_w, round-12) x w. The per-source base is
-    narrowed to DECIMAL(18,12) (it is <= 1 by construction) so the
-    per-edge product with DECIMAL(9,0) w stays exact at scale 12 — the
-    Spark precision-loss trap the qlm/nbayes operators pinned."""
+    ``w`` (validated by :func:`pagerank`'s entry guard: 0 < w < 2^53,
+    integral) and ``deg.out_deg`` is the per-source WEIGHT sum; each
+    edge's contribution is round(rank / out_w * w, 12) — the round
+    happens AFTER the multiply so the pin keeps ~12 SIGNIFICANT digits
+    at any weight scale (the contribution is <= rank <= 1 by
+    construction). r12 rounded the per-source base BEFORE the multiply
+    (round(rank/out_w, 12) x w), which underflows the absolute
+    12-decimal pin when out_w is large — at w ~ 1e10 the share keeps
+    ~2 significant digits and uniform weights no longer cancel
+    (measured: 0.339 vs the exact 0.3333 on a 3-clique). The double
+    expression rank/out_w*w is one fixed IEEE sequence, identical on
+    both engines; the rounded terms still sum as exact
+    DECIMAL(38,12)."""
     for i in range(iters):
         rank_deg = (
             ranks.join(F.broadcast(deg), "node")
             if use_broadcast
             else ranks.join(deg.hint("shuffle_hash"), "node")
         )
-        base = F.round(F.col("rank") / F.col("out_deg"), 12)
+        base = (
+            F.col("rank") / F.col("out_deg")
+            if weighted
+            else F.round(F.col("rank") / F.col("out_deg"), 12)
+        )
         shares = rank_deg.select(
             F.col("node").alias("src"),
-            base.cast("decimal(18,12)" if weighted else "decimal(38,12)")
+            (base if weighted else base.cast("decimal(38,12)"))
             .alias("_b" if weighted else "_c"),
         )
         joined = (
@@ -102,7 +200,9 @@ def _rank_rounds(
         if weighted:
             contrib = joined.select(
                 F.col("dst").alias("node"),
-                (F.col("_b") * F.col("w").cast("decimal(9,0)")).alias("_c"),
+                F.round(F.col("_b") * F.col("w"), 12)
+                .cast("decimal(38,12)")
+                .alias("_c"),
             )
         else:
             contrib = joined.select(F.col("dst").alias("node"), "_c")
@@ -146,45 +246,24 @@ def pagerank(
     uniformly). Out-degree becomes the per-source weight SUM; everything
     else — damping, round pinning, broadcast/co-shuffle contract — is
     identical, and ``weight_col=None`` leaves the unweighted plan
-    byte-for-byte untouched."""
-    if weight_col is None:
-        sel = edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-    else:
-        sel = edges.select(
-            F.col(src_col).alias("src"),
-            F.col(dst_col).alias("dst"),
-            F.col(weight_col).cast("long").alias("w"),
-        )
-    if not assume_distinct:
-        sel = sel.distinct()
-    # Materialize the (usually expensively-derived) edge list ONCE: every
-    # round joins against it, and without the barrier each round re-runs
-    # the whole upstream plan. Eager localCheckpoint, not cache — see
-    # operators/semdedup.py (CacheManager leak per invocation). SERIALIZED
-    # memory+disk: the edge list is corpus-sized, and default deserialized
-    # on-heap blocks are ~5x the serialized size — the sf10 probe OOM'd a
-    # 48 GiB heap on exactly this pattern in bfs.py before its fix; the
-    # per-round deserialization cost is noise next to the join shuffle.
-    from pyspark import StorageLevel
-
-    e = sel.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    byte-for-byte untouched. Weight contract (guarded at entry, the
+    hits()/ktruss/logistic_newton discipline): weights must be POSITIVE
+    INTEGRAL values < 2^53 — zero/negative weights would make mass flows
+    degenerate, fractional weights would truncate, and above 2^53 the
+    double weight column and an oracle's exact integer column can
+    round-trip differently, so all three raise ``ValueError`` instead
+    (r12 silently cast to long / DECIMAL(9,0); ADVICE r12). With
+    ``assume_distinct=False``, duplicate (src, dst) pairs are collapsed
+    by SUMMING their weights (parallel edges merge, the multigraph
+    reading) — the unweighted path's plain dedup would otherwise keep
+    two rows that differ only in w and double-count the edge
+    (ADVICE r12)."""
+    e = _edge_frame(edges, src_col, dst_col, weight_col, assume_distinct)
     # ONE aggregation yields both the node set and the out-degrees (every
     # node has out-degree >= 1 by contract, so the degree frame's key set
     # IS the node set — no separate distinct shuffle). Checkpointed: it is
     # re-read every round for the share table.
-    deg_agg = (
-        F.sum(F.col("w").cast("decimal(18,0)")).cast("double")
-        if weight_col is not None
-        else F.count(F.lit(1)).cast("double")
-    )
-    deg = (
-        e.groupBy("src")
-        .agg(deg_agg.alias("out_deg"))
-        .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
-    )
+    deg = _out_degrees(e, weight_col is not None)
     n = deg.count()  # control plane: one int
     use_broadcast = (
         n <= broadcast_max_nodes
@@ -344,32 +423,8 @@ def personalized_pagerank(
     correctness over a sparse-frame micro-optimization; at 100 TB the
     frontier-sparse variant is a BFS-masked share join, same plan family.
     """
-    from pyspark import StorageLevel
-
-    if weight_col is None:
-        sel = edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-    else:
-        sel = edges.select(
-            F.col(src_col).alias("src"),
-            F.col(dst_col).alias("dst"),
-            F.col(weight_col).cast("long").alias("w"),
-        )
-    if not assume_distinct:
-        sel = sel.distinct()
-    e = sel.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    deg_agg = (
-        F.sum(F.col("w").cast("decimal(18,0)")).cast("double")
-        if weight_col is not None
-        else F.count(F.lit(1)).cast("double")
-    )
-    deg = (
-        e.groupBy("src")
-        .agg(deg_agg.alias("out_deg"))
-        .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
-    )
+    e = _edge_frame(edges, src_col, dst_col, weight_col, assume_distinct)
+    deg = _out_degrees(e, weight_col is not None)
     ranks = deg.select(
         "node",
         F.when(F.col("node") == seed_node, F.lit(1.0))
@@ -435,9 +490,11 @@ def sql_pagerank(
     deg_expr = (
         "CAST(SUM(w) AS DOUBLE)" if weighted else "CAST(COUNT(*) AS DOUBLE)"
     )
+    # Weighted: round AFTER the multiply (r.rank / d.out_deg * e.w is the
+    # same fixed IEEE sequence as the Spark plan) so the 12-decimal pin
+    # keeps significant digits at any weight scale — see _rank_rounds.
     c_expr = (
-        "CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(18,12))"
-        " * CAST(e.w AS DECIMAL(9,0))"
+        "CAST(ROUND(r.rank / d.out_deg * e.w, 12) AS DECIMAL(38,12))"
         if weighted
         else "CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(38,12))"
     )
