@@ -109,6 +109,54 @@ def test_max_degree_caps_hub_fanout(spark):
         label_propagation(_edges(spark, pairs), 2, max_degree=0)
 
 
+def test_two_phase_trim_matches_one_phase_reference(spark):
+    """r12 verdict task 5: the hub trim is now two-phase (hash-threshold
+    pre-prune, then the exact row_number cut). The sample contract is
+    BIT-IDENTICAL to the one-phase form — pin it against a pure-python
+    replica of the one-phase semantics (full (h64, dst) sort per hub,
+    take max_degree) on a hub graph big enough that the pre-prune BINDS
+    (degree 201 > 8 x cap 5, threshold keeps ~20% of hub edges)."""
+    import hashlib
+
+    n, cap, rounds = 200, 5, 2
+    pairs = [(0, i) for i in range(1, n + 1)] + [
+        (i, i + 1) for i in range(1, n)
+    ]
+    sym = set()
+    for u, v in pairs:
+        sym.add((u, v))
+        sym.add((v, u))
+    deg: dict[int, int] = {}
+    adj: dict[int, list[int]] = {}
+    for s, d in sym:
+        deg[s] = deg.get(s, 0) + 1
+        adj.setdefault(s, []).append(d)
+    assert deg[0] > 8 * cap  # the pre-prune threshold actually binds
+
+    def h64(s: int, d: int) -> int:
+        return int(hashlib.md5(f"{s},{d}".encode()).hexdigest()[:15], 16)
+
+    kept = []
+    for s, outs in adj.items():
+        if deg[s] > cap:
+            outs = sorted(outs, key=lambda d: (h64(s, d), d))[:cap]
+        kept += [(s, d) for d in outs]
+    labels = {nd: nd for nd in deg}
+    for _ in range(rounds):
+        cnt: dict[int, dict[int, int]] = {}
+        for s, d in kept:
+            cnt.setdefault(d, {})
+            cnt[d][labels[s]] = cnt[d].get(labels[s], 0) + 1
+        labels = {d: min(c, key=lambda l: (-c[l], l)) for d, c in cnt.items()}
+    got = {
+        r.node: r.label
+        for r in label_propagation(
+            _edges(spark, pairs), rounds, max_degree=cap
+        ).collect()
+    }
+    assert got == labels
+
+
 def test_registered_cap_binds_at_gate_scale(spark):
     """The r11 gotcha: a capped twin whose cap exceeds the gate-scale max
     degree verifies nothing. Pin that the >=2 co-purchase graph's max

@@ -53,9 +53,22 @@ def label_propagation(
     histogram is a map-side-combined aggregate, skew-safe without help).
     Sampling super-hub adjacency is standard web-scale LPA practice;
     results are exact when the cap doesn't bind (pytest pin) and
-    approximate when it does. One-time build cost: the row_number window
-    runs over HUB rows only (the non-hub edge set passes through an
-    anti-join untouched).
+    approximate when it does. One-time build cost: TWO-PHASE (r12
+    verdict finding #3 — the r12 row_number window materialized a
+    super-hub's FULL edge list in one task before cutting it, an
+    O(degree) hot task inside the knob built to bound hub cost). Phase 1
+    hash-threshold pre-prunes each hub's edges to an expected
+    ``8 x max_degree`` survivors (keep ``_h < ceil(2^60 * 8 *
+    max_degree / degree)``; h64 is uniform on [0, 2^60)), so the
+    row_number window runs over O(max_degree) rows per hub, never
+    O(degree). Phase 2 is the exact trim. The sample is PROVABLY
+    bit-identical to the one-phase form: every pruned-out edge has
+    ``_h >= threshold``, strictly above every survivor, so when a hub
+    keeps >= max_degree survivors the max_degree smallest by (_h, dst)
+    are all survivors; any hub left short (vanishing probability,
+    Chernoff at 8x oversampling) falls back to its full edge list —
+    a deterministic safety net, not a probabilistic one. Non-hub edges
+    pass through an anti-join untouched either way.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_symmetric:
@@ -74,24 +87,58 @@ def label_propagation(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") > max_degree)
-            .select("src")
         )
-        normal = e.join(hubs, "src", "left_anti")
-        w = Window.partitionBy("src").orderBy(
-            h64(
-                F.concat_ws(
-                    ",",
-                    F.col("src").cast("string"),
-                    F.col("dst").cast("string"),
-                )
-            ),
-            F.col("dst"),
+        normal = e.join(hubs.select("src"), "src", "left_anti")
+        # Phase 1: per-hub hash-threshold pre-prune. The threshold aims at
+        # 8 x max_degree expected survivors; ceil keeps it >= 1 so no hub
+        # is pruned to zero by rounding. Strict `<` means every survivor
+        # sorts before every pruned edge — the exactness argument in the
+        # docstring.
+        hub_e = (
+            e.join(hubs, "src")
+            .withColumn(
+                "_h",
+                h64(
+                    F.concat_ws(
+                        ",",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+            )
+            .withColumn(
+                "_thr",
+                F.least(
+                    F.lit(float(1 << 60)),
+                    F.ceil(
+                        F.lit(float(1 << 60) * 8.0 * max_degree)
+                        / F.col("_d")
+                    ).cast("double"),
+                ),
+            )
         )
+        pruned = hub_e.filter(F.col("_h") < F.col("_thr")).drop("_thr", "_d")
+        # Safety net: any hub whose survivor count fell below the cap
+        # (astronomically unlikely at 8x oversampling, but the sample
+        # contract is deterministic, not probabilistic) re-takes its
+        # FULL edge list for the exact trim.
+        short = hubs.select("src").join(
+            pruned.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .filter(F.col("_k") >= max_degree)
+            .select("src"),
+            "src",
+            "left_anti",
+        )
+        cand = pruned.join(short, "src", "left_anti").unionAll(
+            hub_e.drop("_thr", "_d").join(short, "src", "left_semi")
+        )
+        # Phase 2: exact trim — O(max_degree)-sized partitions per hub.
+        w = Window.partitionBy("src").orderBy(F.col("_h"), F.col("dst"))
         sampled = (
-            e.join(hubs, "src", "left_semi")
-            .withColumn("_rn", F.row_number().over(w))
+            cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_degree)
-            .drop("_rn")
+            .drop("_rn", "_h")
         )
         e = normal.unionAll(sampled).localCheckpoint(eager=True)
     labels = (
