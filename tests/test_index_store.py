@@ -129,3 +129,36 @@ def test_cached_lsh_probe(setup):
         assert hits[0]["text"] in ("north", "northeast")
     with pytest.raises(ValueError, match="unknown index"):
         idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=2, index="hnsw")
+
+
+def test_rebuild_unpersists_evicted_checkpoint(setup, spark):
+    """ADVICE r12: index_df memoizes a localCheckpointed frame; when the
+    pointer moves, the evicted checkpoint's block-manager copy must be
+    dropped EXPLICITLY (DataFrame.unpersist only talks to the
+    CacheManager, so the fix unpersists the LogicalRDD's backing RDD) —
+    otherwise long-serving sessions pin one stale index copy per
+    rebuild until driver GC."""
+    store, lib, doc, idx = setup
+
+    def _checkpoint_rdd_id(df) -> int:
+        return df._jdf.queryExecution().logical().rdd().id()
+
+    def _stored_rdd_ids() -> set[int]:
+        sc = spark.sparkContext
+        return {
+            info.id() for info in sc._jsc.sc().getRDDStorageInfo()
+            if info.isCached()
+        }
+
+    df1 = idx.index_df(lib)
+    n1 = df1.count()  # before eviction: the evicted frame dies with it
+    old_id = _checkpoint_rdd_id(df1)
+    assert old_id in _stored_rdd_ids()  # checkpoint blocks are live
+    store.add_chunk(lib, doc, "south", [0.0, -1.0, 0.0, 0.0],
+                    meta_type="heading")
+    df2 = idx.index_df(lib)  # pointer moved -> rebuild + eviction
+    assert _checkpoint_rdd_id(df2) != old_id
+    assert old_id not in _stored_rdd_ids()  # evicted blocks freed NOW
+    assert _checkpoint_rdd_id(df2) in _stored_rdd_ids()
+    # the new frame still serves correctly after the eviction
+    assert df2.count() == n1 + 1

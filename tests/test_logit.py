@@ -109,3 +109,51 @@ def test_rejects_single_distinct_x(spark):
     NaN from round 1; the entry guard must fail loudly instead."""
     with pytest.raises(ValueError, match="distinct x"):
         logistic_newton(_grouped(spark, [(1.0, 3, 7)]), 2)
+
+
+def test_saturated_domain_freezes_betas(spark):
+    """ADVICE r12: perfectly separated data diverges until every
+    6-decimal w-term sum rounds to 0 — det hits EXACTLY 0 in a late
+    round (round 15 for this 2-point domain, verified against the pure
+    mirror). Pre-fix Spark emitted NULL betas from the /0; the freeze
+    must instead carry the last real betas forward, non-null."""
+    rows = [(0.0, 0, 1), (1.0, 1, 0)]
+    got = (
+        logistic_newton(_grouped(spark, rows), 16).orderBy("round").collect()
+    )
+    assert len(got) == 16
+    for r in got:
+        assert r.b0 is not None and r.b1 is not None
+        assert not math.isnan(r.b0) and not math.isinf(r.b0)
+    # frozen tail: rounds 14..16 carry identical betas
+    assert (got[14].b0, got[14].b1) == (got[13].b0, got[13].b1)
+    assert (got[15].b0, got[15].b1) == (got[13].b0, got[13].b1)
+    # pre-freeze rounds still move
+    assert (got[12].b0, got[12].b1) != (got[13].b0, got[13].b1)
+
+
+def test_saturated_sql_mirror_matches_spark(spark):
+    """The DuckDB oracle replays the identical frozen trajectory — the
+    CASE WHEN det = 0 branch fires the same way on both engines (the
+    det comparison is on doubles built from identical decimal sums)."""
+    import duckdb
+
+    from vector_db_mvp_spark.operators.logit import sql_logistic_newton
+
+    rows = [(0.0, 0, 1), (1.0, 1, 0)]
+    got = [
+        (r.round, r.b0, r.b1)
+        for r in logistic_newton(_grouped(spark, rows), 16)
+        .orderBy("round")
+        .collect()
+    ]
+    vals = ", ".join(f"({x}, {n1}, {n0})" for x, n1, n0 in rows)
+    cte = f"SELECT * FROM (VALUES {vals}) AS t(x, n_pos, n_neg)"
+    sql = sql_logistic_newton(cte, 16) + " ORDER BY round"
+    oracle = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert len(oracle) == 16
+    for (ra, b0a, b1a), (rb, b0b, b1b) in zip(got, oracle):
+        assert ra == rb
+        assert b0b is not None and not math.isnan(b0b) and not math.isinf(b0b)
+        assert b0a == pytest.approx(b0b, abs=2e-6)
+        assert b1a == pytest.approx(b1b, abs=2e-6)

@@ -84,13 +84,37 @@ def logistic_newton(grouped: DataFrame, rounds: int) -> DataFrame:
         h00, h01 = F.col("h00").cast("double"), F.col("h01").cast("double")
         h11 = F.col("h11").cast("double")
         det = h00 * h11 - h01 * h01
-        nb = sums.crossJoin(F.broadcast(beta)).select(
-            F.round(
-                F.col("b0") + (h11 * g0 - h01 * g1) / det, 12
-            ).alias("b0"),
-            F.round(
-                F.col("b1") + (h00 * g1 - h01 * g0) / det, 12
-            ).alias("b1"),
+        # Late-round singular-Hessian freeze (ADVICE r12): the entry guard
+        # catches a 1-point domain, but saturated sigmoids (p rounds to 0
+        # or 1 at 12 decimals for every x) zero all three 6-decimal w-term
+        # sums in a LATER round, making det exactly 0 — there Spark's
+        # non-ANSI /0 yields NULL betas while DuckDB yields inf/NaN. The
+        # det==0.0 comparison is on a double computed from identical
+        # decimal sums on both engines, so the freeze branches the same
+        # way everywhere; a saturated fit keeps its converged betas
+        # (Newton step is 0/0 — "no information" — not a real step).
+        frozen = F.col("det_") == F.lit(0.0)
+        nb = (
+            sums.crossJoin(F.broadcast(beta))
+            .withColumn("det_", det)
+            .select(
+                F.when(frozen, F.col("b0"))
+                .otherwise(
+                    F.round(
+                        F.col("b0") + (h11 * g0 - h01 * g1) / F.col("det_"),
+                        12,
+                    )
+                )
+                .alias("b0"),
+                F.when(frozen, F.col("b1"))
+                .otherwise(
+                    F.round(
+                        F.col("b1") + (h00 * g1 - h01 * g0) / F.col("det_"),
+                        12,
+                    )
+                )
+                .alias("b1"),
+            )
         )
         # serialize the round (the pagerank discipline): round r's plan
         # must not replay rounds 1..r-1
@@ -127,16 +151,23 @@ def sql_logistic_newton(grouped_cte: str, rounds: int) -> str:
         FROM gd g CROSS JOIN b{p}_ b))""",
         )
         parts.append(
-            f"""b{r}_ AS MATERIALIZED (
-  SELECT round(b.b0 + (CAST(s.h11 AS DOUBLE) * CAST(s.g0 AS DOUBLE)
-                       - CAST(s.h01 AS DOUBLE) * CAST(s.g1 AS DOUBLE))
-               / (CAST(s.h00 AS DOUBLE) * CAST(s.h11 AS DOUBLE)
-                  - CAST(s.h01 AS DOUBLE) * CAST(s.h01 AS DOUBLE)), 12) AS b0,
-         round(b.b1 + (CAST(s.h00 AS DOUBLE) * CAST(s.g1 AS DOUBLE)
-                       - CAST(s.h01 AS DOUBLE) * CAST(s.g0 AS DOUBLE))
-               / (CAST(s.h00 AS DOUBLE) * CAST(s.h11 AS DOUBLE)
-                  - CAST(s.h01 AS DOUBLE) * CAST(s.h01 AS DOUBLE)), 12) AS b1
+            f"""d{r}_ AS (
+  SELECT CAST(s.g0 AS DOUBLE) AS g0, CAST(s.g1 AS DOUBLE) AS g1,
+         CAST(s.h00 AS DOUBLE) AS h00, CAST(s.h01 AS DOUBLE) AS h01,
+         CAST(s.h11 AS DOUBLE) AS h11, b.b0, b.b1,
+         CAST(s.h00 AS DOUBLE) * CAST(s.h11 AS DOUBLE)
+           - CAST(s.h01 AS DOUBLE) * CAST(s.h01 AS DOUBLE) AS det
   FROM s{r} s CROSS JOIN b{p}_ b)""",
+        )
+        # det = 0 freezes the betas — the saturated-domain branch, same
+        # double comparison as the Spark plan (see logistic_newton).
+        parts.append(
+            f"""b{r}_ AS MATERIALIZED (
+  SELECT CASE WHEN det = 0.0 THEN b0
+         ELSE round(b0 + (h11 * g0 - h01 * g1) / det, 12) END AS b0,
+         CASE WHEN det = 0.0 THEN b1
+         ELSE round(b1 + (h00 * g1 - h01 * g0) / det, 12) END AS b1
+  FROM d{r}_)""",
         )
     selects = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, round(b0, 6) AS b0, round(b1, 6) AS b1 FROM b{r}_"

@@ -149,6 +149,18 @@ class ChunkIndexStore:
         hit = cache.get(library_id)
         if hit is not None and hit[0] == d:
             return hit[1]
+        if hit is not None:
+            # The pointer moved: drop the evicted checkpoint's blocks NOW
+            # instead of waiting for driver GC — long-serving sessions
+            # with frequent rebuilds otherwise pin one stale index copy
+            # per rebuild in the block manager (ADVICE r12).
+            # DataFrame.unpersist only talks to the CacheManager; a
+            # localCheckpoint's blocks belong to the LogicalRDD's backing
+            # RDD, so unpersist THAT (pytest-pinned via getRDDStorageInfo).
+            try:
+                hit[1]._jdf.queryExecution().logical().rdd().unpersist(False)
+            except Exception:  # noqa: BLE001 — eviction is best-effort
+                pass
         df = self.spark.read.parquet(d).localCheckpoint(eager=True)
         cache[library_id] = (d, df)
         return df

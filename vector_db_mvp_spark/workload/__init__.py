@@ -50,28 +50,26 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 12
-    # Wedge joins re-oriented by (degree, id) — the true Suri-Vassilvitskii
-    # bound the docstrings claimed (r11 verdict finding #1): triangle sets
-    # are orientation-invariant so outputs are bit-identical, but the plan
-    # changed for every wedge consumer — re-verify all three.
-    "part_triangles",
-    "part_clustering_coeff",
-    "part_ktruss",
-    # qlm: the all-OOV-query K sum now coalesces NULL -> 0 (ADVICE r11);
-    # registered query has in-corpus terms (output unchanged) but the
-    # operator's final select changed — re-verify.
-    "ql_dirichlet_search",
-    # kcore: peel semi-joins gained the broadcast_keep="auto" leg (the
-    # pagerank broadcast_shares contract); results bit-identical (pytest
-    # pin) but the plan changed — re-verify. (part_kcore_served is new
-    # this round and already priority 0.)
-    "part_kcore",
-    # pagerank machinery gained weight_col (the weighted-variant wiring);
-    # the unweighted plans are expression-identical but the shared module
-    # changed — re-verify both existing rank queries.
+    # round 13
+    # Weighted-PageRank weight contract hardened (r12 verdict task 4 +
+    # ADVICE): entry guard (raise on w <= 0 / non-integral / >= 1e18),
+    # per-edge product widened DECIMAL(9,0) -> DECIMAL(18,0) on both
+    # engines, duplicate (src, dst) weighted edges now SUM. Values are
+    # unchanged for the registered query's in-range distinct edges, but
+    # the plan changed — re-verify; the unweighted rank queries share the
+    # module's _rank_rounds, so re-verify them too (r12 precedent).
+    "part_pagerank_weighted",
     "supplier_pagerank",
     "supplier_ppr",
+    # LPA hub-cap trim is now two-phase (r12 verdict task 5): hash-
+    # threshold pre-prune before the row_number window. Sample sets are
+    # provably bit-identical (pytest pin) but the capped plan changed.
+    "part_communities_capped",
+    # logistic_newton gained the per-round singular-Hessian freeze
+    # (ADVICE r12): det==0 keeps betas instead of Spark-NULL/DuckDB-inf
+    # divergence. The registered fit never saturates (output unchanged)
+    # but every round's select changed — re-verify.
+    "logistic_return_by_quantity",
 ]
 
 

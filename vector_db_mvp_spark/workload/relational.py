@@ -8164,6 +8164,44 @@ QUERIES["logistic_return_by_quantity"] = q_logistic_return_by_quantity
 ORACLE_SQL["logistic_return_by_quantity"] = _sql_logistic_return_by_quantity()
 
 
+def q_logistic_return_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second registered GLM consumer (r12 verdict task 6): P(l_returnflag
+    = 'R') as a logistic function of l_discount — an 11-value domain
+    (0.00..0.10) with a weak-signal regressor, pinning logistic_newton
+    against a second (x, label) data shape. Same machinery, same exact
+    decimal term sums and per-round trajectory output."""
+    from ..operators.logit import logistic_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(
+        F.col("l_discount").cast("double").alias("x")
+    ).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("long").alias("n_pos"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 0).otherwise(1)
+        ).cast("long").alias("n_neg"),
+    )
+    return logistic_newton(grouped, _LOGIT_ROUNDS).orderBy("round")
+
+
+def _sql_logistic_return_by_discount() -> str:
+    from ..operators.logit import sql_logistic_newton
+
+    grouped = """
+  SELECT CAST(l_discount AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM lineitem GROUP BY 1"""
+    body = sql_logistic_newton(grouped, _LOGIT_ROUNDS)
+    return body + "\nORDER BY round"
+
+
+QUERIES["logistic_return_by_discount"] = q_logistic_return_by_discount
+ORACLE_SQL["logistic_return_by_discount"] = _sql_logistic_return_by_discount()
+
+
 # ---------------------------------------------------------------------------
 # Round 12: edge-weighted PageRank — the co-purchase recommender shape
 # (mass flows in proportion to co-order counts, not uniformly). Reuses the
