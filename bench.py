@@ -172,6 +172,104 @@ HEADLINE = [
 ]
 
 
+def _write_round_record(detail: dict) -> None:
+    """Generate the round's closing record IN BENCH_CREEP.md from the
+    BENCH_DETAIL dict itself — never re-typed by hand (r12 verdict
+    finding #1: two consecutive rounds' hand-written records disagreed
+    with the shipped artifact, once flattering, once conservative). The
+    block is marker-delimited per round and REPLACED on every bench run,
+    so the round's final bench is the record and a recomputation from
+    BENCH_DETAIL.json is byte-identical by construction."""
+    import glob
+    import statistics
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 1
+    try:
+        with open(os.path.join(root, ".claude", "bench_anchor.json")) as f:
+            anchor = json.load(f)
+    except OSError:
+        anchor = {}
+
+    lines = [
+        f"### r{rnd} record (generated by bench.py from BENCH_DETAIL.json"
+        " — do not hand-edit)",
+        "",
+        f"Crowded headline: **{detail['value']} s** over"
+        f" {len(detail['queries'])} queries"
+        f" (median of {detail['runs']} interleaved runs, sf{detail['sf']}).",
+        "",
+        "| canary | quiet median (s) | anchor (s) | ratio | spread | samples |",
+        "|---|---|---|---|---|---|",
+    ]
+    worst_name, worst_ratio = None, 0.0
+    violators: list[str] = []
+    batched = set(detail.get("quiet_batched", []))
+    for name in sorted(detail.get("canary", {})):
+        vals = detail["canary"][name]
+        med = statistics.median(vals)
+        spread_pct = (max(vals) - min(vals)) / med * 100 if med else 0.0
+        anc = anchor.get(name, {}).get("sec")
+        ratio = med / anc if anc else None
+        if ratio is not None and ratio > worst_ratio:
+            worst_name, worst_ratio = name, ratio
+        if spread_pct > 15:
+            violators.append(f"{name} {spread_pct:.0f}%")
+        kind = f"{len(vals)}x5-batch" if name in batched else f"{len(vals)}x1"
+        lines.append(
+            f"| {name} | {med:.3f} | {anc if anc is not None else '—'} |"
+            f" {f'{ratio:.2f}x' if ratio is not None else '—'} |"
+            f" {spread_pct:.0f}% | {kind} |"
+        )
+    over_bar = [
+        n
+        for n in detail.get("canary", {})
+        if anchor.get(n, {}).get("sec")
+        and statistics.median(detail["canary"][n]) / anchor[n]["sec"] > 1.5
+    ]
+    lines += [
+        "",
+        f"Worst anchor ratio: **{worst_name} {worst_ratio:.2f}x**."
+        f" Canaries over the 1.5x guard bar: "
+        + (", ".join(sorted(over_bar)) if over_bar else "none")
+        + ".",
+        "Quiet-spread (>15% of median) violators: "
+        + (", ".join(violators) if violators else "none")
+        + ".",
+        f"Metaspace MB: {detail.get('metaspace_mb')}.",
+    ]
+    iso = detail.get("isolated", {})
+    if "engine_search_served" in iso:
+        med = statistics.median(iso["engine_search_served"])
+        lines.append(
+            f"engine_search_served quiet median: {med:.2f} s"
+            " (50-query serving loop)."
+        )
+    block = "\n".join(lines)
+    start = f"<!-- bench-record r{rnd} start -->"
+    end = f"<!-- bench-record r{rnd} end -->"
+    creep = os.path.join(root, "BENCH_CREEP.md")
+    try:
+        with open(creep, encoding="utf-8") as f:
+            text = f.read()
+    except OSError:
+        text = ""
+    wrapped = f"{start}\n{block}\n{end}"
+    if start in text and end in text:
+        pre, _, rest = text.partition(start)
+        _, _, post = rest.partition(end)
+        text = pre + wrapped + post
+    else:
+        text = text.rstrip("\n") + "\n\n" + wrapped + "\n"
+    with open(creep, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -415,12 +513,20 @@ def main() -> None:
     ISOLATED_PROBE.append("engine_search_served")
     # Sub-second canaries drown in JVM noise at 3 samples (r11: the three
     # biggest apparent anchor "drifters" were exactly the three sub-second
-    # canaries, 1.27-1.38x on 0.3-0.6 s queries). Per the r11 verdict:
-    # keep the anchor UNTOUCHED and raise the sample count where the
-    # signal is smallest — any quiet median under 1 s re-samples to 7.
-    SUBSEC_RUNS = max(RUNS, 7)
+    # canaries, 1.27-1.38x on 0.3-0.6 s queries). The anchor stays
+    # UNTOUCHED; the protocol raises signal where it is smallest. r12 took
+    # 7 single samples; 7 canaries still exceeded the 15% spread target —
+    # a single GC pause is a visible fraction of a 0.3 s query. r13
+    # implements the batch protocol BENCH_CREEP proposed (r12 verdict
+    # task 2): a quiet median under 1 s re-samples as 7 BATCHES of 5
+    # back-to-back executions, each sample = batch_time / 5 — per-job
+    # jitter amortizes 5x inside one sample while the recorded number
+    # stays a per-execution second, directly comparable to the anchor.
+    SUBSEC_SAMPLES = max(RUNS, 7)
+    SUBSEC_BATCH = 5
     quiet_names = list(dict.fromkeys(ISOLATED_PROBE + CANARY))
     quiet: dict[str, list[float]] = {}
+    quiet_batched: list[str] = []
     for name in quiet_names:
         run_fn = (
             _engine_search_pass
@@ -428,15 +534,22 @@ def main() -> None:
             else (lambda n=name: QUERIES[n](spark, sf_dir).collect())
         )
         vals: list[float] = []
-        want = RUNS
-        while len(vals) < want:
+        while len(vals) < RUNS:
             _gc.collect()
             _jvm_gc()
             t0 = time.perf_counter()
             run_fn()
             vals.append(time.perf_counter() - t0)
-            if len(vals) == RUNS and sorted(vals)[len(vals) // 2] < 1.0:
-                want = SUBSEC_RUNS
+        if sorted(vals)[len(vals) // 2] < 1.0:
+            quiet_batched.append(name)
+            vals = []
+            while len(vals) < SUBSEC_SAMPLES:
+                _gc.collect()
+                _jvm_gc()
+                t0 = time.perf_counter()
+                for _ in range(SUBSEC_BATCH):
+                    run_fn()
+                vals.append((time.perf_counter() - t0) / SUBSEC_BATCH)
         quiet[name] = [round(v, 4) for v in vals]
     shutil.rmtree(_eng_root, ignore_errors=True)
     isolated = {n: quiet[n] for n in ISOLATED_PROBE}
@@ -484,6 +597,10 @@ def main() -> None:
         # growth after warm-up means the 5000-entry codegen cache is not
         # creeping class metadata across the crowded runs (BENCH_CREEP.md).
         "metaspace_mb": metaspace,
+        # Sub-second quiet queries whose samples are 5-execution batch
+        # means (per-execution seconds) rather than single runs — the r13
+        # batch protocol (see the SUBSEC comment above).
+        "quiet_batched": sorted(quiet_batched),
     }
     try:
         with open(
@@ -494,6 +611,10 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
+    try:
+        _write_round_record(detail)
+    except Exception as exc:  # noqa: BLE001 — the record is telemetry
+        print(f"RECORD-ERROR {exc}", file=sys.stderr)
     print("DETAIL " + json.dumps(detail))
     compact = {
         "metric": "headline_queries_total_sec",
