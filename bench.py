@@ -169,6 +169,9 @@ HEADLINE = [
     "logistic_return_by_quantity",
     "part_communities_capped",
     "part_pagerank_weighted",
+    # round 13
+    "part_ppr_weighted",
+    "logistic_return_by_discount",
 ]
 
 

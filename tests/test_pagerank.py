@@ -273,3 +273,21 @@ def test_duplicate_weighted_edges_sum(spark):
         _wedges(spark, summed), 3, weight_col="w",
         assume_distinct=True).collect()))
     assert a == b
+
+
+def test_weighted_ppr_ones_equals_unweighted(spark):
+    """All-ones weights through the ppr leg of the shared weighted
+    machinery must reproduce the unweighted personalized ranks exactly
+    (x1.0 is an exact IEEE no-op, so even the round-after-multiply pin
+    is unchanged)."""
+    from vector_db_mvp_spark.operators.pagerank import personalized_pagerank
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+             ("b", "c"), ("c", "b")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    ew = e.withColumn("w", F.lit(1).cast("double"))
+    a = sorted(map(tuple, personalized_pagerank(
+        e, 3, "a", assume_distinct=True).collect()))
+    b = sorted(map(tuple, personalized_pagerank(
+        ew, 3, "a", assume_distinct=True, weight_col="w").collect()))
+    assert a == b

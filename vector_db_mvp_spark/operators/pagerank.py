@@ -444,30 +444,48 @@ def personalized_pagerank(
 def sql_personalized_pagerank(
     edges_cte: str,
     iters: int,
-    seed_node: str,
+    seed_node: str | None = None,
     *,
     damping: float = 0.85,
+    weighted: bool = False,
+    seed_sql: str | None = None,
 ) -> str:
     """DuckDB unrolled mirror of :func:`personalized_pagerank`.
     ``seed_node`` is injected as a SQL string literal (callers pass
-    trusted fixed instances)."""
-    seed = seed_node.replace("'", "''")
+    trusted fixed instances); numeric/derived seeds pass ``seed_sql``
+    instead — a raw SQL scalar expression (e.g. ``(SELECT MIN(src) FROM
+    e)``), compared unquoted. ``weighted``: the CTE additionally yields
+    an integral ``w``; out-degree is the weight sum and each edge's
+    contribution is ROUND(rank/out_w * w, 12) — the same
+    round-after-multiply pin as :func:`sql_pagerank`."""
+    if seed_sql is None:
+        if seed_node is None:
+            raise ValueError("sql_personalized_pagerank: need a seed")
+        seed_sql = "'" + str(seed_node).replace("'", "''") + "'"
+    deg_expr = (
+        "CAST(SUM(w) AS DOUBLE)" if weighted else "CAST(COUNT(*) AS DOUBLE)"
+    )
+    c_expr = (
+        "CAST(ROUND(r.rank / d.out_deg * e.w, 12) AS DECIMAL(38,12))"
+        if weighted
+        else "CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(38,12))"
+    )
     parts = [
         f"e AS ({edges_cte})",
         "nodes AS (SELECT DISTINCT src AS node FROM e)",
-        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS out_deg FROM e GROUP BY 1)",
-        f"r0 AS (SELECT node, CASE WHEN node = '{seed}' THEN 1.0 ELSE 0.0 END"
-        " AS rank FROM nodes)",
+        f"deg AS (SELECT src, {deg_expr} AS out_deg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CASE WHEN node = {seed_sql} THEN 1.0 ELSE 0.0"
+        " END AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""r{i} AS (
   SELECT dst AS node,
-         ROUND(CASE WHEN dst = '{seed}' THEN {1.0 - damping} ELSE 0.0 END
+         ROUND(CASE WHEN dst = {seed_sql} THEN {1.0 - damping} ELSE 0.0 END
                + {damping} * CAST(SUM(c) AS DOUBLE), 12) AS rank
   FROM (
     SELECT e.dst,
-           CAST(ROUND(r.rank / d.out_deg, 12) AS DECIMAL(38,12)) AS c
+           {c_expr} AS c
     FROM e JOIN deg d ON e.src = d.src
            JOIN r{i - 1} r ON e.src = r.node
   )

@@ -8262,3 +8262,66 @@ FROM ranks ORDER BY rank DESC, node ASC LIMIT 20
 
 QUERIES["part_pagerank_weighted"] = q_part_pagerank_weighted
 ORACLE_SQL["part_pagerank_weighted"] = _sql_part_pagerank_weighted()
+
+
+_PPR_W_EDGES_SQL = """
+  WITH half AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2)
+  SELECT src, dst, w FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM half
+"""
+
+
+def q_part_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted personalized PageRank from one anchor part over the
+    co-purchase graph — the per-entity recommender ("parts bought
+    alongside THIS part, weighted by co-order affinity"), completing the
+    weighted-rank surface: pagerank and personalized_pagerank share
+    _edge_frame/_out_degrees/_rank_rounds, so this registers the ppr leg
+    of the weight contract (entry guard, weight-sum degrees,
+    round-after-multiply pin) against an exact oracle. The seed is the
+    smallest part key in the graph — derived, not hard-coded, so the
+    instance is meaningful at every SF (one control-plane scalar; the
+    oracle derives it identically via a scalar subquery)."""
+    from ..operators.pagerank import personalized_pagerank
+    from .copurchase import copurchase_weighted
+
+    half = copurchase_weighted(spark, sf_dir)
+    edges = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "n_orders"
+        )
+    )
+    seed = edges.agg(F.min("src")).first()[0]
+    return (
+        personalized_pagerank(
+            edges, 3, seed, assume_distinct=True, weight_col="n_orders"
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select(F.col("node").alias("part"), "rank")
+    )
+
+
+def _sql_part_ppr_weighted() -> str:
+    from ..operators.pagerank import sql_personalized_pagerank
+
+    body = sql_personalized_pagerank(
+        _PPR_W_EDGES_SQL, 3, weighted=True,
+        seed_sql="(SELECT MIN(src) FROM e)",
+    )
+    return f"""
+WITH ranks AS ({body})
+SELECT node AS part, rank
+FROM ranks ORDER BY rank DESC, node ASC LIMIT 20
+"""
+
+
+QUERIES["part_ppr_weighted"] = q_part_ppr_weighted
+ORACLE_SQL["part_ppr_weighted"] = _sql_part_ppr_weighted()
