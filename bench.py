@@ -186,6 +186,12 @@ def _write_round_record(detail: dict) -> None:
     import glob
     import statistics
 
+    # The round record is defined at the driver's record SF only: a
+    # sanity run at another SF must not clobber the round's closing
+    # record with off-SF numbers.
+    if detail.get("sf") != 0.1:
+        print(f"RECORD-SKIPPED sf={detail.get('sf')} (record SF is 0.1)")
+        return
     root = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))
@@ -235,9 +241,14 @@ def _write_round_record(detail: dict) -> None:
         if anchor.get(n, {}).get("sec")
         and statistics.median(detail["canary"][n]) / anchor[n]["sec"] > 1.5
     ]
+    worst_txt = (
+        f"**{worst_name} {worst_ratio:.2f}x**"
+        if worst_name is not None
+        else "**n/a (no anchor entries)**"
+    )
     lines += [
         "",
-        f"Worst anchor ratio: **{worst_name} {worst_ratio:.2f}x**."
+        f"Worst anchor ratio: {worst_txt}."
         f" Canaries over the 1.5x guard bar: "
         + (", ".join(sorted(over_bar)) if over_bar else "none")
         + ".",

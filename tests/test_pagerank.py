@@ -232,6 +232,16 @@ def test_weight_guard_rejects_zero_negative_fractional(spark):
     with _pt.raises(ValueError, match="2\\^53"):
         pagerank(_wedges(spark, [("a", "b", float(2**53)), ("b", "a", 2.0)]),
                  2, weight_col="w", assume_distinct=True).collect()
+    # NaN passes every range comparison and NULL is invisible to
+    # min/max/floor - both must be caught explicitly (NULLs are poisoned
+    # to NaN before the duplicate-edge sum so mixed-NULL groups cannot
+    # launder through it)
+    with _pt.raises(ValueError, match="NaN"):
+        pagerank(_wedges(spark, [("a", "b", float("nan")), ("b", "a", 2.0)]),
+                 2, weight_col="w", assume_distinct=True).collect()
+    with _pt.raises(ValueError, match="NaN"):
+        pagerank(_wedges(spark, [("a", "b", None), ("b", "a", 2.0)]),
+                 2, weight_col="w").collect()
 
 
 def test_large_weights_keep_significant_digits(spark):

@@ -90,10 +90,17 @@ def _edge_frame(
         if not assume_distinct:
             sel = sel.distinct()
     else:
+        # NULL -> NaN BEFORE the multigraph sum: Spark's SUM skips NULLs,
+        # so a mixed-NULL duplicate group would otherwise launder the bad
+        # weight past the guard; NaN poisons the sum and the guard below
+        # rejects it.
+        w_raw = F.col(weight_col).cast("double")
         sel = edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
-            F.col(weight_col).cast("double").alias("w"),
+            F.when(w_raw.isNull(), F.lit(float("nan")))
+            .otherwise(w_raw)
+            .alias("w"),
         )
         if not assume_distinct:
             sel = sel.groupBy("src", "dst").agg(F.sum("w").alias("w"))
@@ -105,7 +112,26 @@ def _edge_frame(
             F.min("w").alias("mn"),
             F.max("w").alias("mx"),
             F.max((F.col("w") != F.floor("w")).cast("int")).alias("frac"),
+            F.max(F.isnan("w").cast("int")).alias("nan"),
+            F.max(F.col("w").isNull().cast("int")).alias("nul"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
+        # NaN slips every range comparison (nan<=0 and nan>=2^53 are both
+        # False, and Spark ranks NaN == floor(NaN)); NULLs (e.g. a failed
+        # upstream cast) are invisible to min/max/floor entirely — both
+        # would silently drop edge mass or diverge from the oracle, so
+        # check them explicitly before the range guards.
+        if chk["n"] and chk["nan"]:
+            raise ValueError(
+                "pagerank: weight_col contains NaN or NULL weights "
+                "(weights must be positive integral values; NULLs are "
+                "poisoned to NaN before the duplicate-edge sum)"
+            )
+        if chk["n"] and chk["nul"]:
+            raise ValueError(
+                "pagerank: weight_col contains NULL (failed cast or "
+                "missing weight)"
+            )
         if chk["mn"] is not None:
             if chk["frac"]:
                 raise ValueError(

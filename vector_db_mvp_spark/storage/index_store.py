@@ -16,7 +16,13 @@ The build does the two things the reference does at index-build time, once:
 ``refresh()`` compares the stored ``built_version`` against the library's
 current ``version`` and is a no-op while they match; any write path bumps the
 version (store.py) and therefore invalidates. Snapshot isolation comes from
-the same atomic pointer flip the EntityStore uses.
+the same atomic pointer flip the EntityStore uses — it applies to the
+PARQUET snapshot (the old index directory stays on disk and readable), not
+to the driver-memoized block-manager copy: a rebuild explicitly unpersists
+the evicted checkpoint (ADVICE r12, bounded-memory serving), so LAZY frames
+obtained from ``index_df``/``search`` before a rebuild must be re-requested
+after it (collected results are unaffected; re-reading the old directory
+with ``spark.read.parquet`` reproduces the old snapshot if needed).
 
 Scale notes: at 100 TB the index table is the serving layout — partitioned by
 ``library_id`` like the fact table, rebuilt incrementally per library (only

@@ -52,12 +52,15 @@ for _m in _MODULES:
 _CHANGED_THIS_ROUND = [
     # round 13
     # Weighted-PageRank weight contract hardened (r12 verdict task 4 +
-    # ADVICE): entry guard (raise on w <= 0 / non-integral / >= 1e18),
-    # per-edge product widened DECIMAL(9,0) -> DECIMAL(18,0) on both
-    # engines, duplicate (src, dst) weighted edges now SUM. Values are
-    # unchanged for the registered query's in-range distinct edges, but
-    # the plan changed — re-verify; the unweighted rank queries share the
-    # module's _rank_rounds, so re-verify them too (r12 precedent).
+    # ADVICE): entry guard (raise on w <= 0 / non-integral / NaN-or-NULL
+    # / >= 2^53, the exact integer-in-double bound), per-edge
+    # contribution now rounds AFTER the weight multiply into
+    # DECIMAL(38,12) on both engines (significant digits at any weight
+    # scale; replaces the r12 DECIMAL(9,0) product), duplicate
+    # (src, dst) weighted edges now SUM. 12th-decimal values can move,
+    # and the plan changed — re-verify; the unweighted rank queries
+    # share the module's _rank_rounds, so re-verify them too (r12
+    # precedent).
     "part_pagerank_weighted",
     "supplier_pagerank",
     "supplier_ppr",
