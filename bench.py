@@ -175,7 +175,7 @@ HEADLINE = [
 ]
 
 
-def _write_round_record(detail: dict) -> None:
+def _write_round_record(detail: dict, root: str | None = None) -> None:
     """Generate the round's closing record IN BENCH_CREEP.md from the
     BENCH_DETAIL dict itself — never re-typed by hand (r12 verdict
     finding #1: two consecutive rounds' hand-written records disagreed
@@ -192,7 +192,8 @@ def _write_round_record(detail: dict) -> None:
     if detail.get("sf") != 0.1:
         print(f"RECORD-SKIPPED sf={detail.get('sf')} (record SF is 0.1)")
         return
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
