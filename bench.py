@@ -172,6 +172,7 @@ HEADLINE = [
     # round 13
     "part_ppr_weighted",
     "logistic_return_by_discount",
+    "logistic_return_qty_discount",
 ]
 
 

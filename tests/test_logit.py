@@ -157,3 +157,137 @@ def test_saturated_sql_mirror_matches_spark(spark):
         assert b0b is not None and not math.isnan(b0b) and not math.isinf(b0b)
         assert b0a == pytest.approx(b0b, abs=2e-6)
         assert b1a == pytest.approx(b1b, abs=2e-6)
+
+
+def _py_newton2(rows, rounds):
+    b0 = b1 = b2 = 0.0
+    out = []
+    for _ in range(rounds):
+        g0 = g1 = g2 = h00 = h01 = h02 = h11 = h12 = h22 = 0.0
+        for x1, x2, n1, n0 in rows:
+            n = n1 + n0
+            p = round(1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2))), 12)
+            resid = n1 - n * p
+            w = n * p * (1 - p)
+            g0 += round(resid, 6)
+            g1 += round(x1 * resid, 6)
+            g2 += round(x2 * resid, 6)
+            h00 += round(w, 6)
+            h01 += round(w * x1, 6)
+            h02 += round(w * x2, 6)
+            h11 += round(w * x1 * x1, 6)
+            h12 += round(w * x1 * x2, 6)
+            h22 += round(w * x2 * x2, 6)
+        det = (h00 * (h11 * h22 - h12 * h12)
+               - h01 * (h01 * h22 - h12 * h02)
+               + h02 * (h01 * h12 - h11 * h02))
+        d0 = (g0 * (h11 * h22 - h12 * h12)
+              - h01 * (g1 * h22 - h12 * g2)
+              + h02 * (g1 * h12 - h11 * g2))
+        d1 = (h00 * (g1 * h22 - h12 * g2)
+              - g0 * (h01 * h22 - h12 * h02)
+              + h02 * (h01 * g2 - g1 * h02))
+        d2 = (h00 * (h11 * g2 - g1 * h12)
+              - h01 * (h01 * g2 - g1 * h02)
+              + g0 * (h01 * h12 - h11 * h02))
+        if det != 0.0:
+            b0 = round(b0 + d0 / det, 12)
+            b1 = round(b1 + d1 / det, 12)
+            b2 = round(b2 + d2 / det, 12)
+        out.append((round(b0, 6), round(b1, 6), round(b2, 6)))
+    return out
+
+
+_ROWS2 = [
+    (1.0, 0.0, 5, 45),
+    (2.0, 1.0, 12, 38),
+    (3.0, 0.0, 20, 30),
+    (4.0, 1.0, 33, 17),
+    (5.0, 0.0, 41, 9),
+    (2.0, 0.0, 8, 42),
+]
+
+
+def _grouped2(spark, rows):
+    return spark.createDataFrame(
+        rows, "x1 double, x2 double, n_pos long, n_neg long"
+    )
+
+
+def test_newton2_matches_pure_python_trajectory(spark):
+    from vector_db_mvp_spark.operators.logit import logistic_newton2
+
+    expect = _py_newton2(_ROWS2, 4)
+    got = [
+        (r.b0, r.b1, r.b2)
+        for r in logistic_newton2(_grouped2(spark, _ROWS2), 4)
+        .orderBy("round")
+        .collect()
+    ]
+    for g, e in zip(got, expect):
+        assert g == pytest.approx(e, abs=2e-6)
+
+
+def test_newton2_sql_mirror_matches_spark(spark):
+    import duckdb
+
+    from vector_db_mvp_spark.operators.logit import (
+        logistic_newton2,
+        sql_logistic_newton2,
+    )
+
+    got = [
+        (r.round, r.b0, r.b1, r.b2)
+        for r in logistic_newton2(_grouped2(spark, _ROWS2), 3)
+        .orderBy("round")
+        .collect()
+    ]
+    vals = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in _ROWS2)
+    cte = f"SELECT * FROM (VALUES {vals}) AS t(x1, x2, n_pos, n_neg)"
+    sql = sql_logistic_newton2(cte, 3) + " ORDER BY round"
+    oracle = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert len(oracle) == 3
+    for g, o in zip(got, oracle):
+        assert g[0] == o[0]
+        for a, b in zip(g[1:], o[1:]):
+            assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_newton2_entry_guards(spark):
+    from vector_db_mvp_spark.operators.logit import logistic_newton2
+
+    with pytest.raises(ValueError, match="rounds"):
+        logistic_newton2(_grouped2(spark, _ROWS2), 0)
+    # < 3 distinct points
+    with pytest.raises(ValueError, match="singular"):
+        logistic_newton2(
+            _grouped2(spark, [(1.0, 0.0, 1, 1), (2.0, 1.0, 1, 1)]), 2
+        )
+    # single-valued feature (x2 constant)
+    with pytest.raises(ValueError, match="singular"):
+        logistic_newton2(
+            _grouped2(
+                spark,
+                [(1.0, 5.0, 1, 1), (2.0, 5.0, 1, 1), (3.0, 5.0, 1, 1)],
+            ),
+            2,
+        )
+
+
+def test_newton2_recovers_both_directions(spark):
+    """x1 drives positives up, x2 drives them down: signs must recover."""
+    from vector_db_mvp_spark.operators.logit import logistic_newton2
+
+    rows = []
+    for x1 in range(1, 6):
+        for x2 in (0.0, 1.0):
+            z = 0.8 * x1 - 1.5 * x2 - 2.0
+            pr = 1.0 / (1.0 + math.exp(-z))
+            rows.append((float(x1), x2, int(round(pr * 100)),
+                         100 - int(round(pr * 100))))
+    fit = (
+        logistic_newton2(_grouped2(spark, rows), 5)
+        .orderBy("round")
+        .collect()[-1]
+    )
+    assert fit.b1 > 0 > fit.b2

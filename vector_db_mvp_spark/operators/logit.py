@@ -174,3 +174,209 @@ def sql_logistic_newton(grouped_cte: str, rounds: int) -> str:
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def logistic_newton2(grouped: DataFrame, rounds: int) -> DataFrame:
+    """Two-regressor fixed-round Newton logistic regression — the multi-x
+    leg of the same saturating-domain discipline. ``grouped`` is one row
+    per distinct (x1, x2) pair with columns (x1 double, x2 double,
+    n_pos long, n_neg long). Returns one row per round:
+    (round, b0, b1, b2), betas rounded to 6 (12 kept between rounds).
+
+    Per round: broadcast the 1-row beta frame into the domain frame,
+    TWELVE exact DECIMAL(38,6) term sums (3 gradient + 6 Hessian — the
+    symmetric 3x3), then the closed-form Cramer solve as one fixed-order
+    IEEE double sequence, identical on both engines
+    (:func:`sql_logistic_newton2` unrolls the same expressions).
+    Singular-Hessian handling mirrors :func:`logistic_newton`: a
+    saturated round (all w-term sums round to 0 at 6 decimals) makes
+    det EXACTLY 0 and freezes the betas; perfectly collinear features
+    with a non-degenerate domain are NOT entry-guarded (their det is a
+    near-zero rounded sum, deterministic and engine-identical — the fit
+    walks, it doesn't NULL), which the docstring records as the
+    documented limitation. Entry guard: >= 3 distinct (x1, x2) points
+    and >= 2 distinct values PER feature, else the Hessian is singular
+    from round 1."""
+    if rounds < 1:
+        raise ValueError("logistic_newton2: rounds must be >= 1")
+    spark = grouped.sparkSession
+    g = grouped.select(
+        F.col("x1").cast("double").alias("x1"),
+        F.col("x2").cast("double").alias("x2"),
+        F.col("n_pos").cast("double").alias("n1"),
+        (F.col("n_pos") + F.col("n_neg")).cast("double").alias("n"),
+    ).localCheckpoint(eager=True)
+    chk = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("x1").alias("k1"),
+        F.countDistinct("x2").alias("k2"),
+    ).first()
+    if chk["k"] < 3 or chk["k1"] < 2 or chk["k2"] < 2:
+        raise ValueError(
+            "logistic_newton2: need >= 3 distinct (x1, x2) points and "
+            ">= 2 distinct values per feature (singular Hessian)"
+        )
+
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        t = g.crossJoin(F.broadcast(beta))
+        p = F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.col("b0")
+                        + F.col("b1") * F.col("x1")
+                        + F.col("b2") * F.col("x2")
+                    )
+                )
+            ),
+            12,
+        )
+        t = t.withColumn("p", p)
+        w = F.col("n") * F.col("p") * (F.lit(1.0) - F.col("p"))
+        resid = F.col("n1") - F.col("n") * F.col("p")
+
+        def s(expr):
+            return F.sum(F.round(expr, 6).cast(D386))
+
+        sums = t.agg(
+            s(resid).alias("g0"),
+            s(F.col("x1") * resid).alias("g1"),
+            s(F.col("x2") * resid).alias("g2"),
+            s(w).alias("h00"),
+            s(w * F.col("x1")).alias("h01"),
+            s(w * F.col("x2")).alias("h02"),
+            s(w * F.col("x1") * F.col("x1")).alias("h11"),
+            s(w * F.col("x1") * F.col("x2")).alias("h12"),
+            s(w * F.col("x2") * F.col("x2")).alias("h22"),
+        )
+        c = {
+            k: F.col(k).cast("double")
+            for k in ("g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22")
+        }
+        # 3x3 Cramer over the symmetric Hessian, fixed-order doubles —
+        # parenthesization matches sql_logistic_newton2 token for token.
+        det = (
+            c["h00"] * (c["h11"] * c["h22"] - c["h12"] * c["h12"])
+            - c["h01"] * (c["h01"] * c["h22"] - c["h12"] * c["h02"])
+            + c["h02"] * (c["h01"] * c["h12"] - c["h11"] * c["h02"])
+        )
+        d0 = (
+            c["g0"] * (c["h11"] * c["h22"] - c["h12"] * c["h12"])
+            - c["h01"] * (c["g1"] * c["h22"] - c["h12"] * c["g2"])
+            + c["h02"] * (c["g1"] * c["h12"] - c["h11"] * c["g2"])
+        )
+        d1 = (
+            c["h00"] * (c["g1"] * c["h22"] - c["h12"] * c["g2"])
+            - c["g0"] * (c["h01"] * c["h22"] - c["h12"] * c["h02"])
+            + c["h02"] * (c["h01"] * c["g2"] - c["g1"] * c["h02"])
+        )
+        d2 = (
+            c["h00"] * (c["h11"] * c["g2"] - c["g1"] * c["h12"])
+            - c["h01"] * (c["h01"] * c["g2"] - c["g1"] * c["h02"])
+            + c["g0"] * (c["h01"] * c["h12"] - c["h11"] * c["h02"])
+        )
+        frozen = F.col("det_") == F.lit(0.0)
+        nb = (
+            sums.crossJoin(F.broadcast(beta))
+            .withColumn("det_", det)
+            .select(
+                F.when(frozen, F.col("b0"))
+                .otherwise(F.round(F.col("b0") + d0 / F.col("det_"), 12))
+                .alias("b0"),
+                F.when(frozen, F.col("b1"))
+                .otherwise(F.round(F.col("b1") + d1 / F.col("det_"), 12))
+                .alias("b1"),
+                F.when(frozen, F.col("b2"))
+                .otherwise(F.round(F.col("b2") + d2 / F.col("det_"), 12))
+                .alias("b2"),
+            )
+        )
+        beta = nb.localCheckpoint(eager=True)
+        step = beta.select(
+            F.lit(r).cast("int").alias("round"),
+            F.round("b0", 6).alias("b0"),
+            F.round("b1", 6).alias("b1"),
+            F.round("b2", 6).alias("b2"),
+        )
+        out = step if out is None else out.unionAll(step)
+    return out
+
+
+def sql_logistic_newton2(grouped_cte: str, rounds: int) -> str:
+    """DuckDB unrolled mirror of :func:`logistic_newton2`;
+    ``grouped_cte`` must yield (x1, x2, n_pos, n_neg)."""
+    parts = [
+        f"""gd AS MATERIALIZED (
+  SELECT CAST(x1 AS DOUBLE) AS x1, CAST(x2 AS DOUBLE) AS x2,
+         CAST(n_pos AS DOUBLE) AS n1,
+         CAST(n_pos + n_neg AS DOUBLE) AS n
+  FROM ({grouped_cte}))""",
+        "b0_ AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1,"
+        " 0.0::DOUBLE AS b2)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT SUM(CAST(round(n1 - n * p, 6) AS DECIMAL(38,6))) AS g0,
+         SUM(CAST(round(x1 * (n1 - n * p), 6) AS DECIMAL(38,6))) AS g1,
+         SUM(CAST(round(x2 * (n1 - n * p), 6) AS DECIMAL(38,6))) AS g2,
+         SUM(CAST(round(n * p * (1 - p), 6) AS DECIMAL(38,6))) AS h00,
+         SUM(CAST(round(n * p * (1 - p) * x1, 6) AS DECIMAL(38,6))) AS h01,
+         SUM(CAST(round(n * p * (1 - p) * x2, 6) AS DECIMAL(38,6))) AS h02,
+         SUM(CAST(round(n * p * (1 - p) * x1 * x1, 6) AS DECIMAL(38,6))) AS h11,
+         SUM(CAST(round(n * p * (1 - p) * x1 * x2, 6) AS DECIMAL(38,6))) AS h12,
+         SUM(CAST(round(n * p * (1 - p) * x2 * x2, 6) AS DECIMAL(38,6))) AS h22
+  FROM (SELECT g.*,
+               round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x1 + b.b2 * g.x2))), 12) AS p
+        FROM gd g CROSS JOIN b{p}_ b))""",
+        )
+        parts.append(
+            f"""d{r}_ AS (
+  SELECT CAST(s.g0 AS DOUBLE) AS g0, CAST(s.g1 AS DOUBLE) AS g1,
+         CAST(s.g2 AS DOUBLE) AS g2,
+         CAST(s.h00 AS DOUBLE) AS h00, CAST(s.h01 AS DOUBLE) AS h01,
+         CAST(s.h02 AS DOUBLE) AS h02, CAST(s.h11 AS DOUBLE) AS h11,
+         CAST(s.h12 AS DOUBLE) AS h12, CAST(s.h22 AS DOUBLE) AS h22,
+         b.b0, b.b1, b.b2
+  FROM s{r} s CROSS JOIN b{p}_ b)""",
+        )
+        parts.append(
+            f"""e{r}_ AS (
+  SELECT *,
+         h00 * (h11 * h22 - h12 * h12)
+           - h01 * (h01 * h22 - h12 * h02)
+           + h02 * (h01 * h12 - h11 * h02) AS det,
+         g0 * (h11 * h22 - h12 * h12)
+           - h01 * (g1 * h22 - h12 * g2)
+           + h02 * (g1 * h12 - h11 * g2) AS d0,
+         h00 * (g1 * h22 - h12 * g2)
+           - g0 * (h01 * h22 - h12 * h02)
+           + h02 * (h01 * g2 - g1 * h02) AS d1,
+         h00 * (h11 * g2 - g1 * h12)
+           - h01 * (h01 * g2 - g1 * h02)
+           + g0 * (h01 * h12 - h11 * h02) AS d2
+  FROM d{r}_)""",
+        )
+        parts.append(
+            f"""b{r}_ AS MATERIALIZED (
+  SELECT CASE WHEN det = 0.0 THEN b0
+         ELSE round(b0 + d0 / det, 12) END AS b0,
+         CASE WHEN det = 0.0 THEN b1
+         ELSE round(b1 + d1 / det, 12) END AS b1,
+         CASE WHEN det = 0.0 THEN b2
+         ELSE round(b2 + d2 / det, 12) END AS b2
+  FROM e{r}_)""",
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, round(b0, 6) AS b0, round(b1, 6) AS b1,"
+        f" round(b2, 6) AS b2 FROM b{r}_"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects

@@ -8202,6 +8202,48 @@ QUERIES["logistic_return_by_discount"] = q_logistic_return_by_discount
 ORACLE_SQL["logistic_return_by_discount"] = _sql_logistic_return_by_discount()
 
 
+def q_logistic_return_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor Newton logit (operators/logit.py logistic_newton2) —
+    the multi-x surface the r12 verdict named: P(l_returnflag = 'R') as a
+    function of (l_quantity, l_discount). One corpus pass collapses
+    lineitem to the ~550-cell (quantity x discount) domain; every round
+    is then twelve exact DECIMAL(38,6) term sums + one closed-form 3x3
+    Cramer solve, corpus-independent. Per-round (b0, b1, b2)
+    trajectory output, unrolled oracle."""
+    from ..operators.logit import logistic_newton2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+    ).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("long").alias("n_pos"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 0).otherwise(1)
+        ).cast("long").alias("n_neg"),
+    )
+    return logistic_newton2(grouped, _LOGIT_ROUNDS).orderBy("round")
+
+
+def _sql_logistic_return_qty_discount() -> str:
+    from ..operators.logit import sql_logistic_newton2
+
+    grouped = """
+  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM lineitem GROUP BY 1, 2"""
+    body = sql_logistic_newton2(grouped, _LOGIT_ROUNDS)
+    return body + "\nORDER BY round"
+
+
+QUERIES["logistic_return_qty_discount"] = q_logistic_return_qty_discount
+ORACLE_SQL["logistic_return_qty_discount"] = _sql_logistic_return_qty_discount()
+
+
 # ---------------------------------------------------------------------------
 # Round 12: edge-weighted PageRank — the co-purchase recommender shape
 # (mass flows in proportion to co-order counts, not uniformly). Reuses the
