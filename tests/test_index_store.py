@@ -131,13 +131,17 @@ def test_cached_lsh_probe(setup):
         idx.search(lib, [1.0, 0.0, 0.0, 0.0], k=2, index="hnsw")
 
 
-def test_rebuild_unpersists_evicted_checkpoint(setup, spark):
-    """ADVICE r12: index_df memoizes a localCheckpointed frame; when the
-    pointer moves, the evicted checkpoint's block-manager copy must be
-    dropped EXPLICITLY (DataFrame.unpersist only talks to the
-    CacheManager, so the fix unpersists the LogicalRDD's backing RDD) —
-    otherwise long-serving sessions pin one stale index copy per
-    rebuild until driver GC."""
+def test_rebuild_defers_eviction_one_generation(setup, spark):
+    """ADVICE r12 + r13: index_df memoizes a localCheckpointed frame.
+    When the pointer moves, the replaced checkpoint must NOT be
+    unpersisted eagerly (a localCheckpoint truncates lineage, so eager
+    eviction made any lazy frame held across the rebuild unrecomputable
+    and could race an in-flight action — ADVICE r13); instead it parks
+    ONE generation in a stale slot and is freed on the NEXT rebuild, so
+    serving memory stays bounded at <= 2 index copies per library
+    (the ADVICE r12 contract). DataFrame.unpersist only talks to the
+    CacheManager, so the eviction unpersists the LogicalRDD's backing
+    RDD — pinned here via getRDDStorageInfo."""
     store, lib, doc, idx = setup
 
     def _checkpoint_rdd_id(df) -> int:
@@ -151,14 +155,26 @@ def test_rebuild_unpersists_evicted_checkpoint(setup, spark):
         }
 
     df1 = idx.index_df(lib)
-    n1 = df1.count()  # before eviction: the evicted frame dies with it
-    old_id = _checkpoint_rdd_id(df1)
-    assert old_id in _stored_rdd_ids()  # checkpoint blocks are live
+    n1 = df1.count()
+    gen1 = _checkpoint_rdd_id(df1)
+    assert gen1 in _stored_rdd_ids()  # checkpoint blocks are live
     store.add_chunk(lib, doc, "south", [0.0, -1.0, 0.0, 0.0],
                     meta_type="heading")
-    df2 = idx.index_df(lib)  # pointer moved -> rebuild + eviction
-    assert _checkpoint_rdd_id(df2) != old_id
-    assert old_id not in _stored_rdd_ids()  # evicted blocks freed NOW
-    assert _checkpoint_rdd_id(df2) in _stored_rdd_ids()
-    # the new frame still serves correctly after the eviction
+    df2 = idx.index_df(lib)  # pointer moved -> rebuild; gen1 parks stale
+    gen2 = _checkpoint_rdd_id(df2)
+    assert gen2 != gen1
+    assert gen2 in _stored_rdd_ids()
+    # gen1 is DEFERRED, not evicted: still persisted and still computable
+    # for callers who obtained a lazy frame before the rebuild
+    assert gen1 in _stored_rdd_ids()
+    assert df1.count() == n1  # the held frame replays the old snapshot
     assert df2.count() == n1 + 1
+    store.add_chunk(lib, doc, "west", [0.0, 0.0, -1.0, 0.0],
+                    meta_type="heading")
+    df3 = idx.index_df(lib)  # second rebuild: gen1 (2 generations old) freed
+    gen3 = _checkpoint_rdd_id(df3)
+    assert gen3 not in (gen1, gen2)
+    assert gen1 not in _stored_rdd_ids()  # bounded: <= 2 generations live
+    assert gen2 in _stored_rdd_ids()  # the new stale slot occupant
+    assert gen3 in _stored_rdd_ids()
+    assert df3.count() == n1 + 2

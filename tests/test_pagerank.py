@@ -233,9 +233,10 @@ def test_weight_guard_rejects_zero_negative_fractional(spark):
         pagerank(_wedges(spark, [("a", "b", float(2**53)), ("b", "a", 2.0)]),
                  2, weight_col="w", assume_distinct=True).collect()
     # NaN passes every range comparison and NULL is invisible to
-    # min/max/floor - both must be caught explicitly (NULLs are poisoned
-    # to NaN before the duplicate-edge sum so mixed-NULL groups cannot
-    # launder through it)
+    # min/max/floor. NULLs are poisoned to NaN in the edge select (both
+    # assume_distinct paths) BEFORE any sum, so the NaN check is the
+    # single funnel for both bad-weight classes — there is deliberately
+    # no separate isNull branch (it would be unreachable, ADVICE r13).
     with _pt.raises(ValueError, match="NaN"):
         pagerank(_wedges(spark, [("a", "b", float("nan")), ("b", "a", 2.0)]),
                  2, weight_col="w", assume_distinct=True).collect()

@@ -113,24 +113,21 @@ def _edge_frame(
             F.max("w").alias("mx"),
             F.max((F.col("w") != F.floor("w")).cast("int")).alias("frac"),
             F.max(F.isnan("w").cast("int")).alias("nan"),
-            F.max(F.col("w").isNull().cast("int")).alias("nul"),
             F.count(F.lit(1)).alias("n"),
         ).first()
         # NaN slips every range comparison (nan<=0 and nan>=2^53 are both
-        # False, and Spark ranks NaN == floor(NaN)); NULLs (e.g. a failed
-        # upstream cast) are invisible to min/max/floor entirely — both
-        # would silently drop edge mass or diverge from the oracle, so
-        # check them explicitly before the range guards.
+        # False, and Spark ranks NaN == floor(NaN)), so it is checked
+        # explicitly before the range guards. NULL weights (failed cast /
+        # missing weight) cannot reach this aggregate at all: BOTH select
+        # paths above poison NULL -> NaN before any sum, so "NaN" here is
+        # the single funnel for every bad-weight input (ADVICE r13: the
+        # former separate isNull check was unreachable by construction).
         if chk["n"] and chk["nan"]:
             raise ValueError(
-                "pagerank: weight_col contains NaN or NULL weights "
-                "(weights must be positive integral values; NULLs are "
-                "poisoned to NaN before the duplicate-edge sum)"
-            )
-        if chk["n"] and chk["nul"]:
-            raise ValueError(
-                "pagerank: weight_col contains NULL (failed cast or "
-                "missing weight)"
+                "pagerank: weight_col contains NaN weights — either NaN "
+                "input or NULLs (failed cast / missing weight), which are "
+                "poisoned to NaN before the duplicate-edge sum; weights "
+                "must be positive integral values"
             )
         if chk["mn"] is not None:
             if chk["frac"]:

@@ -17,12 +17,19 @@ The build does the two things the reference does at index-build time, once:
 current ``version`` and is a no-op while they match; any write path bumps the
 version (store.py) and therefore invalidates. Snapshot isolation comes from
 the same atomic pointer flip the EntityStore uses — it applies to the
-PARQUET snapshot (the old index directory stays on disk and readable), not
-to the driver-memoized block-manager copy: a rebuild explicitly unpersists
-the evicted checkpoint (ADVICE r12, bounded-memory serving), so LAZY frames
-obtained from ``index_df``/``search`` before a rebuild must be re-requested
-after it (collected results are unaffected; re-reading the old directory
-with ``spark.read.parquet`` reproduces the old snapshot if needed).
+PARQUET snapshot (the old index directory stays on disk and readable) AND,
+for exactly ONE generation, to the driver-memoized block-manager copy:
+a rebuild moves the evicted checkpoint into a one-slot stale cache instead
+of unpersisting it immediately (ADVICE r13 — eager unpersist made lazy
+frames held across a rebuild unrecomputable, since a localCheckpoint
+truncates lineage, and the non-blocking unpersist could race an in-flight
+action on the old frame). The stale generation's blocks are freed on the
+NEXT rebuild, so serving memory stays bounded at <= 2 index copies per
+library while callers holding a frame across a single rebuild keep a
+computable snapshot. A frame held across TWO rebuilds becomes
+unrecomputable — re-request it from ``index_df``/``search``, or re-read
+the old immutable directory with ``spark.read.parquet`` (collected
+results are never affected).
 
 Scale notes: at 100 TB the index table is the serving layout — partitioned by
 ``library_id`` like the fact table, rebuilt incrementally per library (only
@@ -146,27 +153,40 @@ class ChunkIndexStore:
         MEMORY_AND_DISK storage spills rather than OOMs if a library's
         index outgrows executor memory, and the directory is immutable,
         so the cached frame stays valid until the pointer moves (the
-        same (dir) key invalidates both memo layers together)."""
+        same (dir) key invalidates both memo layers together).
+
+        Eviction is DEFERRED by one generation (ADVICE r13): when the
+        pointer moves, the replaced checkpoint parks in a one-slot stale
+        cache — still persisted, so a lazy frame a caller obtained from
+        an earlier ``index_df``/``search`` stays computable across one
+        rebuild, and the non-blocking unpersist cannot race an in-flight
+        action on the frame being replaced. The slot's PREVIOUS occupant
+        (two generations old) is unpersisted here; a frame held across
+        TWO rebuilds is unrecomputable (see module docstring). The
+        bounded-memory contract (ADVICE r12) holds at <= 2 generations
+        per library, pytest-pinned via getRDDStorageInfo."""
         self.refresh(library_id)
         d = self._current_dir(library_id)
         cache = getattr(self, "_df_cache", None)
         if cache is None:
             cache = self._df_cache = {}
+            self._stale_cache: dict[str, DataFrame] = {}
         hit = cache.get(library_id)
         if hit is not None and hit[0] == d:
             return hit[1]
         if hit is not None:
-            # The pointer moved: drop the evicted checkpoint's blocks NOW
-            # instead of waiting for driver GC — long-serving sessions
-            # with frequent rebuilds otherwise pin one stale index copy
-            # per rebuild in the block manager (ADVICE r12).
-            # DataFrame.unpersist only talks to the CacheManager; a
-            # localCheckpoint's blocks belong to the LogicalRDD's backing
-            # RDD, so unpersist THAT (pytest-pinned via getRDDStorageInfo).
-            try:
-                hit[1]._jdf.queryExecution().logical().rdd().unpersist(False)
-            except Exception:  # noqa: BLE001 — eviction is best-effort
-                pass
+            # The pointer moved: free the blocks of the generation parked
+            # at the LAST rebuild (if any), then park the one being
+            # replaced now. DataFrame.unpersist only talks to the
+            # CacheManager; a localCheckpoint's blocks belong to the
+            # LogicalRDD's backing RDD, so unpersist THAT.
+            prev = self._stale_cache.get(library_id)
+            if prev is not None:
+                try:
+                    prev._jdf.queryExecution().logical().rdd().unpersist(False)
+                except Exception:  # noqa: BLE001 — eviction is best-effort
+                    pass
+            self._stale_cache[library_id] = hit[1]
         df = self.spark.read.parquet(d).localCheckpoint(eager=True)
         cache[library_id] = (d, df)
         return df
