@@ -149,3 +149,89 @@ def test_injected_real_decoder_flows_through_mapinpandas(spark, sf_dir):
             assert r["payload"] is not None  # stub path for non-image visuals
         else:
             assert r["payload"] is None
+
+
+# ---- r14: the REAL codec legs (dependency-free PNG + stdlib WAV) --------
+
+
+def test_real_png_decode_through_workers(spark, sf_dir):
+    """decode_media on ACTUAL PNG payloads: the worker-side chain
+    (PIL absent -> functions/png header parse) must report the true
+    geometry, which the fixture derives arithmetically from the id."""
+    from vector_db_mvp_spark.operators.multimodal import (
+        media_real_from_documents,
+    )
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "image").limit(40)
+    rows = decode_media(media).collect()
+    assert rows
+    for r in rows:
+        mid = r["media_id"]
+        assert r["width"] == 8 + mid % 24
+        assert r["height"] == 6 + (mid * 7) % 20
+        assert r["n_frames"] == 1
+        assert r["sample_rate"] is None
+
+
+def test_real_wav_decode_through_workers(spark, sf_dir):
+    """decode_media on ACTUAL WAV payloads parses rate/frames/duration
+    with the stdlib wave module — exact integers, no stub values."""
+    from vector_db_mvp_spark.operators.multimodal import (
+        media_real_from_documents,
+    )
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "audio").limit(40)
+    rows = decode_media(media).collect()
+    assert rows
+    for r in rows:
+        mid = r["media_id"]
+        rate = 8000 * (1 + mid % 4)
+        n = 400 + (mid * 13) % 1000
+        assert r["sample_rate"] == rate
+        assert r["n_frames"] == n
+        assert r["duration_ms"] == n * 1000 // rate
+        assert r["width"] is None
+
+
+def test_real_resize_roundtrips_pixels(spark, sf_dir):
+    """resize_media on real PNGs does decode -> nearest-neighbor ->
+    re-encode; decoding the RESIZED payload recovers the exact source
+    gradient value at the floor-mapped coordinates."""
+    from vector_db_mvp_spark.functions.png import decode_png
+    from vector_db_mvp_spark.operators.multimodal import (
+        media_real_from_documents,
+        resize_media,
+    )
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "image").limit(10)
+    out = resize_media(media, width=5, height=4).collect()
+    assert out
+    for r in out:
+        mid = r["media_id"]
+        w, h, ch, pix = decode_png(bytes(r["payload"]))
+        assert (w, h, ch) == (5, 4, 3)
+        src_w, src_h = 8 + mid % 24, 6 + (mid * 7) % 20
+        sx, sy = 4 * src_w // 5, 3 * src_h // 4
+        off = (3 * 5 + 4) * 3
+        for c in range(3):
+            assert pix[off + c] == (sx * 3 + sy * 5 + c * 7 + mid) % 256
+
+
+def test_undecodable_bytes_degrade_to_stub_not_failure(spark, sf_dir):
+    """Non-PNG image payloads and non-WAV audio payloads fall back to the
+    deterministic stub PER ROW (the pre-r14 contract is unchanged for the
+    utf-8 fixture family)."""
+    media = _media(spark, sf_dir).limit(30)  # payloads are utf-8 text
+    rows = decode_media(media).collect()
+    assert len(rows) == 30
+    for r in rows:  # stub values, same as before the real-codec legs
+        if r["kind"] == "image":
+            assert r["width"] >= 160 and r["width"] % 80 == 0
+        elif r["kind"] == "audio":
+            assert r["sample_rate"] % 8000 == 0

@@ -2,12 +2,23 @@
 typed metadata, plus decode / feature-extract / frame-sample operators
 (north-star surface).
 
-The container has no image/audio libraries, so the *codec* step is stubbed:
-``decode_media`` tries real decoders behind an import guard and otherwise
-produces a deterministic fake decode derived from the payload bytes. The
-Spark-side plumbing — binary schema, Arrow batch transfer through
-``mapInPandas``, partition behavior, output schema — is real and tested; a
-deployment swaps ``_fake_decode`` for PIL/ffmpeg and nothing else changes.
+Codec resolution per row kind (r14 — the real-codec leg now EXECUTES;
+pip/PIL remains uninstallable in this sandbox, `.claude/probe_r14_pip.json`):
+
+- **image**: PIL when a deployment has it (resolved per WORKER, import
+  guard) → else the dependency-free spec-conformant PNG codec
+  (``functions/png.py``, stdlib zlib: CRC-checked chunks, filters 0-4,
+  color types 0/2/4/6) → else per-row degrade to the deterministic stub
+  for non-PNG/undecodable bytes. Decode parses + CRC-checks the header
+  (what PIL's lazy ``open`` does); resize does the full
+  decode → nearest-neighbor → re-encode pass.
+- **audio**: stdlib ``wave`` (real RIFF/WAVE parse: sample rate, frame
+  count, exact integer duration) → per-row stub for non-WAV bytes.
+- **video**: stub only (no stdlib container parser; documented gap).
+
+The Spark-side plumbing — binary schema, Arrow batch transfer through
+``mapInPandas``, partition behavior, output schema — is identical on every
+path, so CI exercises the real codecs and the stubs in the same plans.
 
 Scale notes: payloads travel to Python in Arrow record batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory for
@@ -53,6 +64,69 @@ def media_from_documents(df: DataFrame, *, text_col: str = "text", id_col: str =
     )
 
 
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """REAL-codec media fixture: even ids become actual PNG images (built by
+    ``functions/png.encode_png`` over a deterministic integer gradient), odd
+    ids actual 16-bit mono WAV audio (stdlib ``wave``). Geometry / sample
+    rate / frame count are integer functions of the id:
+
+        image: width = 8 + id % 24, height = 6 + (id*7) % 20,
+               pixel(x, y, c) = (x*3 + y*5 + c*7 + id) % 256
+        audio: rate = 8000 * (1 + id % 4), frames = 400 + (id*13) % 1000
+
+    so a SQL oracle predicts every decoded-metadata value arithmetically
+    while the Spark side must actually PARSE the container bytes — a fake
+    decode cannot match. Built worker-side in Arrow batches (numpy fills
+    the sample buffers; zlib does the DEFLATE) — no driver loop."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        from ..functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                if mid % 2 == 0:
+                    w = 8 + mid % 24
+                    h = 6 + (mid * 7) % 20
+                    idx = np.arange(w * h * 3, dtype=np.int64)
+                    x, c = (idx // 3) % w, idx % 3
+                    y = idx // (3 * w)
+                    pix = ((x * 3 + y * 5 + c * 7 + mid) % 256).astype(np.uint8)
+                    payload = encode_png(w, h, pix.tobytes())
+                    rows.append({"media_id": mid, "kind": "image", "payload": payload})
+                else:
+                    rate = 8000 * (1 + mid % 4)
+                    n = 400 + (mid * 13) % 1000
+                    samples = (
+                        (np.arange(n, dtype=np.int64) * 31 + mid) % 65536 - 32768
+                    ).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(samples.tobytes())
+                    rows.append({"media_id": mid, "kind": "audio", "payload": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _build, schema=MEDIA_SCHEMA
+    )
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """JVM-only metadata projection over binary payloads: size, magic prefix.
     This is the cheap pre-filter stage — no Python, fully codegen'd."""
@@ -94,55 +168,95 @@ def _fake_decode(kind: str, payload: bytes) -> dict:
             "duration_ms": 1000 + h[3] * 91}
 
 
-def _pil_image_loader():
-    """Resolve the real image decoder at WORKER runtime: a callable
-    payload-bytes -> metadata dict when PIL is importable there, else None.
-    Resolution must happen inside the mapInPandas closure — workers are
-    separate Python processes, so driver-side imports (or monkeypatches)
-    never reach them."""
+def _real_image_loader():
+    """Resolve the real image decoder at WORKER runtime: PIL when importable
+    there, else the dependency-free PNG codec (functions/png.py) — so the
+    returned callable is never None; it RAISES on bytes it can't decode and
+    the caller degrades that row to the stub. Resolution must happen inside
+    the mapInPandas closure — workers are separate Python processes, so
+    driver-side imports (or monkeypatches) never reach them."""
     try:
         import io
 
         from PIL import Image
+
+        def load(payload: bytes) -> dict:
+            im = Image.open(io.BytesIO(payload))
+            return {
+                "width": int(im.width),
+                "height": int(im.height),
+                "n_frames": int(getattr(im, "n_frames", 1)),
+                "sample_rate": None,
+                "duration_ms": None,
+            }
+
+        return load
     except ImportError:
-        return None
+        pass
+
+    from ..functions.png import png_size
 
     def load(payload: bytes) -> dict:
-        im = Image.open(io.BytesIO(payload))
+        # Header-only parse with CRC check — the same laziness as
+        # PIL.Image.open (pixels inflate only on resize/feature paths).
+        w, h = png_size(payload)  # raises PngError on non-PNG
+        return {"width": w, "height": h, "n_frames": 1,
+                "sample_rate": None, "duration_ms": None}
+
+    return load
+
+
+def _wave_audio_loader():
+    """Real audio decode via the stdlib ``wave`` module (RIFF/WAVE is the
+    one audio container Python parses natively — no pip needed). Raises on
+    non-WAV bytes; the caller degrades that row to the stub. duration_ms is
+    exact integer math (frames * 1000 // rate) so oracles can reproduce it."""
+    import io
+    import wave
+
+    def load(payload: bytes) -> dict:
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate = int(wf.getframerate())
+            n = int(wf.getnframes())
         return {
-            "width": int(im.width),
-            "height": int(im.height),
-            "n_frames": int(getattr(im, "n_frames", 1)),
-            "sample_rate": None,
-            "duration_ms": None,
+            "width": None,
+            "height": None,
+            "n_frames": n,
+            "sample_rate": rate,
+            "duration_ms": (n * 1000 // rate) if rate else None,
         }
 
     return load
 
 
-def decode_media(df: DataFrame, *, image_loader=None) -> DataFrame:
+def decode_media(df: DataFrame, *, image_loader=None, audio_loader=None) -> DataFrame:
     """mapInPandas decode: Arrow-batched bytes -> typed metadata rows.
 
-    Image rows go through the real decoder when one is available (PIL,
-    resolved per worker), DEGRADING per row to the deterministic stub when
-    the payload doesn't decode — never failing the operator. The container
-    ships no codecs, so CI and the DuckDB oracle exercise the stub;
-    ``image_loader`` injects a decoder explicitly (tests ship a fake one
-    inside the serialized closure, the worker-safe equivalent of
-    monkeypatching PIL)."""
+    Image rows go through the real decoder (PIL when a worker has it, else
+    the built-in PNG codec) and audio rows through the stdlib ``wave``
+    parser, DEGRADING per row to the deterministic stub when the payload
+    doesn't decode — never failing the operator. ``image_loader`` /
+    ``audio_loader`` inject decoders explicitly (tests ship fakes inside
+    the serialized closure, the worker-safe equivalent of monkeypatching)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        load_image = image_loader if image_loader is not None else _pil_image_loader()
+        load_image = image_loader if image_loader is not None else _real_image_loader()
+        load_audio = audio_loader if audio_loader is not None else _wave_audio_loader()
         for pdf in batches:
             out = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if payload is None:
                     meta = {"width": None, "height": None, "n_frames": None,
                             "sample_rate": None, "duration_ms": None}
-                elif load_image is not None and kind == "image":
+                elif kind == "image":
                     try:
                         meta = load_image(bytes(payload))
                     except Exception:  # undecodable bytes -> stub, not failure
+                        meta = _fake_decode(kind, bytes(payload))
+                elif kind == "audio":
+                    try:
+                        meta = load_audio(bytes(payload))
+                    except Exception:  # non-WAV bytes -> stub, not failure
                         meta = _fake_decode(kind, bytes(payload))
                 else:
                     meta = _fake_decode(kind, bytes(payload))
@@ -219,21 +333,30 @@ def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
     return hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
 
 
-def _pil_image_resizer(width: int, height: int):
-    """Resolve the real resizer at WORKER runtime (see _pil_image_loader):
-    payload-bytes -> resized PNG bytes, or None when PIL is absent."""
+def _real_image_resizer(width: int, height: int):
+    """Resolve the real resizer at WORKER runtime (see _real_image_loader):
+    PIL when importable, else the built-in PNG codec's full
+    decode -> nearest-neighbor -> re-encode pass. Never None; raises on
+    bytes it can't decode (caller stub-degrades that row)."""
     try:
         import io
 
         from PIL import Image
+
+        def resize(payload: bytes) -> bytes:
+            im = Image.open(io.BytesIO(payload)).resize((width, height))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue()
+
+        return resize
     except ImportError:
-        return None
+        pass
+
+    from ..functions.png import resize_png
 
     def resize(payload: bytes) -> bytes:
-        im = Image.open(io.BytesIO(payload)).resize((width, height))
-        buf = io.BytesIO()
-        im.save(buf, format="PNG")
-        return buf.getvalue()
+        return resize_png(payload, width, height)  # raises PngError on non-PNG
 
     return resize
 
@@ -245,21 +368,21 @@ def resize_media(
     out, same Arrow batch plumbing as decode. Non-visual rows (audio) pass
     through with a null payload — resize is undefined for them, and emitting
     the row keeps the operator a 1:1 map (no silent drops). Image rows use
-    the real resizer when available (PIL, resolved per worker), degrading
-    per row to the deterministic stub on undecodable bytes;
-    ``image_resizer`` injects one explicitly (worker-safe test hook)."""
+    the real resizer (PIL when a worker has it, else the built-in PNG
+    codec), degrading per row to the deterministic stub on undecodable
+    bytes; ``image_resizer`` injects one explicitly (worker-safe test hook)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         resize_image = (
             image_resizer if image_resizer is not None
-            else _pil_image_resizer(width, height)
+            else _real_image_resizer(width, height)
         )
         for pdf in batches:
             out = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if payload is None or kind not in ("image", "video"):
                     resized = None
-                elif resize_image is not None and kind == "image":
+                elif kind == "image":
                     try:
                         resized = resize_image(bytes(payload))
                     except Exception:  # undecodable bytes -> stub, not failure

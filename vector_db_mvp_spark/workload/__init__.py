@@ -50,29 +50,22 @@ for _m in _MODULES:
 # Queries whose Spark plan or operator implementation changed this round.
 # They are forced INTO the gate window (priority 2) for re-verification.
 _CHANGED_THIS_ROUND = [
-    # round 13
-    # Weighted-PageRank weight contract hardened (r12 verdict task 4 +
-    # ADVICE): entry guard (raise on w <= 0 / non-integral / NaN-or-NULL
-    # / >= 2^53, the exact integer-in-double bound), per-edge
-    # contribution now rounds AFTER the weight multiply into
-    # DECIMAL(38,12) on both engines (significant digits at any weight
-    # scale; replaces the r12 DECIMAL(9,0) product), duplicate
-    # (src, dst) weighted edges now SUM. 12th-decimal values can move,
-    # and the plan changed — re-verify; the unweighted rank queries
-    # share the module's _rank_rounds, so re-verify them too (r12
-    # precedent).
+    # round 14
+    # decode_media/resize_media codec-resolution chain changed: image rows
+    # now try PIL -> built-in PNG codec (functions/png.py) and audio rows
+    # try stdlib wave, degrading per row to the stub — the utf-8 fixture
+    # family's OUTPUT is unchanged (non-PNG/non-WAV bytes all stub) but
+    # every media plan's worker closure changed, so re-verify.
+    "media_decode",
+    "media_resize",
+    "media_frames",
+    # pagerank weight entry guard: the unreachable isNull aggregate column
+    # was removed (ADVICE r13); ranks are byte-identical but the guard
+    # aggregate in every weighted/unweighted rank plan changed.
     "part_pagerank_weighted",
+    "part_ppr_weighted",
     "supplier_pagerank",
     "supplier_ppr",
-    # LPA hub-cap trim is now two-phase (r12 verdict task 5): hash-
-    # threshold pre-prune before the row_number window. Sample sets are
-    # provably bit-identical (pytest pin) but the capped plan changed.
-    "part_communities_capped",
-    # logistic_newton gained the per-round singular-Hessian freeze
-    # (ADVICE r12): det==0 keeps betas instead of Spark-NULL/DuckDB-inf
-    # divergence. The registered fit never saturates (output unchanged)
-    # but every round's select changed — re-verify.
-    "logistic_return_by_quantity",
 ]
 
 

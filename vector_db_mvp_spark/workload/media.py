@@ -11,11 +11,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
 from ..operators.multimodal import (
     decode_media,
     extract_features,
     media_from_documents,
     media_metadata,
+    media_real_from_documents,
     resize_media,
 )
 from ..sources.testdata import load_table
@@ -149,12 +152,101 @@ FROM documents ORDER BY media_id
 """
 
 
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode (r14): payloads are actual PNG (built by the
+    dependency-free codec, functions/png.py) and actual WAV (stdlib wave)
+    bytes; decode_media must PARSE the containers — CRC-checked IHDR for
+    images, RIFF/WAVE header for audio — to produce metadata the oracle
+    predicts arithmetically from the generation parameters. A fake decode
+    cannot hash-match this instance."""
+    media = media_real_from_documents(load_table(spark, sf_dir, "documents"))
+    return decode_media(media).orderBy("media_id")
+
+
+SQL_MEDIA_DECODE_REAL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 24 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 6 + (doc_id * 7) % 20 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+            ELSE 400 + (doc_id * 13) % 1000 END AS INTEGER) AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 * (1 + doc_id % 4) END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1
+            THEN ((400 + (doc_id * 13) % 1000) * 1000) // (8000 * (1 + doc_id % 4))
+            END AS INTEGER) AS duration_ms
+FROM documents ORDER BY media_id
+"""
+
+
+_CORNER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("corner_r", IntegerType(), False),
+        StructField("corner_g", IntegerType(), False),
+        StructField("corner_b", IntegerType(), False),
+    ]
+)
+
+
+def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec resize round-trip (r14): real PNGs -> resize_media (full
+    decode -> nearest-neighbor -> re-encode, functions/png.py) -> decode the
+    RESIZED payload and emit the bottom-right pixel of the 5x4 thumbnail.
+    Nearest-neighbor maps target (x, y) to source (x*W//5, y*H//4) and the
+    source gradient is pixel(x,y,c) = (x*3 + y*5 + c*7 + id) % 256, so the
+    oracle computes the exact corner RGB arithmetically — the whole
+    encode/resample/re-encode/decode chain must be bit-correct to match."""
+
+    def _corner(batches):
+        import pandas as _pd
+
+        from ..functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, pix = decode_png(bytes(payload))
+                off = ((h - 1) * w + (w - 1)) * ch
+                rows.append(
+                    {"media_id": int(mid), "corner_r": int(pix[off]),
+                     "corner_g": int(pix[off + 1]), "corner_b": int(pix[off + 2])}
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in _CORNER_SCHEMA.fields])
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "image")
+    resized = resize_media(media, width=5, height=4)
+    return (
+        resized.select("media_id", "payload")
+        .mapInPandas(_corner, schema=_CORNER_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+SQL_MEDIA_RESIZE_REAL = """
+WITH g AS (
+  SELECT doc_id,
+         (4 * (8 + doc_id % 24)) // 5 AS sx,
+         (3 * (6 + (doc_id * 7) % 20)) // 4 AS sy
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id AS media_id,
+       CAST((sx * 3 + sy * 5 + doc_id) % 256 AS INTEGER) AS corner_r,
+       CAST((sx * 3 + sy * 5 + 7 + doc_id) % 256 AS INTEGER) AS corner_g,
+       CAST((sx * 3 + sy * 5 + 14 + doc_id) % 256 AS INTEGER) AS corner_b
+FROM g ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
+    "media_decode_real": q_media_decode_real,
+    "media_resize_real": q_media_resize_real,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -163,4 +255,6 @@ ORACLE_SQL: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,
+    "media_decode_real": SQL_MEDIA_DECODE_REAL,
+    "media_resize_real": SQL_MEDIA_RESIZE_REAL,
 }
