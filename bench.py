@@ -173,6 +173,12 @@ HEADLINE = [
     "part_ppr_weighted",
     "logistic_return_by_discount",
     "logistic_return_qty_discount",
+    # round 14 — the real-codec multimodal legs (Arrow-batched mapInPandas
+    # building + parsing actual PNG/WAV containers; the only all-Python
+    # hot path in the bench, which is exactly why it's measured)
+    "media_decode_real",
+    "media_resize_real",
+    "media_video_real",
 ]
 
 

@@ -235,3 +235,38 @@ def test_undecodable_bytes_degrade_to_stub_not_failure(spark, sf_dir):
             assert r["width"] >= 160 and r["width"] % 80 == 0
         elif r["kind"] == "audio":
             assert r["sample_rate"] % 8000 == 0
+
+
+def test_real_gif_video_decode_and_frame_sampling(spark, sf_dir):
+    """decode_media on ACTUAL multi-frame GIF payloads parses frame count
+    and summed Graphic Control delays from the container structure, and
+    sample_frames consumes the real n_frames."""
+    from vector_db_mvp_spark.operators.multimodal import (
+        media_real_from_documents,
+        sample_frames,
+    )
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "video").limit(30)
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert rows
+    for r in rows:
+        mid = r["media_id"]
+        nf = 2 + mid % 7
+        assert r["width"] == 4 + mid % 8
+        assert r["height"] == 3 + mid % 6
+        assert r["n_frames"] == nf
+        assert r["duration_ms"] == nf * (3 + mid % 5) * 10
+        assert r["sample_rate"] is None
+    sampled = {
+        (r["media_id"], r["frame_index"])
+        for r in sample_frames(decoded, stride=3).collect()
+    }
+    expect = {
+        (r["media_id"], f)
+        for r in rows
+        for f in range(0, r["n_frames"], 3)
+    }
+    assert sampled == expect

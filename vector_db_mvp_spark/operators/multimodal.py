@@ -14,7 +14,11 @@ pip/PIL remains uninstallable in this sandbox, `.claude/probe_r14_pip.json`):
   decode → nearest-neighbor → re-encode pass.
 - **audio**: stdlib ``wave`` (real RIFF/WAVE parse: sample rate, frame
   count, exact integer duration) → per-row stub for non-WAV bytes.
-- **video**: stub only (no stdlib container parser; documented gap).
+- **video**: real GIF container parse (``functions/gif.py`` — block-
+  structure walk: frame count from image descriptors, duration from
+  summed Graphic Control delays) → per-row stub for non-GIF bytes. GIF
+  is the one multi-frame animated container parseable from the stdlib;
+  other containers (mp4/webm) still stub.
 
 The Spark-side plumbing — binary schema, Arrow batch transfer through
 ``mapInPandas``, partition behavior, output schema — is identical on every
@@ -74,40 +78,47 @@ MEDIA_SCHEMA = StructType(
 
 
 def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """REAL-codec media fixture: even ids become actual PNG images (built by
-    ``functions/png.encode_png`` over a deterministic integer gradient), odd
-    ids actual 16-bit mono WAV audio (stdlib ``wave``). Geometry / sample
-    rate / frame count are integer functions of the id:
+    """REAL-codec media fixture, id % 3 split: actual PNG images (built by
+    ``functions/png.encode_png`` over a deterministic integer gradient),
+    actual 16-bit mono WAV audio (stdlib ``wave``), and actual multi-frame
+    GIF89a video (``functions/gif.encode_gif``). Every decoded-metadata
+    value is an integer function of the id:
 
-        image: width = 8 + id % 24, height = 6 + (id*7) % 20,
-               pixel(x, y, c) = (x*3 + y*5 + c*7 + id) % 256
-        audio: rate = 8000 * (1 + id % 4), frames = 400 + (id*13) % 1000
+        image (id%3=0): width = 8 + id % 24, height = 6 + (id*7) % 20,
+                        pixel(x, y, c) = (x*3 + y*5 + c*7 + id) % 256
+        audio (id%3=1): rate = 8000 * (1 + id % 4),
+                        frames = 400 + (id*13) % 1000
+        video (id%3=2): width = 4 + id % 8, height = 3 + id % 6,
+                        n_frames = 2 + id % 7, per-frame delay
+                        (3 + id % 5) cs, frame f pixel i =
+                        (i*37 + f*11 + id) % 256
 
-    so a SQL oracle predicts every decoded-metadata value arithmetically
-    while the Spark side must actually PARSE the container bytes — a fake
-    decode cannot match. Built worker-side in Arrow batches (numpy fills
-    the sample buffers; zlib does the DEFLATE) — no driver loop."""
+    so a SQL oracle predicts every value arithmetically while the Spark
+    side must actually PARSE the container bytes — a fake decode cannot
+    match. Built worker-side in Arrow batches (numpy fills the sample
+    buffers; zlib does the DEFLATE) — no driver loop."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
         import wave
 
+        from ..functions.gif import encode_gif
         from ..functions.png import encode_png
 
         for pdf in batches:
             rows = []
             for media_id in pdf["media_id"]:
                 mid = int(media_id)
-                if mid % 2 == 0:
+                if mid % 3 == 0:
                     w = 8 + mid % 24
                     h = 6 + (mid * 7) % 20
                     idx = np.arange(w * h * 3, dtype=np.int64)
                     x, c = (idx // 3) % w, idx % 3
                     y = idx // (3 * w)
                     pix = ((x * 3 + y * 5 + c * 7 + mid) % 256).astype(np.uint8)
-                    payload = encode_png(w, h, pix.tobytes())
-                    rows.append({"media_id": mid, "kind": "image", "payload": payload})
-                else:
+                    rows.append({"media_id": mid, "kind": "image",
+                                 "payload": encode_png(w, h, pix.tobytes())})
+                elif mid % 3 == 1:
                     rate = 8000 * (1 + mid % 4)
                     n = 400 + (mid * 13) % 1000
                     samples = (
@@ -119,7 +130,18 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
                         wf.setsampwidth(2)
                         wf.setframerate(rate)
                         wf.writeframes(samples.tobytes())
-                    rows.append({"media_id": mid, "kind": "audio", "payload": buf.getvalue()})
+                    rows.append({"media_id": mid, "kind": "audio",
+                                 "payload": buf.getvalue()})
+                else:
+                    w, h = 4 + mid % 8, 3 + mid % 6
+                    idx = np.arange(w * h, dtype=np.int64)
+                    frames = [
+                        ((idx * 37 + f * 11 + mid) % 256).astype(np.uint8).tobytes()
+                        for f in range(2 + mid % 7)
+                    ]
+                    rows.append({"media_id": mid, "kind": "video",
+                                 "payload": encode_gif(w, h, frames,
+                                                       delay_cs=3 + mid % 5)})
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return df.select(F.col(id_col).alias("media_id")).mapInPandas(
@@ -229,37 +251,55 @@ def _wave_audio_loader():
     return load
 
 
-def decode_media(df: DataFrame, *, image_loader=None, audio_loader=None) -> DataFrame:
+def _gif_video_loader():
+    """Real video-container decode via the built-in GIF parser
+    (functions/gif.py): frame count from image descriptors, duration from
+    summed Graphic Control delays. Raises on non-GIF bytes; the caller
+    degrades that row to the stub."""
+    from ..functions.gif import gif_info
+
+    def load(payload: bytes) -> dict:
+        w, h, n_frames, duration_ms = gif_info(payload)
+        return {"width": w, "height": h, "n_frames": n_frames,
+                "sample_rate": None, "duration_ms": duration_ms}
+
+    return load
+
+
+def decode_media(
+    df: DataFrame, *, image_loader=None, audio_loader=None, video_loader=None
+) -> DataFrame:
     """mapInPandas decode: Arrow-batched bytes -> typed metadata rows.
 
     Image rows go through the real decoder (PIL when a worker has it, else
-    the built-in PNG codec) and audio rows through the stdlib ``wave``
-    parser, DEGRADING per row to the deterministic stub when the payload
-    doesn't decode — never failing the operator. ``image_loader`` /
-    ``audio_loader`` inject decoders explicitly (tests ship fakes inside
-    the serialized closure, the worker-safe equivalent of monkeypatching)."""
+    the built-in PNG codec), audio rows through the stdlib ``wave`` parser,
+    and video rows through the built-in GIF container parser, DEGRADING per
+    row to the deterministic stub when the payload doesn't decode — never
+    failing the operator. The ``*_loader`` kwargs inject decoders
+    explicitly (tests ship fakes inside the serialized closure, the
+    worker-safe equivalent of monkeypatching)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        load_image = image_loader if image_loader is not None else _real_image_loader()
-        load_audio = audio_loader if audio_loader is not None else _wave_audio_loader()
+        loaders = {
+            "image": image_loader if image_loader is not None else _real_image_loader(),
+            "audio": audio_loader if audio_loader is not None else _wave_audio_loader(),
+            "video": video_loader if video_loader is not None else _gif_video_loader(),
+        }
         for pdf in batches:
             out = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if payload is None:
                     meta = {"width": None, "height": None, "n_frames": None,
                             "sample_rate": None, "duration_ms": None}
-                elif kind == "image":
-                    try:
-                        meta = load_image(bytes(payload))
-                    except Exception:  # undecodable bytes -> stub, not failure
-                        meta = _fake_decode(kind, bytes(payload))
-                elif kind == "audio":
-                    try:
-                        meta = load_audio(bytes(payload))
-                    except Exception:  # non-WAV bytes -> stub, not failure
-                        meta = _fake_decode(kind, bytes(payload))
                 else:
-                    meta = _fake_decode(kind, bytes(payload))
+                    load = loaders.get(kind)
+                    if load is not None:
+                        try:
+                            meta = load(bytes(payload))
+                        except Exception:  # undecodable bytes -> stub, not failure
+                            meta = _fake_decode(kind, bytes(payload))
+                    else:
+                        meta = _fake_decode(kind, bytes(payload))
                 out.append({"media_id": media_id, "kind": kind, **meta})
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 

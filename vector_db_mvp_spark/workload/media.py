@@ -153,10 +153,11 @@ FROM documents ORDER BY media_id
 
 
 def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-codec decode (r14): payloads are actual PNG (built by the
-    dependency-free codec, functions/png.py) and actual WAV (stdlib wave)
-    bytes; decode_media must PARSE the containers — CRC-checked IHDR for
-    images, RIFF/WAVE header for audio — to produce metadata the oracle
+    """REAL-codec decode (r14): payloads are actual PNG (dependency-free
+    codec, functions/png.py), actual WAV (stdlib wave), and actual
+    multi-frame GIF89a (functions/gif.py) bytes; decode_media must PARSE
+    the containers — CRC-checked IHDR for images, RIFF/WAVE header for
+    audio, block-structure walk for video — to produce metadata the oracle
     predicts arithmetically from the generation parameters. A fake decode
     cannot hash-match this instance."""
     media = media_real_from_documents(load_table(spark, sf_dir, "documents"))
@@ -165,14 +166,19 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_DECODE_REAL = """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 24 END AS INTEGER) AS width,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 6 + (doc_id * 7) % 20 END AS INTEGER) AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
-            ELSE 400 + (doc_id * 13) % 1000 END AS INTEGER) AS n_frames,
-       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 * (1 + doc_id % 4) END AS INTEGER) AS sample_rate,
-       CAST(CASE WHEN doc_id % 2 = 1
+       (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 24
+                 WHEN doc_id % 3 = 2 THEN 4 + doc_id % 8 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 6 + (doc_id * 7) % 20
+                 WHEN doc_id % 3 = 2 THEN 3 + doc_id % 6 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 WHEN doc_id % 3 = 1 THEN 400 + (doc_id * 13) % 1000
+                 ELSE 2 + doc_id % 7 END AS INTEGER) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 4) END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 1
             THEN ((400 + (doc_id * 13) % 1000) * 1000) // (8000 * (1 + doc_id % 4))
+            WHEN doc_id % 3 = 2
+            THEN (2 + doc_id % 7) * (3 + doc_id % 5) * 10
             END AS INTEGER) AS duration_ms
 FROM documents ORDER BY media_id
 """
@@ -229,13 +235,43 @@ WITH g AS (
   SELECT doc_id,
          (4 * (8 + doc_id % 24)) // 5 AS sx,
          (3 * (6 + (doc_id * 7) % 20)) // 4 AS sy
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 3 = 0
 )
 SELECT doc_id AS media_id,
        CAST((sx * 3 + sy * 5 + doc_id) % 256 AS INTEGER) AS corner_r,
        CAST((sx * 3 + sy * 5 + 7 + doc_id) % 256 AS INTEGER) AS corner_g,
        CAST((sx * 3 + sy * 5 + 14 + doc_id) % 256 AS INTEGER) AS corner_b
 FROM g ORDER BY media_id
+"""
+
+
+def q_media_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container leg (r14): actual multi-frame GIF89a payloads
+    (functions/gif.py) -> decode_media parses the block structure (frame
+    count from image descriptors, duration from Graphic Control delays)
+    -> sample_frames explodes every 3rd frame. The oracle predicts the
+    sampled frame indices arithmetically from the generation parameters —
+    a stubbed frame count cannot match."""
+    from ..operators.multimodal import sample_frames
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "video")
+    return (
+        sample_frames(decode_media(media), stride=3)
+        .select("media_id", "frame_index")
+        .orderBy("media_id", "frame_index")
+    )
+
+
+SQL_MEDIA_VIDEO_REAL = """
+WITH v AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 7 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(f AS INTEGER) AS frame_index
+FROM v, LATERAL (SELECT unnest(range(0, nf, 3)) AS f)
+ORDER BY media_id, frame_index
 """
 
 
@@ -247,6 +283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_decode_real": q_media_decode_real,
     "media_resize_real": q_media_resize_real,
+    "media_video_real": q_media_video_real,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -257,4 +294,5 @@ ORACLE_SQL: dict[str, str] = {
     "media_frames": SQL_MEDIA_FRAMES,
     "media_decode_real": SQL_MEDIA_DECODE_REAL,
     "media_resize_real": SQL_MEDIA_RESIZE_REAL,
+    "media_video_real": SQL_MEDIA_VIDEO_REAL,
 }
