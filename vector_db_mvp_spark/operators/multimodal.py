@@ -96,7 +96,15 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
     so a SQL oracle predicts every value arithmetically while the Spark
     side must actually PARSE the container bytes — a fake decode cannot
     match. Built worker-side in Arrow batches (numpy fills the sample
-    buffers; zlib does the DEFLATE) — no driver loop."""
+    buffers; zlib does the DEFLATE) — no driver loop.
+
+    The id frame is explicitly repartitioned to the session's default
+    parallelism before the build: the upstream parquet split count (2
+    files at sf1) would otherwise cap the CPU-heavy codec stage at 2
+    tasks, and the shuffle being spread is just a column of longs —
+    effectively free. Explicit COUNT, not repartition(col): a keyed
+    repartition without a count is AQE-coalescible back to one partition
+    on small byte sizes (the _spread_tokens lesson, operators/dedup.py)."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -144,9 +152,10 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
                                                        delay_cs=3 + mid % 5)})
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
-        _build, schema=MEDIA_SCHEMA
+    ids = df.select(F.col(id_col).alias("media_id")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
+    return ids.mapInPandas(_build, schema=MEDIA_SCHEMA)
 
 
 def media_metadata(df: DataFrame) -> DataFrame:
