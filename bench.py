@@ -179,6 +179,7 @@ HEADLINE = [
     "media_decode_real",
     "media_resize_real",
     "media_video_real",
+    "media_pixel_stats",
 ]
 
 

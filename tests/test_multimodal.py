@@ -270,3 +270,23 @@ def test_real_gif_video_decode_and_frame_sampling(spark, sf_dir):
         for f in range(0, r["n_frames"], 3)
     }
     assert sampled == expect
+
+
+def test_pixel_stats_sufficient_statistics(spark, sf_dir):
+    """media_pixel_stats fully decodes the PNG (inflate + unfilter) and
+    aggregates raw samples; the exact integer sums must equal a direct
+    recomputation of the generation gradient."""
+    from vector_db_mvp_spark.workload.media import q_media_pixel_stats
+
+    rows = q_media_pixel_stats(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        mid = r["media_id"]
+        w, h = 8 + mid % 24, 6 + (mid * 7) % 20
+        vals = [
+            (x * 3 + y * 5 + c * 7 + mid) % 256
+            for y in range(h) for x in range(w) for c in range(3)
+        ]
+        assert r["n_samples"] == len(vals)
+        assert r["pixel_sum"] == sum(vals)
+        assert r["pixel_sq_sum"] == sum(v * v for v in vals)

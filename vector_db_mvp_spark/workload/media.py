@@ -275,6 +275,70 @@ ORDER BY media_id, frame_index
 """
 
 
+_PIXSTATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("pixel_sum", LongType(), False),
+        StructField("pixel_sq_sum", LongType(), False),
+    ]
+)
+
+
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-consuming feature stage (r14): fully decode each PNG
+    (inflate + unfilter, functions/png.py) and aggregate the raw samples —
+    exact integer sum and sum-of-squares per image, the sufficient
+    statistics for mean/variance features. Emitted as exact integers so
+    both engines agree bit-for-bit (no float fold order); the oracle
+    regenerates the gradient arithmetically with a LATERAL range. This is
+    the leg the stub embedder never exercised: bytes -> pixels -> numbers."""
+
+    def _stats(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from ..functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, pix = decode_png(bytes(payload))
+                arr = _np.frombuffer(pix, dtype=_np.uint8).astype(_np.int64)
+                rows.append(
+                    {"media_id": int(mid), "n_samples": int(arr.size),
+                     "pixel_sum": int(arr.sum()),
+                     "pixel_sq_sum": int((arr * arr).sum())}
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in _PIXSTATS_SCHEMA.fields])
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "image")
+    return (
+        media.select("media_id", "payload")
+        .mapInPandas(_stats, schema=_PIXSTATS_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+SQL_MEDIA_PIXEL_STATS = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 24 AS w, 6 + (doc_id * 7) % 20 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT doc_id, w, h,
+         ((i // 3) % w) * 3 + (i // (3 * w)) * 5 + (i % 3) * 7 + doc_id AS raw
+  FROM g, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i)
+)
+SELECT doc_id AS media_id,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(raw % 256) AS BIGINT) AS pixel_sum,
+       CAST(SUM((raw % 256) * (raw % 256)) AS BIGINT) AS pixel_sq_sum
+FROM px GROUP BY doc_id, w, h ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
@@ -284,6 +348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_real": q_media_decode_real,
     "media_resize_real": q_media_resize_real,
     "media_video_real": q_media_video_real,
+    "media_pixel_stats": q_media_pixel_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -295,4 +360,5 @@ ORACLE_SQL: dict[str, str] = {
     "media_decode_real": SQL_MEDIA_DECODE_REAL,
     "media_resize_real": SQL_MEDIA_RESIZE_REAL,
     "media_video_real": SQL_MEDIA_VIDEO_REAL,
+    "media_pixel_stats": SQL_MEDIA_PIXEL_STATS,
 }
