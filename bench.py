@@ -232,11 +232,14 @@ def _write_round_record(detail: dict, root: str | None = None) -> None:
         anchor = {}
 
     sess = detail.get("session_env", {})
+    midx = sess.get("machine_index", {})
     sess_txt = (
         "Session at record time: machine uptime"
         f" {sess.get('machine_uptime_s', '?')} s, loadavg(1m)"
         f" {sess.get('loadavg_1m', '?')}, prior bench runs this boot"
-        f" {sess.get('prior_bench_runs_this_boot', '?')}."
+        f" {sess.get('prior_bench_runs_this_boot', '?')}, machine index"
+        f" jvm {midx.get('jvm_arith_sec', '?')} s / py"
+        f" {midx.get('py_loop_sec', '?')} s."
         " (Protocol, binding since r13: the authoritative record run is"
         " the FIRST heavy workload of its session — this stamp makes"
         " violations self-documenting.)"
@@ -395,6 +398,51 @@ def main() -> None:
         return None
 
     metaspace = {"start": _metaspace_mb()}
+
+    # Machine-speed index (r14): the r13/r14 adjudications proved uniform
+    # 1.2-1.9x swings on identical code driven by machine state (boot age),
+    # each costing a probe fleet to attribute. Two fixed pure-compute
+    # workloads — a JVM whole-stage-codegen arithmetic scan over all slots
+    # and a single-thread Python loop, no IO, no shuffle — recorded at
+    # session start turn that attribution into a lookup: if a round's
+    # canary ratios move together WITH the index, it's the machine; if a
+    # query moves alone against a steady index, it's the plan.
+    def _machine_index() -> dict:
+        s = 0
+        t0 = time.perf_counter()
+        for i in range(3_000_000):
+            s += i * i
+        py = time.perf_counter() - t0
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 2 + 1)"
+            ).collect()
+            vals.append(time.perf_counter() - t0)
+        # IO leg: a fixed full scan of the benched lineitem parquet.
+        # Known limits (r14 same-day capture): on the machine whose full
+        # bench read uniformly 1.2-1.7x high, BOTH legs read normal
+        # (jvm 0.33 s, warm scan 0.30 s) — the inflation only appears
+        # under the bench's concurrent task pressure. So the index
+        # attributes by EXCLUSION: a high index = machine slow at rest
+        # (strongest evidence); a normal index with uniform canary drift
+        # = contention-state inflation (the r13/r14 class); a normal
+        # index with a single drifting canary = the plan.
+        svals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.read.parquet(
+                os.path.join(sf_dir, "lineitem.parquet")
+            ).selectExpr("sum(l_quantity)").collect()
+            svals.append(time.perf_counter() - t0)
+        return {
+            "py_loop_sec": round(py, 4),
+            "jvm_arith_sec": round(sorted(vals)[1], 4),
+            "scan_sec": round(sorted(svals)[1], 4),
+        }
+
+    session_env["machine_index"] = _machine_index()
 
     # Warm-up (JMH-style): parquet footers for every benched table, then one
     # pass of each headline query at the smallest SF. Whole-stage codegen
