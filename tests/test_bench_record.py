@@ -112,3 +112,58 @@ def test_missing_anchor_writes_sane_line(tmp_path):
     _, block = _block(root)
     assert "n/a (no anchor entries)" in block
     assert "None" not in block
+
+
+def test_round_marker_overrides_artifact_count(tmp_path):
+    """ADVICE r13: once the round's own BENCH_r{N}.json lands mid-round,
+    max+1 would mislabel subsequent runs; the explicit round marker wins."""
+    root = _setup(tmp_path)
+    (tmp_path / ".claude" / "round_marker").write_text("2\n")
+    _write_round_record(dict(_DETAIL), root=root)
+    # marker says 2 even though BENCH_r02.json exists (count would say 3)
+    assert _block(root, rnd=2)[1] is not None
+
+
+def test_session_stamp_and_machine_index_in_record(tmp_path):
+    """r13 verdict finding #1: the record-run-first rule must be
+    verifiable from the artifact — uptime/load/prior-runs/machine-index
+    are emitted into the record block."""
+    root = _setup(tmp_path)
+    d = dict(_DETAIL)
+    d["session_env"] = {
+        "machine_uptime_s": 1234.5,
+        "loadavg_1m": 0.42,
+        "prior_bench_runs_this_boot": 7,
+        "machine_index": {"jvm_arith_sec": 0.33, "py_loop_sec": 0.41,
+                          "scan_sec": 0.30},
+    }
+    _write_round_record(d, root=root)
+    block = _block(root)[1]
+    assert "uptime 1234.5 s" in block
+    assert "prior bench runs this boot 7" in block
+    assert "machine index jvm 0.33" in block
+
+
+def test_batched_canary_uses_sec_batch_else_flags_cross_protocol(tmp_path):
+    """ADVICE r13: batch-mean samples compare against the batch-protocol
+    anchor when present; a batch-vs-single fallback is visibly labeled
+    (its ratio is biased low)."""
+    anchor = {
+        "q_a": {"sec": 1.0},
+        "q_b": {"sec": 0.25, "sec_batch": 0.29},
+    }
+    root = _setup(tmp_path, anchor=anchor)
+    _write_round_record(dict(_DETAIL), root=root)
+    block = _block(root)[1]
+    # q_b (batched, median 0.30) ratios against sec_batch 0.29 -> 1.03x
+    row = next(ln for ln in block.splitlines() if ln.startswith("| q_b "))
+    assert "(batch)" in row and "1.03x" in row
+    # without sec_batch the same row is flagged cross-protocol vs sec
+    sub = tmp_path / "b"
+    sub.mkdir()
+    root2 = _setup(sub, anchor={"q_b": {"sec": 0.25}})
+    _write_round_record(dict(_DETAIL), root=root2)
+    row2 = next(
+        ln for ln in _block(root2)[1].splitlines() if ln.startswith("| q_b ")
+    )
+    assert "cross-protocol" in row2
