@@ -291,3 +291,65 @@ def test_newton2_recovers_both_directions(spark):
         .collect()[-1]
     )
     assert fit.b1 > 0 > fit.b2
+
+
+# ---- r14: Poisson leg (log link, count response) -----------------------
+
+
+def _pgrouped(spark, rows):
+    return spark.createDataFrame(rows, "x double, n long, y_sum long")
+
+
+def test_poisson_recovers_saturated_two_point_fit(spark):
+    """With exactly two x values the Poisson GLM is saturated: the fitted
+    means equal the group means, so b1 = (ln m2 - ln m1)/(x2 - x1) in
+    closed form. Newton from the ln-mean init must land there."""
+    import math
+
+    from vector_db_mvp_spark.operators.logit import poisson_newton
+
+    rows = [(0.0, 100, 1200), (1.0, 80, 2400)]  # means 12 and 30
+    last = (
+        poisson_newton(_pgrouped(spark, rows), 5)
+        .orderBy("round")
+        .collect()[-1]
+    )
+    b1_true = math.log(30.0) - math.log(12.0)
+    b0_true = math.log(12.0)
+    assert last.b1 == pytest.approx(b1_true, abs=1e-4)
+    assert last.b0 == pytest.approx(b0_true, abs=1e-4)
+
+
+def test_poisson_sql_mirror_matches_spark(spark):
+    import duckdb
+
+    from vector_db_mvp_spark.operators.logit import (
+        poisson_newton,
+        sql_poisson_newton,
+    )
+
+    rows = [(0.0, 50, 600), (0.05, 40, 700), (0.1, 30, 800), (0.2, 20, 900)]
+    got = [
+        (r.round, r.b0, r.b1)
+        for r in poisson_newton(_pgrouped(spark, rows), 4)
+        .orderBy("round")
+        .collect()
+    ]
+    vals = ", ".join(f"({x}, {n}, {y})" for x, n, y in rows)
+    cte = f"SELECT * FROM (VALUES {vals}) AS t(x, n, y_sum)"
+    sql = sql_poisson_newton(cte, 4) + " ORDER BY round"
+    oracle = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert len(got) == len(oracle) == 4
+    for (ra, b0a, b1a), (rb, b0b, b1b) in zip(got, oracle):
+        assert ra == rb
+        assert b0a == pytest.approx(b0b, abs=2e-6)
+        assert b1a == pytest.approx(b1b, abs=2e-6)
+
+
+def test_poisson_entry_guards(spark):
+    from vector_db_mvp_spark.operators.logit import poisson_newton
+
+    with pytest.raises(ValueError, match="rounds"):
+        poisson_newton(_pgrouped(spark, [(0.0, 5, 10), (1.0, 5, 20)]), 0)
+    with pytest.raises(ValueError, match="distinct x"):
+        poisson_newton(_pgrouped(spark, [(2.0, 5, 10), (2.0, 7, 30)]), 2)

@@ -380,3 +380,144 @@ def sql_logistic_newton2(grouped_cte: str, rounds: int) -> str:
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def poisson_newton(grouped: DataFrame, rounds: int) -> DataFrame:
+    """Fixed-round Newton Poisson regression (log link) — the count-GLM
+    member of the family: y ~ Poisson(mu), mu = exp(b0 + b1*x). ``grouped``
+    is the saturated domain: one row per distinct x with columns
+    (x double, n long [rows at x], y_sum long [sum of counts at x]).
+    Returns one row per round: (round, b0, b1), betas rounded to 6
+    (12 kept internally).
+
+    Same exactness contract as :func:`logistic_newton`: mu pins to 12
+    decimals from round-12 betas, the five gradient/Hessian terms round
+    to 6 and sum as DECIMAL(38,6) (partition-order-independent), the 2x2
+    solve is one fixed-order IEEE double sequence, det == 0.0 freezes
+    (Poisson's Hessian sums n*mu — it degenerates only if every mu pins
+    to 0, i.e. the fit diverged to -inf; freezing keeps the last finite
+    betas instead of NULL-vs-inf engine divergence). Entry guard: >= 2
+    distinct x, like the logistic leg (1-point domain -> singular).
+
+    Initialization is b0 = round(ln(mean y), 12), b1 = 0 — NOT (0, 0):
+    a cold start puts mu = 1 against a mean of ~25, and the first Newton
+    step overshoots b0 by ~ln-scale 20+, after which recovery is ~1 unit
+    per round (exp overshoot). The mean is an exact integer-in-double
+    ratio of domain-frame sums, so the init is engine-identical."""
+    if rounds < 1:
+        raise ValueError("poisson_newton: rounds must be >= 1")
+    g = grouped.select(
+        F.col("x").cast("double").alias("x"),
+        F.col("n").cast("double").alias("n"),
+        F.col("y_sum").cast("double").alias("y1"),
+    ).localCheckpoint(eager=True)
+    # Distinct-x count, not row count: the contract says grouped input,
+    # but a duplicated-x frame would silently produce a singular Hessian
+    # too — guard on the real condition (domain-sized scan either way).
+    if g.select("x").distinct().count() < 2:
+        raise ValueError(
+            "poisson_newton: need >= 2 distinct x values (singular Hessian)"
+        )
+
+    beta = g.agg(
+        F.round(F.log(F.sum("y1") / F.sum("n")), 12).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        t = g.crossJoin(F.broadcast(beta))
+        mu = F.round(F.exp(F.col("b0") + F.col("b1") * F.col("x")), 12)
+        t = t.withColumn("mu", mu)
+        w = F.col("n") * F.col("mu")  # Var = mean: the IRLS weight IS mu
+        resid = F.col("y1") - F.col("n") * F.col("mu")
+        sums = t.agg(
+            F.sum(F.round(resid, 6).cast(D386)).alias("g0"),
+            F.sum(F.round(F.col("x") * resid, 6).cast(D386)).alias("g1"),
+            F.sum(F.round(w, 6).cast(D386)).alias("h00"),
+            F.sum(F.round(w * F.col("x"), 6).cast(D386)).alias("h01"),
+            F.sum(F.round(w * F.col("x") * F.col("x"), 6).cast(D386)).alias(
+                "h11"
+            ),
+        )
+        g0, g1 = F.col("g0").cast("double"), F.col("g1").cast("double")
+        h00, h01 = F.col("h00").cast("double"), F.col("h01").cast("double")
+        h11 = F.col("h11").cast("double")
+        det = h00 * h11 - h01 * h01
+        frozen = F.col("det_") == F.lit(0.0)
+        nb = (
+            sums.crossJoin(F.broadcast(beta))
+            .withColumn("det_", det)
+            .select(
+                F.when(frozen, F.col("b0"))
+                .otherwise(
+                    F.round(
+                        F.col("b0") + (h11 * g0 - h01 * g1) / F.col("det_"),
+                        12,
+                    )
+                )
+                .alias("b0"),
+                F.when(frozen, F.col("b1"))
+                .otherwise(
+                    F.round(
+                        F.col("b1") + (h00 * g1 - h01 * g0) / F.col("det_"),
+                        12,
+                    )
+                )
+                .alias("b1"),
+            )
+        )
+        beta = nb.localCheckpoint(eager=True)
+        step = beta.select(
+            F.lit(r).cast("int").alias("round"),
+            F.round("b0", 6).alias("b0"),
+            F.round("b1", 6).alias("b1"),
+        )
+        out = step if out is None else out.unionAll(step)
+    return out
+
+
+def sql_poisson_newton(grouped_cte: str, rounds: int) -> str:
+    """DuckDB unrolled mirror of :func:`poisson_newton`;
+    ``grouped_cte`` must yield (x, n, y_sum)."""
+    parts = [
+        f"""gd AS MATERIALIZED (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(n AS DOUBLE) AS n,
+         CAST(y_sum AS DOUBLE) AS y1
+  FROM ({grouped_cte}))""",
+        "b0_ AS (SELECT round(ln(SUM(y1) / SUM(n)), 12) AS b0,"
+        " 0.0::DOUBLE AS b1 FROM gd)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT SUM(CAST(round(y1 - n * mu, 6) AS DECIMAL(38,6))) AS g0,
+         SUM(CAST(round(x * (y1 - n * mu), 6) AS DECIMAL(38,6))) AS g1,
+         SUM(CAST(round(n * mu, 6) AS DECIMAL(38,6))) AS h00,
+         SUM(CAST(round(n * mu * x, 6) AS DECIMAL(38,6))) AS h01,
+         SUM(CAST(round(n * mu * x * x, 6) AS DECIMAL(38,6))) AS h11
+  FROM (SELECT g.*, round(exp(b.b0 + b.b1 * g.x), 12) AS mu
+        FROM gd g CROSS JOIN b{p}_ b))""",
+        )
+        parts.append(
+            f"""d{r}_ AS (
+  SELECT CAST(s.g0 AS DOUBLE) AS g0, CAST(s.g1 AS DOUBLE) AS g1,
+         CAST(s.h00 AS DOUBLE) AS h00, CAST(s.h01 AS DOUBLE) AS h01,
+         CAST(s.h11 AS DOUBLE) AS h11, b.b0, b.b1,
+         CAST(s.h00 AS DOUBLE) * CAST(s.h11 AS DOUBLE)
+           - CAST(s.h01 AS DOUBLE) * CAST(s.h01 AS DOUBLE) AS det
+  FROM s{r} s CROSS JOIN b{p}_ b)""",
+        )
+        parts.append(
+            f"""b{r}_ AS MATERIALIZED (
+  SELECT CASE WHEN det = 0.0 THEN b0
+         ELSE round(b0 + (h11 * g0 - h01 * g1) / det, 12) END AS b0,
+         CASE WHEN det = 0.0 THEN b1
+         ELSE round(b1 + (h00 * g1 - h01 * g0) / det, 12) END AS b1
+  FROM d{r}_)""",
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, round(b0, 6) AS b0, round(b1, 6) AS b1 FROM b{r}_"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects

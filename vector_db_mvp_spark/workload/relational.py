@@ -8244,6 +8244,43 @@ QUERIES["logistic_return_qty_discount"] = q_logistic_return_qty_discount
 ORACLE_SQL["logistic_return_qty_discount"] = _sql_logistic_return_qty_discount()
 
 
+def q_poisson_quantity_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth GLM family member (r14): COUNT response — l_quantity as a
+    Poisson regression (log link) on l_discount, fitted with 4 synchronous
+    Newton rounds (operators/logit.py poisson_newton). The discount domain
+    saturates at 11 values, so every round after the corpus collapse is
+    domain-frame-only; mu pins to 12 decimals, term sums are exact
+    DECIMAL(38,6), init is b0 = ln(mean quantity) (engine-identical exact
+    ratio), and the 2x2 solve is the same IEEE sequence as the logistic
+    legs."""
+    from ..operators.logit import poisson_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(
+        F.col("l_discount").cast("double").alias("x")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("y_sum"),
+    )
+    return poisson_newton(grouped, _LOGIT_ROUNDS).orderBy("round")
+
+
+def _sql_poisson_quantity_by_discount() -> str:
+    from ..operators.logit import sql_poisson_newton
+
+    grouped = """
+  SELECT CAST(l_discount AS DOUBLE) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y_sum
+  FROM lineitem GROUP BY 1"""
+    body = sql_poisson_newton(grouped, _LOGIT_ROUNDS)
+    return body + "\nORDER BY round"
+
+
+QUERIES["poisson_quantity_by_discount"] = q_poisson_quantity_by_discount
+ORACLE_SQL["poisson_quantity_by_discount"] = _sql_poisson_quantity_by_discount()
+
+
 # ---------------------------------------------------------------------------
 # Round 12: edge-weighted PageRank — the co-purchase recommender shape
 # (mass flows in proportion to co-order counts, not uniformly). Reuses the
