@@ -180,6 +180,7 @@ HEADLINE = [
     "media_resize_real",
     "media_video_real",
     "media_pixel_stats",
+    "media_audio_stats",
     "poisson_quantity_by_discount",
 ]
 

@@ -290,3 +290,19 @@ def test_pixel_stats_sufficient_statistics(spark, sf_dir):
         assert r["n_samples"] == len(vals)
         assert r["pixel_sum"] == sum(vals)
         assert r["pixel_sq_sum"] == sum(v * v for v in vals)
+
+
+def test_audio_stats_sufficient_statistics(spark, sf_dir):
+    """media_audio_stats reads the actual WAV frames; exact integer sums
+    must equal a direct recomputation of the generation samples."""
+    from vector_db_mvp_spark.workload.media import q_media_audio_stats
+
+    rows = q_media_audio_stats(spark, sf_dir).limit(15).collect()
+    assert rows
+    for r in rows:
+        mid = r["media_id"]
+        n = 400 + (mid * 13) % 1000
+        vals = [((i * 31 + mid) % 65536) - 32768 for i in range(n)]
+        assert r["n_samples"] == n
+        assert r["sample_sum"] == sum(vals)
+        assert r["sample_sq_sum"] == sum(v * v for v in vals)

@@ -339,6 +339,72 @@ FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
+_AUDSTATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("sample_sq_sum", LongType(), False),
+    ]
+)
+
+
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-sample-consuming stage (r14) — the WAV twin of
+    media_pixel_stats: parse the RIFF/WAVE container AND read the actual
+    16-bit frames (stdlib wave + numpy), aggregating exact integer sum /
+    sum-of-squares per clip. The generation samples are
+    ((i*31 + id) % 65536) - 32768, so the oracle regenerates them with a
+    LATERAL range — a decode that didn't really read the frames cannot
+    hash-match."""
+
+    def _stats(batches):
+        import io
+        import wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as wf:
+                    n = wf.getnframes()
+                    raw = wf.readframes(n)
+                arr = _np.frombuffer(raw, dtype="<i2").astype(_np.int64)
+                rows.append(
+                    {"media_id": int(mid), "n_samples": int(arr.size),
+                     "sample_sum": int(arr.sum()),
+                     "sample_sq_sum": int((arr * arr).sum())}
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in _AUDSTATS_SCHEMA.fields])
+
+    media = media_real_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "audio")
+    return (
+        media.select("media_id", "payload")
+        .mapInPandas(_stats, schema=_AUDSTATS_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+SQL_MEDIA_AUDIO_STATS = """
+WITH a AS (
+  SELECT doc_id, 400 + (doc_id * 13) % 1000 AS nf
+  FROM documents WHERE doc_id % 3 = 1
+), s AS (
+  SELECT doc_id, nf, ((i * 31 + doc_id) % 65536) - 32768 AS v
+  FROM a, LATERAL (SELECT unnest(range(0, nf)) AS i)
+)
+SELECT doc_id AS media_id,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(SUM(v * v) AS BIGINT) AS sample_sq_sum
+FROM s GROUP BY doc_id ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
@@ -349,6 +415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize_real": q_media_resize_real,
     "media_video_real": q_media_video_real,
     "media_pixel_stats": q_media_pixel_stats,
+    "media_audio_stats": q_media_audio_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -361,4 +428,5 @@ ORACLE_SQL: dict[str, str] = {
     "media_resize_real": SQL_MEDIA_RESIZE_REAL,
     "media_video_real": SQL_MEDIA_VIDEO_REAL,
     "media_pixel_stats": SQL_MEDIA_PIXEL_STATS,
+    "media_audio_stats": SQL_MEDIA_AUDIO_STATS,
 }
