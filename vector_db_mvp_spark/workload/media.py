@@ -220,7 +220,14 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(rows, columns=[f.name for f in _CORNER_SCHEMA.fields])
 
     media = media_real_from_documents(
-        load_table(spark, sf_dir, "documents")
+        # Pre-filter the ids: a kind filter AFTER the builder cannot be
+        # pushed through mapInPandas, so all three payload kinds would be
+        # built and 2/3 discarded — 3x wasted codec CPU. id % 3 == 0
+        # IS the image predicate (the builder's split rule); the kind
+        # filter below stays as a no-op safety net.
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
     ).filter(F.col("kind") == "image")
     resized = resize_media(media, width=5, height=4)
     return (
@@ -255,7 +262,14 @@ def q_media_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames
 
     media = media_real_from_documents(
-        load_table(spark, sf_dir, "documents")
+        # Pre-filter the ids: a kind filter AFTER the builder cannot be
+        # pushed through mapInPandas, so all three payload kinds would be
+        # built and 2/3 discarded — 3x wasted codec CPU. id % 3 == 2
+        # IS the video predicate (the builder's split rule); the kind
+        # filter below stays as a no-op safety net.
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 2
+        )
     ).filter(F.col("kind") == "video")
     return (
         sample_frames(decode_media(media), stride=3)
@@ -313,7 +327,14 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(rows, columns=[f.name for f in _PIXSTATS_SCHEMA.fields])
 
     media = media_real_from_documents(
-        load_table(spark, sf_dir, "documents")
+        # Pre-filter the ids: a kind filter AFTER the builder cannot be
+        # pushed through mapInPandas, so all three payload kinds would be
+        # built and 2/3 discarded — 3x wasted codec CPU. id % 3 == 0
+        # IS the image predicate (the builder's split rule); the kind
+        # filter below stays as a no-op safety net.
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
     ).filter(F.col("kind") == "image")
     return (
         media.select("media_id", "payload")
@@ -380,7 +401,14 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(rows, columns=[f.name for f in _AUDSTATS_SCHEMA.fields])
 
     media = media_real_from_documents(
-        load_table(spark, sf_dir, "documents")
+        # Pre-filter the ids: a kind filter AFTER the builder cannot be
+        # pushed through mapInPandas, so all three payload kinds would be
+        # built and 2/3 discarded — 3x wasted codec CPU. id % 3 == 1
+        # IS the audio predicate (the builder's split rule); the kind
+        # filter below stays as a no-op safety net.
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 1
+        )
     ).filter(F.col("kind") == "audio")
     return (
         media.select("media_id", "payload")
