@@ -129,3 +129,41 @@ def test_rejections():
         encode_gif(2, 2, [bytes(3)])  # wrong frame size
     with pytest.raises(GifError):
         encode_gif(2, 2, [])
+
+
+def test_property_structure_roundtrip_and_fail_closed():
+    """Property sweep: encode->gif_info round-trips every geometry /
+    frame-count / delay combination, and arbitrary bytes fail CLOSED
+    with GifError only (gif_info never inflates, so no bomb surface —
+    it walks sub-block lengths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=15),
+        nf=st.integers(min_value=1, max_value=6),
+        delay=st.integers(min_value=0, max_value=300),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def roundtrip(w, h, nf, delay, seed):
+        frames = [
+            bytes((i * 97 + f * 13 + seed) % 256 for i in range(w * h))
+            for f in range(nf)
+        ]
+        data = encode_gif(w, h, frames, delay_cs=delay)
+        assert gif_info(data) == (w, h, nf, nf * delay * 10)
+
+    roundtrip()
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.binary(max_size=400))
+    def fail_closed(data):
+        for payload in (data, b"GIF89a" + data):
+            try:
+                gif_info(payload)
+            except GifError:
+                pass
+
+    fail_closed()

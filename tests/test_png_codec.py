@@ -151,3 +151,63 @@ def test_rejections():
         decode_png(data)
     with pytest.raises(PngError):
         encode_png(2, 2, b"short")
+
+
+def test_decompression_bomb_and_giant_header_rejected():
+    """Worker-side decode over untrusted payloads: a header demanding a
+    multi-GB buffer and an IDAT inflating past the header-declared size
+    must both raise PngError without materializing the excess."""
+    # giant claimed geometry, tiny actual data
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 6, 0, 0, 0)
+    bomb = (SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="too large"):
+        decode_png(bomb)
+    # sane 2x2 header, IDAT that inflates to far more than declared
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    overlong = (SIGNATURE + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+                + _chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="inflates past"):
+        decode_png(overlong)
+
+
+def test_property_roundtrip_random_geometry():
+    """Property sweep: encode->decode is the identity for every geometry
+    and payload (hypothesis drives dims and a pixel seed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, ch, seed):
+        pix = bytes((i * 2654435761 + seed) % 256 for i in range(w * h * ch))
+        got = decode_png(encode_png(w, h, pix, channels=ch))
+        assert got == (w, h, ch, pix)
+
+    check()
+
+
+def test_property_garbage_never_raises_non_pngerror():
+    """Arbitrary bytes must fail CLOSED: PngError only, never struct
+    errors / overflows — the per-row stub fallback catches Exception, but
+    the codec's contract is the typed error."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.binary(max_size=400))
+    def check(data):
+        for payload in (data, SIGNATURE + data):
+            try:
+                decode_png(payload)
+            except PngError:
+                pass
+
+    check()

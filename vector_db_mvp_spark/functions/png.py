@@ -36,6 +36,11 @@ SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Decode-side allocation cap (raw samples per image): the operators deal
+# in thumbnails/tiles, and an untrusted header must not be able to demand
+# a multi-GB buffer. 64 MB ≈ a 4096x4096 RGBA frame.
+MAX_PIXEL_BYTES = 64 * 1024 * 1024
+
 
 class PngError(ValueError):
     """Payload is not PNG, or uses a feature outside the supported subset."""
@@ -176,10 +181,26 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if not seen_ihdr or not idat:
         raise PngError("missing IHDR or IDAT")
+    # Decompression-bomb guard: these decoders run worker-side over
+    # UNTRUSTED corpus payloads, and a kilobyte IDAT can legally inflate
+    # to gigabytes. The header fixes the exact inflated size, so (a) cap
+    # the claimed geometry before allocating anything, and (b) inflate
+    # through a decompressobj bounded to expected+1 bytes — one extra
+    # byte distinguishes "bomb/overlong" from "exact" without ever
+    # materializing the excess.
+    if width * height * channels > MAX_PIXEL_BYTES:
+        raise PngError(
+            f"image too large ({width}x{height}x{channels} samples; "
+            f"cap {MAX_PIXEL_BYTES} bytes)"
+        )
+    expected = (width * channels + 1) * height
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise PngError(f"IDAT inflate failed: {exc}") from exc
+    if len(raw) > expected:
+        raise PngError("IDAT inflates past the header-declared size")
     return width, height, channels, _unfilter(raw, width, height, channels)
 
 
