@@ -306,3 +306,34 @@ def test_audio_stats_sufficient_statistics(spark, sf_dir):
         assert r["n_samples"] == n
         assert r["sample_sum"] == sum(vals)
         assert r["sample_sq_sum"] == sum(v * v for v in vals)
+
+
+def test_wav_header_byte_identical_to_stdlib_wave():
+    """The r14 builder emits the 44-byte PCM header directly (struct.pack)
+    instead of per-row wave.Wave_write objects; this pins byte-identity of
+    the whole payload against the stdlib encoder for every (rate, n) shape
+    the fixture generates."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    for mid in (1, 4, 7, 10, 313, 9997):
+        rate = 8000 * (1 + mid % 4)
+        n = 400 + (mid * 13) % 1000
+        data = (
+            (np.arange(n, dtype=np.int64) * 31 + mid) % 65536 - 32768
+        ).astype("<i2").tobytes()
+        direct = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(data)
+        assert direct == buf.getvalue()

@@ -31,6 +31,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel (8-bit depth only)
@@ -71,9 +73,11 @@ def encode_png(width: int, height: int, pixels: bytes, *, channels: int = 3) -> 
         raise PngError(
             f"pixel buffer is {len(pixels)} bytes, expected {stride * height}"
         )
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
-    )
+    # Prepend the filter byte per scanline in one numpy copy (identical raw
+    # stream to the former per-row join, so the compressed bytes are too).
+    lines = np.zeros((height, stride + 1), dtype=np.uint8)
+    lines[:, 1:] = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    raw = lines.tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         SIGNATURE
@@ -112,37 +116,56 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     """Reverse the per-scanline filters (RFC 2083 §6.3-6.6). bpp = bytes per
-    pixel (depth 8), prior = reconstructed previous scanline (zeros row 0)."""
+    pixel (depth 8), prior = reconstructed previous scanline (zeros row 0).
+
+    Vectorized (r14): filter 0 everywhere (what our own encoder emits) is a
+    single numpy slice; Sub is a per-channel-lane cumsum and Up a wrapping
+    uint8 add, both whole-row numpy. Average and Paeth stay per-byte Python
+    (their recurrences are serial and non-linear) — all five remain pinned
+    by tests/test_png_codec.py's forward-filter inversion test."""
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise PngError(
             f"decompressed stream is {len(raw)} bytes, expected {(stride + 1) * height}"
         )
-    out = bytearray(stride * height)
-    prior = bytes(stride)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    bad = ftypes[ftypes > 4]
+    if bad.size:
+        raise PngError(f"unknown filter type {int(bad[0])}")
+    if not ftypes.any():  # all filter 0: the raw stream minus filter bytes
+        return arr[:, 1:].tobytes()
+    data = arr[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                upleft = prior[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
-        elif ftype != 0:
-            raise PngError(f"unknown filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prior = bytes(line)
-    return bytes(out)
+        ftype = int(ftypes[y])
+        if ftype == 0:
+            rec = data[y].copy()
+        elif ftype == 1:  # Sub: cumsum per channel lane; uint64 wrap == mod 256
+            rec = (
+                np.cumsum(data[y].reshape(width, channels), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ftype == 2:  # Up: wrapping uint8 add of the reconstructed prior
+            rec = data[y] + prior
+        else:  # Average (3) / Paeth (4): serial, per-byte
+            line = bytearray(data[y].tobytes())
+            pr = prior.tobytes()
+            if ftype == 3:
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + (left + pr[i]) // 2) & 0xFF
+            else:
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    upleft = pr[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + _paeth(left, pr[i], upleft)) & 0xFF
+            rec = np.frombuffer(bytes(line), dtype=np.uint8)
+        out[y] = rec
+        prior = out[y]
+    return out.tobytes()
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
@@ -229,17 +252,10 @@ def resize_nearest(
     ambiguity across platforms)."""
     if new_w <= 0 or new_h <= 0:
         raise PngError("non-positive target dimensions")
-    out = bytearray(new_w * new_h * channels)
-    for y in range(new_h):
-        sy = y * height // new_h
-        src_row = sy * width * channels
-        dst_row = y * new_w * channels
-        for x in range(new_w):
-            sx = x * width // new_w
-            s = src_row + sx * channels
-            d = dst_row + x * channels
-            out[d : d + channels] = pixels[s : s + channels]
-    return bytes(out)
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    sy = (np.arange(new_h) * height) // new_h
+    sx = (np.arange(new_w) * width) // new_w
+    return np.ascontiguousarray(a[sy][:, sx]).tobytes()
 
 
 def resize_png(data: bytes, new_w: int, new_h: int) -> bytes:
@@ -249,16 +265,11 @@ def resize_png(data: bytes, new_w: int, new_h: int) -> bytes:
     the deterministic choice that keeps the output self-describing)."""
     width, height, channels, pixels = decode_png(data)
     if channels == 4:  # RGBA -> RGB over black: out = rgb * a / 255
-        rgb = bytearray(width * height * 3)
-        for i in range(width * height):
-            a = pixels[i * 4 + 3]
-            for c in range(3):
-                rgb[i * 3 + c] = pixels[i * 4 + c] * a // 255
-        pixels, channels = bytes(rgb), 3
+        px = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, 4).astype(np.uint32)
+        rgb = (px[:, :3] * px[:, 3:4] // 255).astype(np.uint8)
+        pixels, channels = rgb.tobytes(), 3
     elif channels == 2:  # gray+alpha -> gray over black
-        g = bytearray(width * height)
-        for i in range(width * height):
-            g[i] = pixels[i * 2] * pixels[i * 2 + 1] // 255
-        pixels, channels = bytes(g), 1
+        px = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, 2).astype(np.uint32)
+        pixels, channels = (px[:, 0] * px[:, 1] // 255).astype(np.uint8).tobytes(), 1
     resized = resize_nearest(pixels, width, height, channels, new_w, new_h)
     return encode_png(new_w, new_h, resized, channels=channels)

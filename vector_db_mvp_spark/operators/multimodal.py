@@ -80,7 +80,8 @@ MEDIA_SCHEMA = StructType(
 def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """REAL-codec media fixture, id % 3 split: actual PNG images (built by
     ``functions/png.encode_png`` over a deterministic integer gradient),
-    actual 16-bit mono WAV audio (stdlib ``wave``), and actual multi-frame
+    actual 16-bit mono WAV audio (canonical 44-byte PCM header, byte-identical
+    to stdlib ``wave`` output), and actual multi-frame
     GIF89a video (``functions/gif.encode_gif``). Every decoded-metadata
     value is an integer function of the id:
 
@@ -107,14 +108,15 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
     on small byte sizes (the _spread_tokens lesson, operators/dedup.py)."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
+        import struct
 
         from ..functions.gif import encode_gif
         from ..functions.png import encode_png
 
         for pdf in batches:
-            rows = []
+            mids: list[int] = []
+            kinds: list[str] = []
+            payloads: list[bytes] = []
             for media_id in pdf["media_id"]:
                 mid = int(media_id)
                 if mid % 3 == 0:
@@ -124,22 +126,24 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
                     x, c = (idx // 3) % w, idx % 3
                     y = idx // (3 * w)
                     pix = ((x * 3 + y * 5 + c * 7 + mid) % 256).astype(np.uint8)
-                    rows.append({"media_id": mid, "kind": "image",
-                                 "payload": encode_png(w, h, pix.tobytes())})
+                    kind, payload = "image", encode_png(w, h, pix.tobytes())
                 elif mid % 3 == 1:
                     rate = 8000 * (1 + mid % 4)
                     n = 400 + (mid * 13) % 1000
-                    samples = (
+                    data = (
                         (np.arange(n, dtype=np.int64) * 31 + mid) % 65536 - 32768
-                    ).astype("<i2")
-                    buf = io.BytesIO()
-                    with wave.open(buf, "wb") as wf:
-                        wf.setnchannels(1)
-                        wf.setsampwidth(2)
-                        wf.setframerate(rate)
-                        wf.writeframes(samples.tobytes())
-                    rows.append({"media_id": mid, "kind": "audio",
-                                 "payload": buf.getvalue()})
+                    ).astype("<i2").tobytes()
+                    # Canonical 44-byte PCM header — byte-identical to what
+                    # stdlib wave.open(...).writeframes emits for 16-bit
+                    # mono (pinned by tests), without per-row Wave_write /
+                    # BytesIO object churn.
+                    kind, payload = "audio", (
+                        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                        + b"fmt " + struct.pack(
+                            "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+                        )
+                        + b"data" + struct.pack("<I", len(data)) + data
+                    )
                 else:
                     w, h = 4 + mid % 8, 3 + mid % 6
                     idx = np.arange(w * h, dtype=np.int64)
@@ -147,10 +151,16 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
                         ((idx * 37 + f * 11 + mid) % 256).astype(np.uint8).tobytes()
                         for f in range(2 + mid % 7)
                     ]
-                    rows.append({"media_id": mid, "kind": "video",
-                                 "payload": encode_gif(w, h, frames,
-                                                       delay_cs=3 + mid % 5)})
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+                    kind, payload = "video", encode_gif(
+                        w, h, frames, delay_cs=3 + mid % 5
+                    )
+                mids.append(mid)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": mids, "kind": kinds, "payload": payloads},
+                columns=[f.name for f in MEDIA_SCHEMA.fields],
+            )
 
     ids = df.select(F.col(id_col).alias("media_id")).repartition(
         df.sparkSession.sparkContext.defaultParallelism

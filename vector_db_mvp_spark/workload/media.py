@@ -24,6 +24,21 @@ from ..operators.multimodal import (
 from ..sources.testdata import load_table
 
 
+def _sorted_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Final presentation sort WITHOUT re-running the Python stages under
+    it: a global ``orderBy`` compiles to a range exchange whose partitioner
+    SAMPLES its child by executing it, and when no exchange sits between
+    the mapInPandas chain and the Sort, the whole codec pipeline runs twice
+    (r14 measurement: media_decode_real 1.68 s with the plain orderBy vs
+    0.84 s for the pipeline alone at sf0.1). A keyed repartition inserts a
+    shuffle that AQE materializes as a stage boundary, so the sampling pass
+    reads shuffle output instead of re-decoding payloads (guide §2.4: one
+    exchange of domain-sized metadata rows buys back a full Python pass —
+    at 100 TB the decode is corpus-sized, the metadata exchange is not).
+    Rows and final order are identical; the sort keys are unique per row."""
+    return df.repartition(*[F.col(c) for c in cols]).orderBy(*cols)
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return media_metadata(media).orderBy("media_id")
@@ -42,7 +57,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub decode through mapInPandas; the sha256-byte pseudo-metadata is
     recomputed exactly by the DuckDB oracle (all-integer arithmetic)."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return decode_media(media).orderBy("media_id")
+    return _sorted_out(decode_media(media), "media_id")
 
 
 SQL_MEDIA_DECODE = """
@@ -79,9 +94,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media, dtype="double")
     return (
-        feats.select("media_id", F.posexplode("features").alias("pos", "value"))
-        .select("media_id", "pos", F.round("value", 6).alias("value"))
-        .orderBy("media_id", "pos")
+        _sorted_out(
+            feats.select(
+                "media_id", F.posexplode("features").alias("pos", "value")
+            ).select("media_id", "pos", F.round("value", 6).alias("value")),
+            "media_id",
+            "pos",
+        )
     )
 
 
@@ -107,8 +126,8 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames
 
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return sample_frames(decode_media(media), stride=24).orderBy(
-        "media_id", "frame_index"
+    return _sorted_out(
+        sample_frames(decode_media(media), stride=24), "media_id", "frame_index"
     )
 
 
@@ -136,10 +155,13 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization sees scalars."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     resized = resize_media(media, width=64, height=64)
-    return resized.select(
-        "media_id", "kind", "width", "height",
-        F.lower(F.hex("payload")).alias("resized_sha"),
-    ).orderBy("media_id")
+    return _sorted_out(
+        resized.select(
+            "media_id", "kind", "width", "height",
+            F.lower(F.hex("payload")).alias("resized_sha"),
+        ),
+        "media_id",
+    )
 
 
 SQL_MEDIA_RESIZE = """
@@ -161,7 +183,7 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicts arithmetically from the generation parameters. A fake decode
     cannot hash-match this instance."""
     media = media_real_from_documents(load_table(spark, sf_dir, "documents"))
-    return decode_media(media).orderBy("media_id")
+    return _sorted_out(decode_media(media), "media_id")
 
 
 SQL_MEDIA_DECODE_REAL = """
@@ -230,10 +252,11 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).filter(F.col("kind") == "image")
     resized = resize_media(media, width=5, height=4)
-    return (
-        resized.select("media_id", "payload")
-        .mapInPandas(_corner, schema=_CORNER_SCHEMA)
-        .orderBy("media_id")
+    return _sorted_out(
+        resized.select("media_id", "payload").mapInPandas(
+            _corner, schema=_CORNER_SCHEMA
+        ),
+        "media_id",
     )
 
 
@@ -271,10 +294,12 @@ def q_media_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 3 == 2
         )
     ).filter(F.col("kind") == "video")
-    return (
-        sample_frames(decode_media(media), stride=3)
-        .select("media_id", "frame_index")
-        .orderBy("media_id", "frame_index")
+    return _sorted_out(
+        sample_frames(decode_media(media), stride=3).select(
+            "media_id", "frame_index"
+        ),
+        "media_id",
+        "frame_index",
     )
 
 
@@ -336,10 +361,11 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 3 == 0
         )
     ).filter(F.col("kind") == "image")
-    return (
-        media.select("media_id", "payload")
-        .mapInPandas(_stats, schema=_PIXSTATS_SCHEMA)
-        .orderBy("media_id")
+    return _sorted_out(
+        media.select("media_id", "payload").mapInPandas(
+            _stats, schema=_PIXSTATS_SCHEMA
+        ),
+        "media_id",
     )
 
 
@@ -410,10 +436,11 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 3 == 1
         )
     ).filter(F.col("kind") == "audio")
-    return (
-        media.select("media_id", "payload")
-        .mapInPandas(_stats, schema=_AUDSTATS_SCHEMA)
-        .orderBy("media_id")
+    return _sorted_out(
+        media.select("media_id", "payload").mapInPandas(
+            _stats, schema=_AUDSTATS_SCHEMA
+        ),
+        "media_id",
     )
 
 
