@@ -4876,7 +4876,20 @@ def _spearman_moments(li: DataFrame) -> DataFrame:
     """One-row moments frame (n, sx, sy, sxx, syy, sxy) for the Spearman
     query — exposed so tests can pin the DECIMAL(38,0) accumulator
     contract on the SCHEMA (stable across Spark versions) instead of
-    parsing optimized-plan text."""
+    parsing optimized-plan text.
+
+    r14 restructure (guide §2.3, aggregate before you shuffle): the old
+    plan shuffle-joined the CORPUS against the |distinct prices| rank map
+    (both near-corpus-sized at 100 TB) just to fold five sums. But the
+    single-variable moments are t-weighted sums over the rank maps alone,
+    and the cross moment factorizes as
+        sxy = Σ_rows rx2·ry2 = Σ_p ry2(p) · (Σ_{rows with price p} rx2),
+    so the corpus pass is now ONE broadcast join against the ~50-value
+    quantity map plus a map-side-partial groupBy(price) — the price rank
+    map joins at domain size, never against raw rows. Every sum is the
+    same exact integer as before (inner-join semantics preserved by the
+    isNotNull guards; products bounded by 4n^3, inside DECIMAL(38,0) to
+    n ~ 2.9e12 rows)."""
     from ..operators.rank import global_prefix_sums
 
     def rank_map(col: str) -> DataFrame:
@@ -4885,34 +4898,44 @@ def _spearman_moments(li: DataFrame) -> DataFrame:
         )
         return global_prefix_sums(vals, "v", ["t"]).select(
             F.col("v"),
+            F.col("t"),
             (2 * F.col("cum_t") - F.col("t") + 1).cast("long").alias("m2"),
         )
 
-    xr = rank_map("l_quantity").withColumnsRenamed({"v": "vx", "m2": "rx2"})
-    yr = rank_map("l_extendedprice").withColumnsRenamed({"v": "vy", "m2": "ry2"})
-    joined = (
-        li.select(F.col("l_quantity").alias("vx"), F.col("l_extendedprice").alias("vy"))
-        .join(xr, "vx")
-        .join(yr, "vy")
-    )
     d18 = "decimal(18,0)"
+    d38 = "decimal(38,0)"
+    # The old corpus join dropped NULL-valued rows (inner equi-join); the
+    # map-side aggregates must too, hence the explicit isNotNull guards.
+    xr = rank_map("l_quantity").where(F.col("v").isNotNull())
+    yr = rank_map("l_extendedprice").where(F.col("v").isNotNull())
+    t18, m18 = F.col("t").cast(d18), F.col("m2").cast(d18)
     # sx/sy total n(n+1) — past int64 at n ~ 3e9 rows (sub-sf1000), so they
     # accumulate as DECIMAL(38,0) like the second moments; all five feed a
     # DOUBLE cast in the shared rho expression, so the type is free.
-    return joined.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("rx2").cast(d18)).cast("decimal(38,0)").alias("sx"),
-        F.sum(F.col("ry2").cast(d18)).cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("rx2").cast(d18) * F.col("rx2").cast(d18))
-        .cast("decimal(38,0)")
-        .alias("sxx"),
-        F.sum(F.col("ry2").cast(d18) * F.col("ry2").cast(d18))
-        .cast("decimal(38,0)")
-        .alias("syy"),
-        F.sum(F.col("rx2").cast(d18) * F.col("ry2").cast(d18))
-        .cast("decimal(38,0)")
-        .alias("sxy"),
+    xm = xr.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(t18 * m18).cast(d38).alias("sx"),
+        F.sum(t18 * m18 * m18).cast(d38).alias("sxx"),
     )
+    ym = yr.agg(
+        F.sum(t18 * m18).cast(d38).alias("sy"),
+        F.sum(t18 * m18 * m18).cast(d38).alias("syy"),
+    )
+    per_price = (
+        li.select(
+            F.col("l_quantity").alias("vx"), F.col("l_extendedprice").alias("vy")
+        )
+        .join(
+            F.broadcast(xr.select(F.col("v").alias("vx"), F.col("m2").alias("rx2"))),
+            "vx",
+        )
+        .groupBy("vy")
+        .agg(F.sum(F.col("rx2").cast(d18)).alias("sr"))
+    )
+    cm = per_price.join(
+        yr.select(F.col("v").alias("vy"), F.col("m2").alias("ry2")), "vy"
+    ).agg(F.sum(F.col("ry2").cast(d18) * F.col("sr")).cast(d38).alias("sxy"))
+    return xm.crossJoin(ym).crossJoin(cm)
 
 
 def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4920,10 +4943,11 @@ def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     and extended price — Pearson over midranks, the standard robust
     association measure. Midranks per DISTINCT value come from the same
     two-phase distributed prefix sums as the K-S / Mann-Whitney queries
-    (doubled: m2 = 2*cum - t + 1, integral under ties); each row then
-    joins its two rank-map rows (keyed equi-joins — the quantity map is
-    tiny, the price map |distinct prices|, never a corpus funnel) and one
-    keyless fold accumulates the five moments. Products are summed as
+    (doubled: m2 = 2*cum - t + 1, integral under ties); the moments then
+    come from the rank maps themselves (t-weighted) plus one broadcast
+    join + map-side-partial groupBy(price) for the factorized cross
+    moment — the corpus is never shuffle-joined against the
+    |distinct prices| map (see _spearman_moments). Products are summed as
     DECIMAL(38,0): 4n^3 bounds the doubled-rank product sum, exact to
     n ~ 2.9e12 rows — beyond a 100 TB lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
