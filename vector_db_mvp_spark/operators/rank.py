@@ -34,14 +34,48 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucket_expr(col: Column, bounds: list[float]) -> Column:
+def _bucket_expr(col: Column | str, bounds: list[float]) -> Column:
     """0-based bucket index = number of boundaries strictly below ``col``.
     Codegen-safe indicator sum (no HOF); rows with equal values always get
-    equal buckets, so bucketing is consistent with any (col, ...) order."""
+    equal buckets, so bucketing is consistent with any (col, ...) order.
+
+    Pass the column NAME when possible: the ``buckets - 1`` chained
+    comparisons then compile through ONE F.expr parse instead of ~2 py4j
+    round trips per boundary (the functions/lsh.py bucket_codes_native
+    precedent — this helper is rebuilt with fresh boundary literals on
+    every invocation of every caller, so construction latency is a real
+    per-query cost). A Column input keeps the element-wise form for
+    composability."""
+    if isinstance(col, str):
+        if not bounds:
+            return F.expr("0")
+        body = " + ".join(
+            f"(CASE WHEN `{col}` > {float(bd)!r}D THEN 1 ELSE 0 END)"
+            for bd in bounds
+        )
+        return F.expr(f"({body})")
     b: Column = F.lit(0)
     for bd in bounds:
         b = b + F.when(col > F.lit(float(bd)), 1).otherwise(0)
     return b
+
+
+def _offset_lookup(offsets: dict[int, int], gb_col: str = "_gb") -> Column:
+    """LONG prefix offset for this row's bucket, as one F.expr parse: a
+    dense array literal indexed by ``gb_col`` (1-based element_at). Every
+    realized bucket id is a key in ``offsets`` (both are derived from the
+    same rows), so the coalesce-0 matches the former map-miss semantics;
+    unrealized slots between keys carry the running offset and are never
+    read. Replaces a create_map of 2 x |buckets| F.lit round trips."""
+    dense: list[int] = []
+    run = 0
+    for b in range(max(offsets) + 1 if offsets else 0):
+        run = offsets.get(b, run)
+        dense.append(run)
+    if not dense:
+        return F.expr("0L")
+    arr = "array(" + ", ".join(f"{v}L" for v in dense) + ")"
+    return F.expr(f"coalesce(element_at({arr}, `{gb_col}` + 1), 0L)")
 
 
 def _boundaries(df: DataFrame, value_col: str, buckets: int) -> list[float]:
@@ -92,7 +126,7 @@ def global_row_number(
         else df
     )
     bounds = _boundaries(base, value_col, buckets)
-    bucketed = base.withColumn("_gb", _bucket_expr(F.col(value_col), bounds))
+    bucketed = base.withColumn("_gb", _bucket_expr(value_col, bounds))
     counts = {
         r["_gb"]: r["n"]
         for r in bucketed.groupBy("_gb").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -101,18 +135,12 @@ def global_row_number(
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
-    off_map = F.create_map(
-        *[F.lit(x) for b in offsets for x in (b, offsets[b])]
-    )
     w = Window.partitionBy("_gb").orderBy(
         F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )
     out = bucketed.withColumn(
         rn_col,
-        (
-            F.coalesce(F.element_at(off_map, F.col("_gb")), F.lit(0))
-            + F.row_number().over(w)
-        ).cast("long"),
+        (_offset_lookup(offsets) + F.row_number().over(w)).cast("long"),
     ).drop("_gb")
     return out, acc
 
@@ -149,7 +177,7 @@ def running_min_before(
 
     base = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     bounds = _boundaries(base, order_col, buckets)
-    bucketed = base.withColumn("_gb", _bucket_expr(F.col(order_col), bounds))
+    bucketed = base.withColumn("_gb", _bucket_expr(order_col, bounds))
     bucket_mins = {
         r["_gb"]: r["m"]
         for r in bucketed.groupBy("_gb").agg(F.min(value_col).alias("m")).collect()
@@ -205,7 +233,7 @@ def global_prefix_sums(
         else df
     )
     bounds = _boundaries(base, value_col, buckets)
-    bucketed = base.withColumn("_gb", _bucket_expr(F.col(value_col), bounds))
+    bucketed = base.withColumn("_gb", _bucket_expr(value_col, bounds))
     totals = (
         bucketed.groupBy("_gb")
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
@@ -223,14 +251,8 @@ def global_prefix_sums(
         for b in sorted(per_bucket):
             offsets[b] = acc
             acc += per_bucket[b]
-        off_map = F.create_map(
-            *[F.lit(x) for b in offsets for x in (b, offsets[b])]
-        )
         out = out.withColumn(
             f"cum_{c}",
-            (
-                F.coalesce(F.element_at(off_map, F.col("_gb")), F.lit(0))
-                + F.sum(c).over(w)
-            ).cast("long"),
+            (_offset_lookup(offsets) + F.sum(c).over(w)).cast("long"),
         )
     return out.drop("_gb")

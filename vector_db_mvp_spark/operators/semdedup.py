@@ -117,8 +117,10 @@ def semantic_dedup(
         l2_norm(F.col(embedding_col)).alias("_n"),
     )
     if assign == "native":
-        scores = F.array(
-            *[vdot(F.col("_e"), F.array(*[F.lit(x) for x in c])) for c in uc]
+        from ..functions.vector import sql_dot_lit
+
+        scores = F.expr(
+            "array(" + ", ".join(sql_dot_lit("_e", c) for c in uc) + ")"
         )
         assigned = base.withColumn("_s", scores).select(
             "_id",
