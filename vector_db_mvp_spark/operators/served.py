@@ -331,12 +331,24 @@ def tombstone_delete(
     and re-deleting is idempotent (markers are distinct-ed at read time).
 
     ``ids`` is a DataFrame with ``id_col`` or an iterable of ints.
+
+    r14: re-deletes are idempotent in STATE, not just semantics — only ids
+    not already tombstoned are appended (as ONE file, not one per task),
+    and an all-duplicate batch skips the write entirely. The old
+    append-always form grew ~8 tiny files per invocation without bound
+    (every serve path then re-listed and re-read them all); repeated
+    lifecycle runs now leave the marker directory unchanged.
     """
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
-    ids.select(id_col).write.mode("append").parquet(
-        os.path.join(path, "_tombstones")
-    )
+    td = os.path.join(path, "_tombstones")
+    new = ids.select(id_col)
+    if os.path.isdir(td):
+        existing = spark.read.parquet(td).select(id_col)
+        new = new.join(existing, id_col, "left_anti")
+    rows = new.distinct().coalesce(1)
+    if rows.take(1):
+        rows.write.mode("append").parquet(td)
     return path
 
 
