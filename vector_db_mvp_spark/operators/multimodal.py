@@ -304,8 +304,13 @@ def decode_media(
             "audio": audio_loader if audio_loader is not None else _wave_audio_loader(),
             "video": video_loader if video_loader is not None else _gif_video_loader(),
         }
+        meta_keys = ("width", "height", "n_frames", "sample_rate", "duration_ms")
         for pdf in batches:
-            out = []
+            # column-wise accumulation: one dict of lists per batch, not one
+            # dict per row (pandas builds the frame without a records pass)
+            cols: dict[str, list] = {"media_id": [], "kind": []}
+            for k in meta_keys:
+                cols[k] = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if payload is None:
                     meta = {"width": None, "height": None, "n_frames": None,
@@ -319,8 +324,11 @@ def decode_media(
                             meta = _fake_decode(kind, bytes(payload))
                     else:
                         meta = _fake_decode(kind, bytes(payload))
-                out.append({"media_id": media_id, "kind": kind, **meta})
-            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+                cols["media_id"].append(media_id)
+                cols["kind"].append(kind)
+                for k in meta_keys:
+                    cols[k].append(meta[k])
+            yield pd.DataFrame(cols, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
@@ -437,7 +445,7 @@ def resize_media(
             else _real_image_resizer(width, height)
         )
         for pdf in batches:
-            out = []
+            mids, kinds, payloads = [], [], []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if payload is None or kind not in ("image", "video"):
                     resized = None
@@ -448,11 +456,14 @@ def resize_media(
                         resized = _stub_resize(bytes(payload), width, height)
                 else:
                     resized = _stub_resize(bytes(payload), width, height)
-                out.append(
-                    {"media_id": media_id, "kind": kind, "width": width,
-                     "height": height, "payload": resized}
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+                mids.append(media_id)
+                kinds.append(kind)
+                payloads.append(resized)
+            yield pd.DataFrame(
+                {"media_id": mids, "kind": kinds,
+                 "width": width, "height": height, "payload": payloads},
+                columns=[f.name for f in RESIZED_SCHEMA.fields],
+            )
 
     return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
