@@ -116,3 +116,43 @@ def test_global_prefix_sums_exact_and_partition_invariant(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_bucket_expr_string_form_matches_column_form(spark):
+    """r14: the string-name fast path of _bucket_expr (one F.expr parse)
+    must bucket identically to the Column-algebra form, including values
+    exactly on a boundary (strict > on both sides)."""
+    from vector_db_mvp_spark.operators.rank import _bucket_expr
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (-3.0, -1.5, -1.5, 0.0, 0.25, 2.0, 7.5, 99.0)],
+        "v double",
+    )
+    bounds = [-1.5, 0.25, 7.5]
+    got = df.select(
+        _bucket_expr("v", bounds).alias("s"),
+        _bucket_expr(F.col("v"), bounds).alias("c"),
+    ).collect()
+    assert all(r["s"] == r["c"] for r in got)
+    # no boundaries -> everything in bucket 0, both forms
+    got0 = df.select(
+        _bucket_expr("v", []).alias("s"), _bucket_expr(F.col("v"), []).alias("c")
+    ).collect()
+    assert all(r["s"] == 0 and r["c"] == 0 for r in got0)
+
+
+def test_offset_lookup_matches_dict(spark):
+    """r14: the dense-array offset lookup (one F.expr parse) must return
+    exactly the dict value for every realized bucket id, including sparse
+    bucket-id sets with gaps."""
+    from vector_db_mvp_spark.operators.rank import _offset_lookup
+
+    offsets = {0: 0, 1: 10, 3: 25, 6: 111}  # gaps at 2, 4, 5
+    df = spark.createDataFrame([(b,) for b in offsets], "_gb int")
+    got = {r["_gb"]: r["off"] for r in df.select(
+        "_gb", _offset_lookup(offsets).alias("off")
+    ).collect()}
+    assert got == offsets
+    # empty offsets -> constant 0
+    z = df.select(_offset_lookup({}).alias("off")).collect()
+    assert all(r["off"] == 0 for r in z)
