@@ -269,13 +269,23 @@ def _write_round_record(detail: dict, root: str | None = None) -> None:
         f" (median of {detail['runs']} interleaved runs, sf{detail['sf']}).",
         sess_txt,
         "",
-        "| canary | quiet median (s) | anchor (s) | ratio | spread | samples |",
-        "|---|---|---|---|---|---|",
+        # norm = quiet median / this session's jvm_arith machine index
+        # (r14 verdict #4: the r14 25-regression smear sat on untouched
+        # plans and could not be attributed from driver artifacts alone.
+        # A per-round normalized column makes uniform machine-state drift
+        # self-cancelling in round-over-round reads: if raw medians move
+        # together WITH jvm_arith_sec, norm stays flat -> machine; if one
+        # query's norm moves alone -> the plan. Additions-only; the raw
+        # columns and the timed loop are untouched.)
+        "| canary | quiet median (s) | norm (med/jvm) | anchor (s) | ratio |"
+        " spread | samples |",
+        "|---|---|---|---|---|---|---|",
     ]
     worst_name, worst_ratio = None, 0.0
     violators: list[str] = []
     over_bar: list[str] = []
     batched = set(detail.get("quiet_batched", []))
+    jvm_idx = midx.get("jvm_arith_sec")
     for name in sorted(detail.get("canary", {})):
         vals = detail["canary"][name]
         med = statistics.median(vals)
@@ -290,8 +300,10 @@ def _write_round_record(detail: dict, root: str | None = None) -> None:
             violators.append(f"{name} {spread_pct:.0f}%")
         kind = f"{len(vals)}x5-batch" if name in batched else f"{len(vals)}x1"
         mark = {"b": " (batch)", "x": " †cross-protocol", "": ""}[proto]
+        norm = f"{med / jvm_idx:.2f}" if jvm_idx else "—"
         lines.append(
-            f"| {name} | {med:.3f} | {f'{anc}{mark}' if anc is not None else '—'} |"
+            f"| {name} | {med:.3f} | {norm} |"
+            f" {f'{anc}{mark}' if anc is not None else '—'} |"
             f" {f'{ratio:.2f}x' if ratio is not None else '—'} |"
             f" {spread_pct:.0f}% | {kind} |"
         )
@@ -745,6 +757,17 @@ def main() -> None:
         # compares its medians against the never-refreshed
         # .claude/bench_anchor.json (see CANARY comment above).
         "canary": canary,
+        # Machine-index-normalized canary medians (median sec divided by
+        # this session's jvm_arith_sec — r14 verdict #4): uniform machine
+        # drift moves raw medians and the index together, so these stay
+        # flat under it; a plan regression moves one entry alone. Makes
+        # the r14-style 25-regression smear attributable from driver
+        # artifacts alone. Additions-only telemetry.
+        "canary_norm": {
+            n: round(median(v) / session_env["machine_index"]["jvm_arith_sec"], 3)
+            for n, v in canary.items()
+            if session_env.get("machine_index", {}).get("jvm_arith_sec")
+        },
         # Metaspace (MB) at start / after codegen warm / at end — bounded
         # growth after warm-up means the 5000-entry codegen cache is not
         # creeping class metadata across the crowded runs (BENCH_CREEP.md).
