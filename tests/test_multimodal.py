@@ -337,3 +337,37 @@ def test_wav_header_byte_identical_to_stdlib_wave():
             wf.setframerate(rate)
             wf.writeframes(data)
         assert direct == buf.getvalue()
+
+
+def test_fused_real_resize_matches_chain(spark, sf_dir):
+    """media_real_resized (the r15 fused build+resize, one mapInPandas)
+    must be row-for-row identical to the unfused
+    media_real_from_documents -> resize_media chain — same ids, kinds,
+    geometry, and payload BYTES for every kind (image: real re-encode;
+    video: stub resize; audio: null payload)."""
+    from vector_db_mvp_spark.operators.multimodal import (
+        media_real_from_documents,
+        media_real_resized,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    chain = {
+        r["media_id"]: r.asDict()
+        for r in resize_media(
+            media_real_from_documents(docs), width=5, height=4
+        ).collect()
+    }
+    fused = {
+        r["media_id"]: r.asDict()
+        for r in media_real_resized(docs, width=5, height=4).collect()
+    }
+    assert set(chain) == set(fused) and len(fused) == 60
+    for mid, c in chain.items():
+        f = fused[mid]
+        assert (c["kind"], c["width"], c["height"]) == (
+            f["kind"], f["width"], f["height"])
+        cp, fp = c["payload"], f["payload"]
+        assert (cp is None) == (fp is None)
+        if cp is not None:
+            assert bytes(cp) == bytes(fp)

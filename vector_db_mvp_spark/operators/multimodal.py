@@ -108,52 +108,13 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
     on small byte sizes (the _spread_tokens lesson, operators/dedup.py)."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        from ..functions.gif import encode_gif
-        from ..functions.png import encode_png
-
         for pdf in batches:
             mids: list[int] = []
             kinds: list[str] = []
             payloads: list[bytes] = []
             for media_id in pdf["media_id"]:
                 mid = int(media_id)
-                if mid % 3 == 0:
-                    w = 8 + mid % 24
-                    h = 6 + (mid * 7) % 20
-                    idx = np.arange(w * h * 3, dtype=np.int64)
-                    x, c = (idx // 3) % w, idx % 3
-                    y = idx // (3 * w)
-                    pix = ((x * 3 + y * 5 + c * 7 + mid) % 256).astype(np.uint8)
-                    kind, payload = "image", encode_png(w, h, pix.tobytes())
-                elif mid % 3 == 1:
-                    rate = 8000 * (1 + mid % 4)
-                    n = 400 + (mid * 13) % 1000
-                    data = (
-                        (np.arange(n, dtype=np.int64) * 31 + mid) % 65536 - 32768
-                    ).astype("<i2").tobytes()
-                    # Canonical 44-byte PCM header — byte-identical to what
-                    # stdlib wave.open(...).writeframes emits for 16-bit
-                    # mono (pinned by tests), without per-row Wave_write /
-                    # BytesIO object churn.
-                    kind, payload = "audio", (
-                        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-                        + b"fmt " + struct.pack(
-                            "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
-                        )
-                        + b"data" + struct.pack("<I", len(data)) + data
-                    )
-                else:
-                    w, h = 4 + mid % 8, 3 + mid % 6
-                    idx = np.arange(w * h, dtype=np.int64)
-                    frames = [
-                        ((idx * 37 + f * 11 + mid) % 256).astype(np.uint8).tobytes()
-                        for f in range(2 + mid % 7)
-                    ]
-                    kind, payload = "video", encode_gif(
-                        w, h, frames, delay_cs=3 + mid % 5
-                    )
+                kind, payload = _real_payload(mid)
                 mids.append(mid)
                 kinds.append(kind)
                 payloads.append(payload)
@@ -166,6 +127,98 @@ def media_real_from_documents(df: DataFrame, *, id_col: str = "doc_id") -> DataF
         df.sparkSession.sparkContext.defaultParallelism
     )
     return ids.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def _real_payload(mid: int) -> tuple[str, bytes]:
+    """One (kind, container bytes) fixture row of the id % 3 split — the
+    per-row body of :func:`media_real_from_documents`, extracted so the
+    fused build+consume operators (:func:`media_real_resized`) reuse the
+    identical codec path byte-for-byte. Worker-side only; the imports
+    resolve on first call inside the task."""
+    import struct
+
+    from ..functions.gif import encode_gif
+    from ..functions.png import encode_png
+
+    if mid % 3 == 0:
+        w = 8 + mid % 24
+        h = 6 + (mid * 7) % 20
+        idx = np.arange(w * h * 3, dtype=np.int64)
+        x, c = (idx // 3) % w, idx % 3
+        y = idx // (3 * w)
+        pix = ((x * 3 + y * 5 + c * 7 + mid) % 256).astype(np.uint8)
+        return "image", encode_png(w, h, pix.tobytes())
+    if mid % 3 == 1:
+        rate = 8000 * (1 + mid % 4)
+        n = 400 + (mid * 13) % 1000
+        data = (
+            (np.arange(n, dtype=np.int64) * 31 + mid) % 65536 - 32768
+        ).astype("<i2").tobytes()
+        # Canonical 44-byte PCM header — byte-identical to what stdlib
+        # wave.open(...).writeframes emits for 16-bit mono (pinned by
+        # tests), without per-row Wave_write / BytesIO object churn.
+        return "audio", (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+    w, h = 4 + mid % 8, 3 + mid % 6
+    idx = np.arange(w * h, dtype=np.int64)
+    frames = [
+        ((idx * 37 + f * 11 + mid) % 256).astype(np.uint8).tobytes()
+        for f in range(2 + mid % 7)
+    ]
+    return "video", encode_gif(w, h, frames, delay_cs=3 + mid % 5)
+
+
+def media_real_resized(
+    df: DataFrame, *, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused build+resize for the ``_real`` query compositions (guide §4 —
+    minimize serialization boundary crossings): ids in, RESIZED_SCHEMA out,
+    ONE mapInPandas instead of the media_real_from_documents → resize_media
+    chain, so the corpus-sized source payloads never cross the Arrow
+    boundary (r14 left media_resize_real with three Arrow crossings of
+    payload bytes; after this only the resized thumbnails — ~100 bytes/row
+    at 5x4 — cross). Row-for-row identical to the unfused chain by
+    construction: the same :func:`_real_payload` builder feeds the same
+    per-kind resize dispatch as :func:`resize_media` (image → real resizer
+    with per-row stub degrade, video → stub resize, audio → null payload),
+    pinned by tests/test_multimodal.py::test_fused_real_resize_matches_chain.
+    The standalone operators remain for every other consumer — this is a
+    composition seam, not a replacement."""
+
+    def _build_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize_image = _real_image_resizer(width, height)
+        for pdf in batches:
+            mids: list[int] = []
+            kinds: list[str] = []
+            payloads: list[bytes | None] = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                kind, payload = _real_payload(mid)
+                if kind == "image":
+                    try:
+                        resized = resize_image(payload)
+                    except Exception:  # undecodable bytes -> stub, not failure
+                        resized = _stub_resize(payload, width, height)
+                elif kind == "video":
+                    resized = _stub_resize(payload, width, height)
+                else:
+                    resized = None
+                mids.append(mid)
+                kinds.append(kind)
+                payloads.append(resized)
+            yield pd.DataFrame(
+                {"media_id": mids, "kind": kinds,
+                 "width": width, "height": height, "payload": payloads},
+                columns=[f.name for f in RESIZED_SCHEMA.fields],
+            )
+
+    ids = df.select(F.col(id_col).alias("media_id")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(_build_resize, schema=RESIZED_SCHEMA)
 
 
 def media_metadata(df: DataFrame) -> DataFrame:

@@ -19,6 +19,7 @@ from ..operators.multimodal import (
     media_from_documents,
     media_metadata,
     media_real_from_documents,
+    media_real_resized,
     resize_media,
 )
 from ..sources.testdata import load_table
@@ -223,7 +224,14 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nearest-neighbor maps target (x, y) to source (x*W//5, y*H//4) and the
     source gradient is pixel(x,y,c) = (x*3 + y*5 + c*7 + id) % 256, so the
     oracle computes the exact corner RGB arithmetically — the whole
-    encode/resample/re-encode/decode chain must be bit-correct to match."""
+    encode/resample/re-encode/decode chain must be bit-correct to match.
+
+    r15 (guide §4, r14 verdict #1): build+resize run FUSED in one
+    mapInPandas (operators/multimodal.py media_real_resized — row-identical
+    to the chain, test-pinned), so the corpus-sized source PNGs never cross
+    the Arrow boundary; only the 5x4 thumbnails (~100 bytes/row) travel to
+    the corner-decode stage. The plan drops from three MapInPandas over
+    payload columns to two."""
 
     def _corner(batches):
         import pandas as _pd
@@ -241,7 +249,7 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame(rows, columns=[f.name for f in _CORNER_SCHEMA.fields])
 
-    media = media_real_from_documents(
+    resized = media_real_resized(
         # Pre-filter the ids: a kind filter AFTER the builder cannot be
         # pushed through mapInPandas, so all three payload kinds would be
         # built and 2/3 discarded — 3x wasted codec CPU. id % 3 == 0
@@ -249,9 +257,10 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filter below stays as a no-op safety net.
         load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 3 == 0
-        )
+        ),
+        width=5,
+        height=4,
     ).filter(F.col("kind") == "image")
-    resized = resize_media(media, width=5, height=4)
     return _sorted_out(
         resized.select("media_id", "payload").mapInPandas(
             _corner, schema=_CORNER_SCHEMA
