@@ -46,6 +46,30 @@ def sql_dot_lit(col_sql: str, vec: list[float]) -> str:
     )
 
 
+def sql_dot_cols(a_sql: str, b_sql: str, dim: int) -> str:
+    """Codegen-friendly dot product of two array COLUMNS of statically
+    known dimension: an unrolled sum of element products compiled through
+    ONE F.expr parse. The HOF form (:func:`dot`) is a CodegenFallback —
+    aggregate/zip_with evaluate INTERPRETED per row, which is fine once
+    per corpus row but dominates when evaluated per bucket COLLISION
+    (r15 measurement: the sf1 k-NN edge build spent ~200 s of its ~209 s
+    in interpreted cosine over 56.6M collisions; guide §4 — per-task work
+    inside codegen). Bit-compatible with ``dot``: both reduce
+    left-to-right in double ((x0y0 + x1y1) + x2y2 ...) with per-element
+    float→double casts; the HOF fold seeds with 0.0, which can differ
+    only in the SIGN of an all-±0.0 prefix — a ±0.0 result either way,
+    indistinguishable to consumers that threshold or round. OOB/short
+    arrays yield NULL terms via try_element_at, matching zip_with's NULL
+    padding (NULL cosine either way). Callers pass pre-validated
+    simple or alias-qualified column references."""
+    terms = " + ".join(
+        f"CAST(try_element_at({a_sql}, {i + 1}) AS DOUBLE)"
+        f" * CAST(try_element_at({b_sql}, {i + 1}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"({terms})"
+
+
 def l2_norm(v: Column) -> Column:
     return F.sqrt(
         F.aggregate(_as_double(v), F.lit(0.0), lambda acc, x: acc + x * x)

@@ -96,10 +96,17 @@ def connected_components(
     # the OOM class the sf10 probe caught in bfs.py (see pagerank.py).
     from pyspark import StorageLevel
 
-    sym = sym.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # LAZY checkpoint when a count follows (r15, guide §5 — the kcore
+    # pattern): the threshold count scans every partition of the marked
+    # RDD, materializing the checkpoint in the SAME job; eager=True paid
+    # a separate materialization job first. With the fast path disabled
+    # (driver_threshold=0) no count runs, so the checkpoint stays eager —
+    # it is the pushdown/reuse barrier for the three downstream consumers.
+    sym = sym.localCheckpoint(
+        eager=not driver_threshold, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
     # Small-graph fast path: exact same labeling, resolved on the driver.
-    # sym is already materialized, so the count is a cheap block scan.
     if driver_threshold and sym.count() <= driver_threshold:
         return _driver_union_find(sym, nodes=nodes, id_col=id_col)
 
@@ -132,10 +139,13 @@ def connected_components(
                 ),
                 F.col("comp"),
             )
-        ).localCheckpoint(eager=True)
-        changed = updated.filter(F.col("new_comp") != F.col("comp")).take(1)
+            # lazy: the convergence count below materializes the
+            # checkpoint in the same job — one job per round instead of
+            # a materialization job plus a take(1) probe job
+        ).localCheckpoint(eager=False)
+        n_changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
         labels = updated.select(id_col, F.col("new_comp").alias("comp"))
-        if not changed:
+        if not n_changed:
             break
     if nodes is not None:
         singles = (

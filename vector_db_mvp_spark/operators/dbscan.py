@@ -178,10 +178,16 @@ def knn_edges_lsh(
     "eps-neighbor" just becomes "mutually-or-singly ranked k-NN edge".
     """
     from ..functions.lsh import bucket_codes_native
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import l2_norm, sql_dot_cols
 
+    # Norms hoisted: computed ONCE per base row (the HOF runs N times)
+    # instead of inside the per-collision cosine (2x per collision,
+    # interpreted) — the embedding_neardup_pairs precedent. The formula
+    # stays dot/(na*nb) with the zero-norm guard, values bit-identical.
     base = df.filter(F.col(embedding_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e")
+        F.col(id_col).alias("_id"),
+        F.col(embedding_col).alias("_e"),
+        l2_norm(F.col(embedding_col)).alias("_n"),
     )
     # Codes MUST reference the post-rename column "_e" — they are applied
     # to `base`/`coded`, where the embedding column no longer exists under
@@ -196,7 +202,7 @@ def knn_edges_lsh(
     if num_partitions is not None:
         base = base.repartition(num_partitions)
     coded = base.select(
-        "_id", "_e", F.posexplode(codes).alias("table_id", "code")
+        "_id", "_e", "_n", F.posexplode(codes).alias("table_id", "code")
     )
     a, b = coded.alias("a"), coded.alias("b")
     # Cosine is computed IN the join projection and the embeddings dropped
@@ -207,6 +213,14 @@ def knn_edges_lsh(
     # spent its sf10 probe wall time shuffling ~13 GB of vectors through
     # dropDuplicates; the score is deterministic, so the per-table
     # duplicate rows are bit-identical and the dedup result is exact.
+    # r15: the dot runs as ONE unrolled codegen expression over the
+    # hoisted norms (sql_dot_cols) — the HOF cosine evaluated interpreted
+    # per collision and was ~95% of the sf1 edge-build wall time.
+    dim = len(planes[0][0])
+    dot = F.expr(sql_dot_cols("a._e", "b._e", dim))
+    cos = F.when(
+        (F.col("a._n") == 0.0) | (F.col("b._n") == 0.0), F.lit(0.0)
+    ).otherwise(dot / (F.col("a._n") * F.col("b._n")))
     cand = (
         a.join(
             b,
@@ -215,13 +229,36 @@ def knn_edges_lsh(
             & (F.col("a._id") != F.col("b._id")),
         )
         .select(
+            F.col("a.table_id").alias("_t"),
+            F.col("a.code").alias("_co"),
             F.col("a._id").alias("src"),
             F.col("b._id").alias("dst"),
-            F.round(
-                cosine_similarity(F.col("a._e"), F.col("b._e")), 6
-            ).alias("c"),
+            F.round(cos, 6).alias("c"),
         )
         .filter(F.col("c") >= tau)
+    )
+    # Per-bucket EXACT pre-trim before the global per-src window (r15,
+    # guide §2.3 — cut rows before the wide stage). Keep only each src's
+    # k best candidates WITHIN each (table, code) bucket, ranked by the
+    # same total order (c DESC, dst ASC). Exactness: for a fixed src, a
+    # dst appears at most once per bucket (coded has one row per
+    # (_id, table)), and a bucket's candidate set is a subset of src's
+    # global distinct candidate set — so a pair with GLOBAL rank r <= k
+    # has fewer than k bucket candidates above it and therefore bucket
+    # rank <= r <= k in EVERY bucket where the pair collides. The trim
+    # keeps every copy of every globally-top-k pair; the extra survivors
+    # it lets through are removed by the unchanged dropDuplicates +
+    # global window below. At a fixed bucket width the trim caps the
+    # src-keyed exchange at tables*k rows per src regardless of bucket
+    # occupancy (the quantity that grows with corpus density); the
+    # downstream sort shrinks identically.
+    wb = Window.partitionBy("_t", "_co", "src").orderBy(
+        F.col("c").desc(), F.col("dst").asc()
+    )
+    cand = (
+        cand.withColumn("_rb", F.row_number().over(wb))
+        .filter(F.col("_rb") <= k)
+        .select("src", "dst", "c")
     )
     # The ranked graph is tiny relative to the session's corpus-sized
     # shuffle width; one explicit narrow hash on src satisfies BOTH the

@@ -35,7 +35,7 @@ from ..functions.text import (
     shingles,
     tokens,
 )
-from ..functions.vector import cosine_similarity
+
 
 NORM_TEXT = lambda c: F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")  # noqa: E731
 SQL_NORM_TEXT = "regexp_replace(trim(lower({c})), '\\s+', ' ', 'g')"
@@ -537,6 +537,7 @@ def embedding_neardup_pairs_lsh(
     verify. Recall < 1 by construction; measured against the exact variant in
     tests."""
     from ..functions.lsh import bucket_codes_native, bucket_codes_pandas
+    from ..functions.vector import l2_norm, sql_dot_cols
 
     codes = (
         bucket_codes_native(embedding_col, planes) if native
@@ -545,12 +546,24 @@ def embedding_neardup_pairs_lsh(
     # posexplode the codes expression directly — materializing via withColumn
     # first makes Catalyst re-inline it into both the Generate input and the
     # outer project, evaluating the hash twice per row (see lsh_topk_batch).
+    # Norms hoisted to once per base row and the verify dot unrolled into
+    # one codegen expression (r15, see dbscan.knn_edges_lsh: the HOF cosine
+    # evaluates interpreted per pair and dominated the dense-bucket probes);
+    # formula stays dot/(n1*n2) with the zero-norm guard — values
+    # bit-identical, same _DUCK_COS oracle.
     coded = df.filter(F.col(embedding_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(embedding_col).alias("_e"),
+        l2_norm(F.col(embedding_col)).alias("_n"),
         F.posexplode(codes).alias("table_id", "code"),
     )
     a, b = coded.alias("a"), coded.alias("b")
+    dim = len(planes[0][0])
+    cos = F.when(
+        (F.col("_n1") == 0.0) | (F.col("_n2") == 0.0), F.lit(0.0)
+    ).otherwise(
+        F.expr(sql_dot_cols("_e1", "_e2", dim)) / (F.col("_n1") * F.col("_n2"))
+    )
     return (
         a.join(
             b,
@@ -563,9 +576,11 @@ def embedding_neardup_pairs_lsh(
             F.col("b._id").alias("id2"),
             F.col("a._e").alias("_e1"),
             F.col("b._e").alias("_e2"),
+            F.col("a._n").alias("_n1"),
+            F.col("b._n").alias("_n2"),
         )
         .dropDuplicates(["id1", "id2"])
-        .withColumn("cosine", F.round(cosine_similarity(F.col("_e1"), F.col("_e2")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= tau)
         .select("id1", "id2", "cosine")
     )

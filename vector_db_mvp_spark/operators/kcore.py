@@ -72,8 +72,16 @@ def kcore_edges(
     """
     if k < 1 or rounds < 1:
         raise ValueError("kcore_edges: k and rounds must be >= 1")
+    # LAZY checkpoint + count, not eager + count (r15, guide §5): the
+    # count is a full scan of the marked RDD, so it materializes every
+    # partition into the block manager and completes the checkpoint in
+    # the SAME job — eager=True ran one job to materialize and a second
+    # to count, i.e. two jobs per round for one round's work. Lineage
+    # truncation and the barrier semantics are identical once the count
+    # returns; results are bit-identical (nothing about the plan
+    # changes, only the number of actions driving it).
     alive = edges.select("src", "dst").localCheckpoint(
-        eager=True, storageLevel=_EDGE_LEVEL
+        eager=False, storageLevel=_EDGE_LEVEL
     )
     n_alive = alive.count()
     if broadcast_keep == "auto":
@@ -99,7 +107,10 @@ def kcore_edges(
         nxt = (
             alive.join(keep, alive["src"] == keep["_node"], "left_semi")
             .join(keep, alive["dst"] == keep["_node"], "left_semi")
-            .localCheckpoint(eager=True, storageLevel=_EDGE_LEVEL)
+            # lazy: the convergence count right below materializes the
+            # checkpoint in the same job (see the header comment) — one
+            # job per peel round instead of two
+            .localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
         )
         n_nxt = nxt.count()
         if n_nxt == n_alive:
